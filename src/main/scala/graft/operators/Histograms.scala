@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-width histogram binning.
+  *
+  * scida's analysis recipes compute 1D/2D histograms over particle
+  * fields with dask (reference: docs + dask `da.histogram` usage);
+  * Spark-first this is a computed bin id + hash aggregation: the bin
+  * id is codegen'd, partial (map-side) aggregation reduces each
+  * partition to one row per occupied bin, and the shuffle carries only
+  * (bin, partial-count) — O(bins), not O(rows), regardless of input
+  * scale.
+  */
+object Histograms {
+
+  private def binId(c: Column, width: Double): Column =
+    floor(c / lit(width)).cast("long")
+
+  /** 1D fixed-width histogram: (bin, n) sorted by bin. */
+  def hist1d(df: DataFrame, c: Column, width: Double): DataFrame =
+    df.groupBy(binId(c, width).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** 2D fixed-width histogram: (bin_x, bin_y, n). */
+  def hist2d(df: DataFrame, cx: Column, wx: Double, cy: Column, wy: Double): DataFrame =
+    df.groupBy(binId(cx, wx).as("bin_x"), binId(cy, wy).as("bin_y"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin_x", "bin_y")
+
+  /** Weighted 1D histogram (sum of a weight column per bin). */
+  def hist1dWeighted(df: DataFrame, c: Column, width: Double, weight: Column): DataFrame =
+    df.groupBy(binId(c, width).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(weight).as("wsum"))
+      .orderBy("bin")
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-containment assignment.
+  *
+  * scida's `add_catalogIDs` (reference: src/scida/customs/arepo/
+  * dataset.py:312) maps each particle row to its owning halo by
+  * locating its index inside a (offset, length) table. Spark-first the
+  * band table is a small dimension: broadcast it and range-join, so
+  * the big side streams map-side with zero shuffle. For band tables
+  * too large to broadcast, assign via bucketed equi-join on a
+  * quantized key (`assignBucketed`).
+  */
+object RangeAssign {
+
+  /** Assign each row the `band` label of the interval [lo, hi) that
+    * contains `value`. Bands are broadcast (small dimension). */
+  def assign(df: DataFrame, value: Column, bands: Seq[(Double, Double, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bandDf = bands.toDF("lo", "hi", "band")
+    df.join(broadcast(bandDf), value >= col("lo") && value < col("hi"))
+  }
+
+  /** Scale path for many intervals: quantize `value` to a bucket of
+    * `bucketWidth`, explode each band to its covered buckets, and
+    * equi-join on bucket before the exact range check — turns the
+    * range join into a hash join on bucket id. */
+  def assignBucketed(df: DataFrame, value: Column,
+      bands: DataFrame, lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
+    val bandBuckets = bands.withColumn("bucket",
+      explode(sequence(floor(lo / bucketWidth).cast("long"),
+        floor((hi - lit(1e-12)) / bucketWidth).cast("long"))))
+    df.withColumn("bucket", floor(value / bucketWidth).cast("long"))
+      .join(bandBuckets, Seq("bucket"))
+      .filter(value >= lo && value < hi)
+      .drop("bucket")
+  }
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Histograms, RangeAssign, Spatial}
+import graft.sources.Tables
+
+/** Queries that re-express scida's own capability surface
+  * (reference: src/scida/interface.py, fields.py, customs/arepo/
+  * dataset.py, interfaces/mixins/spatial.py, series.py) over the
+  * driver's star-schema tables.
+  */
+object ScidaQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+    // --- load + projection (scida load() + field access; pruning pushed to scan) ---
+    "load_project" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // --- derived/virtual field (fields.py:381 register_field) ---
+    // Per-row rounding must be bit-identical across engines: Spark's
+    // round() (BigDecimal HALF_UP on the exact binary value) and
+    // DuckDB's round() (double math) disagree on ties, so both sides
+    // spell out the same IEEE ops: floor(x*100 + 0.5)/100.
+    "derived_field" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("revenue",
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100.0 + 0.5) / 100.0)
+        .select("l_orderkey", "l_linenumber", "revenue")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // --- predicate selection (interface.py:421 Selector) ---
+    "filter_select" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 10 && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 10 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // --- unit-carrying arithmetic (mixins/units.py): quantity → dozens ---
+    "unit_convert" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity") / 12.0, 6).as("qty_dozen"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity / 12.0, 6) AS qty_dozen
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // --- whole-field reductions (dask sum/mean/min/max/std analogue) ---
+    "field_stats" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d).agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        round(stddev_samp(col("l_quantity")), 6).as("std_qty"),
+        count(lit(1)).as("n")),
+      """SELECT round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  round(stddev_samp(l_quantity), 6) AS std_qty,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin),
+
+    // --- 1D histogram (fixed-width binning) ---
+    "histogram1d" -> QueryDef.sql(
+      (s, d) => Histograms.hist1d(Tables.lineitem(s, d), col("l_extendedprice"), 5000.0),
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // --- 2D histogram ---
+    "histogram2d" -> QueryDef.sql(
+      (s, d) => Histograms.hist2d(Tables.lineitem(s, d),
+        col("l_quantity"), 10.0, col("l_extendedprice"), 10000.0),
+      """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_x,
+        |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_y,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY bin_x, bin_y ORDER BY bin_x, bin_y""".stripMargin),
+
+    // --- per-group cardinalities (arepo/dataset.py:555 get_grouplengths) ---
+    "group_lengths" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+        .orderBy("l_orderkey"),
+      """SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+
+    // --- broadcast group quantity onto members (arepo/dataset.py:519) ---
+    "group_quantity_join" -> QueryDef.sql(
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("o_totalprice"), 2).as("group_totalprice"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |  round(o_totalprice, 2) AS group_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // --- interval containment assignment (arepo/dataset.py:312 add_catalogIDs) ---
+    "range_assign" -> QueryDef.sql(
+      (s, d) => RangeAssign.assign(
+        Tables.customer(s, d), col("c_acctbal"),
+        Seq((-10000.0, 0.0, "neg"), (0.0, 2500.0, "low"),
+          (2500.0, 5000.0, "mid"), (5000.0, 7500.0, "high"),
+          (7500.0, 10001.0, "top")))
+        .select("c_custkey", "band").orderBy("c_custkey"),
+      """SELECT c_custkey, band
+        |FROM customer
+        |JOIN (VALUES (-10000.0, 0.0, 'neg'), (0.0, 2500.0, 'low'),
+        |             (2500.0, 5000.0, 'mid'), (5000.0, 7500.0, 'high'),
+        |             (7500.0, 10001.0, 'top')) AS bands(lo, hi, band)
+        |  ON c_acctbal >= lo AND c_acctbal < hi
+        |ORDER BY c_custkey""".stripMargin),
+
+    // --- custom per-group aggregate (arepo/dataset.py:826 grouped().apply()) ---
+    "grouped_apply" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(sum(col("l_discount") * col("l_quantity")) / sum(col("l_quantity")), 6)
+          .as("wavg_disc"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // --- per-group top-k members (window) ---
+    "group_topk" -> QueryDef.sql(
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag", "l_linestatus")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("l_returnflag"), col("l_linestatus"), col("rk"),
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"))
+          .orderBy("l_returnflag", "l_linestatus", "rk")
+      },
+      """SELECT l_returnflag, l_linestatus, rk, l_orderkey, l_linenumber, price
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |    round(l_extendedprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem)
+        |WHERE rk <= 3
+        |ORDER BY l_returnflag, l_linestatus, rk""".stripMargin),
+
+    // --- 3D box cut-out (mixins/spatial.py) over a numeric triplet ---
+    "boxcut" -> QueryDef.sql(
+      (s, d) => Spatial.boxCut(Tables.part(s, d),
+        Seq(("p_size", 10.0, 40.0), ("p_retailprice", 920.0, 980.0)))
+        .select("p_partkey").orderBy("p_partkey"),
+      """SELECT p_partkey FROM part
+        |WHERE p_size >= 10.0 AND p_size < 40.0
+        |  AND p_retailprice >= 920.0 AND p_retailprice < 980.0
+        |ORDER BY p_partkey""".stripMargin),
+
+    // --- spherical (radial) cut-out (mixins/spatial.py) ---
+    "spherecut" -> QueryDef.sql(
+      (s, d) => Spatial.sphereCut(Tables.part(s, d),
+        Seq((col("p_size").cast("double") / 25.0, 1.0),
+          (col("p_retailprice") / 950.0, 1.0),
+          (col("p_retailprice") * col("p_size") / 25000.0, 1.0)),
+        0.35)
+        .select("p_partkey").orderBy("p_partkey"),
+      """SELECT p_partkey FROM part
+        |WHERE sqrt(
+        |    (p_size / 25.0 - 1.0) * (p_size / 25.0 - 1.0)
+        |  + (p_retailprice / 950.0 - 1.0) * (p_retailprice / 950.0 - 1.0)
+        |  + (p_retailprice * p_size / 25000.0 - 1.0) * (p_retailprice * p_size / 25000.0 - 1.0)
+        |  ) < 0.35
+        |ORDER BY p_partkey""".stripMargin),
+
+    // --- dataset series: union of members with a snapshot tag (series.py) ---
+    "series_union" -> QueryDef.sql(
+      (s, d) => {
+        val c = Tables.customer(s, d).select(lit("customer").as("snapshot"),
+          col("c_custkey").as("entity_id"), round(col("c_acctbal"), 2).as("acctbal"))
+        val su = Tables.supplier(s, d).select(lit("supplier").as("snapshot"),
+          col("s_suppkey").as("entity_id"), round(col("s_acctbal"), 2).as("acctbal"))
+        c.unionByName(su).orderBy("snapshot", "entity_id")
+      },
+      """SELECT * FROM (
+        |  SELECT 'customer' AS snapshot, c_custkey AS entity_id,
+        |    round(c_acctbal, 2) AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS snapshot, s_suppkey AS entity_id,
+        |    round(s_acctbal, 2) AS acctbal FROM supplier
+        |) ORDER BY snapshot, entity_id""".stripMargin),
+
+    // --- series member selection by metadata (series.py get_dataset) ---
+    "series_select" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("day", col("ts").cast("date"))
+        val maxDay = e.agg(max("day").as("max_day"))
+        e.join(broadcast(maxDay), col("day") === col("max_day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // --- save + re-read (interface.py:273 save) — rows-only check ---
+    "save_roundtrip" -> QueryDef.rowsOnly(
+      (s, d) => {
+        val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip"
+        Tables.lineitem(s, d)
+          .withColumn("revenue", round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2))
+          .select("l_orderkey", "l_linenumber", "revenue")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("n"), round(sum("revenue"), 2).as("sum_revenue"))
+      })
+  )
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table catalog over a scale-factor directory of parquet files.
+  *
+  * Spark-first analogue of scida's format discovery + lazy load
+  * (reference: src/scida/convenience.py:160 `load`,
+  * src/scida/io/_base.py): a dataset directory is opened lazily, each
+  * member becomes a lazily-scanned DataFrame, and column
+  * pruning/predicate pushdown replace dask's chunk-level laziness.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which arrives as
+    * an epoch-nano long (see GraftSession nanosAsLong). Expose both
+    * the raw nanos (`ts_ns`) and a microsecond-precision timestamp
+    * (`ts`) — analysis at 100 TB wants the long for cheap arithmetic
+    * and the timestamp for window functions. */
+  private def normalizeEvents(df: DataFrame): DataFrame = df
+    .withColumnRenamed("ts", "ts_ns")
+    .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast "long"))
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Series loader — scida `DatasetSeries` (reference:
+    * src/scida/series.py:1): an ordered collection of snapshots of the
+    * same logical table, unioned with a snapshot tag so downstream
+    * queries can partition-prune on it. */
+  def series(spark: SparkSession, dirs: Seq[(String, String)], name: String): DataFrame =
+    dirs.map { case (tag, d) => apply(spark, d, name).withColumn("snapshot", lit(tag)) }
+      .reduce(_ unionByName _)
+}
