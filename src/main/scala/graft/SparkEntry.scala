@@ -14,7 +14,9 @@ object SparkEntry {
   /** All registered query families. Later registrations would win on
     * name clash — names are kept globally unique. */
   private def all: Map[String, QueryDef] =
-    RelationalQueries.defs ++ ScidaQueries.defs
+    RelationalQueries.defs ++ ScidaQueries.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
+      MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,106 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextOps, VectorOps}
+
+/** Near-duplicate detection family for document corpora (SURVEY.md §2
+  * "LLM-data-pipeline: deduplication").
+  *
+  * Scale architecture (§4): per-document signatures (shingle sets,
+  * minhash sigs, simhash words) are computed MAP-SIDE in one scan;
+  * candidate generation shuffles only small (key, doc_id) pairs —
+  * band keys for MinHash-LSH, 16-bit chunks for SimHash, shingles for
+  * the exact-Jaccard join; exact verification runs only on candidate
+  * pairs. Nothing here ever broadcasts or collects the corpus.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by text hash: one row per distinct
+    * content hash with its cardinality and the kept (min) doc id. */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(TextOps.exactHash(col(text)).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col(id)).as("keep_doc"))
+
+  /** Per-doc distinct k-shingle sets (map-side). */
+  def withShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docs.select(col(id), Hashing.shingles(col(text), k).as("sh"))
+
+  /** All pairs with shingle-set Jaccard >= minJ (rounded to 6 dp for
+    * engine-stable thresholding). The join key is the shingle, so the
+    * shuffle is O(total shingles) and pairs only materialize for docs
+    * that actually share a shingle. */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+      k: Int, minJ: Double): DataFrame = {
+    val sh = withShingles(docs, id, text, k)
+      .select(col(id), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    val a = sh.toDF("doc_a", "n_a", "shingle")
+    val b = sh.toDF("doc_b", "n_b", "shingle")
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", VectorOps.roundAt(
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("j") >= minJ)
+      .select("doc_a", "doc_b", "j")
+  }
+
+  /** MinHash+LSH near-dup pairs: k-entry signatures, `bands`×`rows`
+    * banding for candidates, exact Jaccard verify at minJ. Same
+    * output contract as ngramJaccardPairs but candidate generation
+    * shuffles O(docs × bands) band keys instead of O(total shingles).
+    */
+  def minhashLshPairs(docs: DataFrame, id: String, text: String, k: Int,
+      sigLen: Int, bands: Int, minJ: Double): DataFrame = {
+    require(sigLen % bands == 0, "bands must divide signature length")
+    val sh = withShingles(docs, id, text, k)
+    val sig = sh.withColumn("sig", Hashing.minhashSignature(col("sh"), sigLen))
+      .withColumn("bk", Hashing.bandKeys(col("sig"), bands, sigLen / bands))
+    val cand = Hashing.lshCandidates(sig.select(col(id), col("bk")), id, "bk")
+    // exact verify on candidates only
+    val sa = sh.toDF("doc_a", "sh_a")
+    val sb = sh.toDF("doc_b", "sh_b")
+    cand.join(sa, cand(s"${id}_a") === sa("doc_a"))
+      .join(sb, cand(s"${id}_b") === sb("doc_b"))
+      .withColumn("j", VectorOps.roundAt(Hashing.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("j") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (<= 3 for the 4x16-bit
+    * banding to be lossless by pigeonhole). */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only complete for distance <= 3")
+    val sim = docs.select(col(id),
+      Hashing.simhash(split(lower(col(text)), " ")).as("sim"))
+    val bands = sim.withColumn("bk", Hashing.simhashBands(col("sim")))
+    val e = bands.select(col(id), col("sim"), explode(col("bk")).as("b"))
+      .select(col(id), col("sim"), col("b.band").as("band"), col("b.key").as("key"))
+    val l = e.toDF("doc_a", "sim_a", "band", "key")
+    val r = e.toDF("doc_b", "sim_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Hashing.hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a coarse key (label,
+    * LSH bucket, …) so the self-join never goes quadratic in the
+    * corpus — only within blocks. Cosine rounded to 6 dp before
+    * thresholding for engine-stable boundaries. */
+  def embCosPairs(embs: DataFrame, id: String, vec: String,
+      blockKey: String, minCos: Double): DataFrame = {
+    val a = embs.select(col(id).as("id_a"), col(vec).as("v_a"), col(blockKey))
+    val b = embs.select(col(id).as("id_b"), col(vec).as("v_b"), col(blockKey))
+    a.join(b, Seq(blockKey))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.roundAt(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col(blockKey), col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface:
+  * tokenization, quality scoring, dictionary language ID, content
+  * fingerprints. All are composed from codegen'd builtins (split,
+  * regexp, md5, higher-order array fns) — map-side only, no shuffle,
+  * no UDFs — so they stream over a 100 TB documents table at scan
+  * speed.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish pre-tokenizer count: runs of letters, runs of digits, or
+    * single other non-space chars — the classic GPT-2-style pre-split
+    * shape expressed as a regex both Spark (Java regex) and DuckDB
+    * (RE2) interpret identically for this simple class alternation. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeishPattern), lit(0)))
+
+  /** Approx chars-per-token proxy used for token-count estimation. */
+  def charsPerWsToken(text: Column): Column =
+    length(text).cast("double") / wsTokenCount(text)
+
+  /** Count how many of `dict` words occur in the text (presence, not
+    * frequency — robust to repetition spam). */
+  def dictHits(ws: Column, dict: Seq[String]): Column =
+    dict.map(w => array_contains(ws, w).cast("int")).reduce(_ + _)
+
+  /** Tiny per-language stopword dictionaries for heuristic language
+    * ID. Deterministic and engine-portable (plain array_contains). */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
+  /** Predicted language = dict with the most distinct stopword hits;
+    * ties and zero hits resolve by dict order (en first) / "und". */
+  def langId(text: Column): Column = {
+    val ws = words(lower(text))
+    val scored = langDicts.map { case (lang, dict) => (lang, dictHits(ws, dict)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
+      when(score === best && score > 0, lit(lang)).otherwise(els)
+    }
+    pick
+  }
+
+  /** English stopword ratio — quality signal: natural text has a
+    * stable stopword density; boilerplate/code/spam doesn't. */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(lower(text))
+    val hits = enStopwords.map(w =>
+      size(filter(ws, x => x === lit(w)))).reduce(_ + _)
+    hits.cast("double") / size(ws)
+  }
+
+  /** Punctuation+digit character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z ]", ""))).cast("double") /
+      length(text)
+
+  /** Exact content fingerprint: md5 of the sorted distinct lowercase
+    * word set — canonicalizes word order and repetition, the classic
+    * "bag fingerprint" for exact-template dedup. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(lower(text)))), " "))
+
+  /** Raw text hash for byte-exact dedup. */
+  def exactHash(text: Column): Column = md5(text)
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): k-gram rolling hashes, then the min hash of each
+    * sliding window of `w` consecutive k-gram hashes; the distinct
+    * set of selected hashes is the fingerprint. Pure higher-order
+    * expressions — computed map-side per row. */
+  def winnowingFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val n = length(text)
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i => xxhash64(text.substr(i, lit(k)))))
+      .otherwise(array(xxhash64(text)))
+    val m = size(grams)
+    val mins = when(m >= w,
+      transform(sequence(lit(0), m - w), i => array_min(slice(grams, i + 1, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_sort(array_distinct(mins))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, Metadata, MetadataBuilder, StructField}
+
+/** The scida Dataset + FieldContainer analogue (reference:
+  * src/scida/interface.py:39 `BaseDataset`, src/scida/fields.py:83
+  * `FieldContainer`, :381 `register_field`): a DataFrame plus
+  *
+  *  - hierarchical field namespaces — scida's `PartType0/Coordinates`
+  *    paths become `/`-separated names resolved over namespaced
+  *    columns (`ns__field`),
+  *  - a derived-field registry — virtual columns defined as Column
+  *    expressions over other fields, resolved lazily (and
+  *    recursively) at select time, exactly like scida's
+  *    `@register_field` dask closures, but materializing into one
+  *    Catalyst plan Catalyst can optimize through,
+  *  - per-field unit metadata (scida's pint mixin,
+  *    src/scida/interfaces/mixins/units.py) carried in column
+  *    Metadata so it survives projections and writes,
+  *  - `info` introspection (interface.py:131) and dataframe
+  *    flattening (fields.py:478 `get_dataframe`) that explodes
+  *    array fields into `_0.._k` columns.
+  *
+  * Everything is lazy: a GraftDataset holds only plan + registry;
+  * nothing executes until an action, mirroring scida's dask laziness
+  * via Catalyst.
+  */
+final class GraftDataset private (
+    val df: DataFrame,
+    derived: Map[String, GraftDataset => Column],
+    units: Map[String, String]) {
+
+  private def sep = GraftDataset.NsSep
+
+  /** Column name in the flat frame for a `/`-separated field path. */
+  private def phys(path: String): String = path.replace("/", sep)
+
+  /** Resolve a field: physical column, or derived expression
+    * (recursively over other fields). */
+  def field(path: String): Column = {
+    val p = phys(path)
+    if (df.columns.contains(p)) col(p)
+    else derived.get(path) match {
+      case Some(f) => f(this).as(p)
+      case None => throw new IllegalArgumentException(
+        s"unknown field $path; have ${fieldNames.mkString(", ")}")
+    }
+  }
+
+  /** All addressable fields: physical + derived, as `/` paths. */
+  def fieldNames: Seq[String] =
+    df.columns.map(_.replace(sep, "/")).toSeq ++ derived.keys
+
+  /** Register a derived (virtual) field — scida fields.py:381. */
+  def withDerived(path: String)(f: GraftDataset => Column): GraftDataset =
+    new GraftDataset(df, derived + (path -> f), units)
+
+  /** Attach a unit to a field — scida units mixin. */
+  def withUnit(path: String, unit: String): GraftDataset =
+    new GraftDataset(df, derived, units + (path -> unit))
+
+  def unitOf(path: String): Option[String] = units.get(path)
+
+  /** Unit-aware scaling: returns the field converted by `factor` with
+    * the new unit recorded (pint's `.to()` for linear units). */
+  def convert(path: String, toUnit: String, factor: Double): (Column, String) =
+    (field(path) * lit(factor), toUnit)
+
+  /** Sub-container view — scida's `ds['PartType0']`. */
+  def container(ns: String): GraftDataset = {
+    val prefix = phys(ns) + sep
+    val cols = df.columns.filter(_.startsWith(prefix))
+    val sub = df.select(cols.map(c => col(c).as(c.stripPrefix(prefix))): _*)
+    val subDerived = derived.collect {
+      case (k, f) if k.startsWith(ns + "/") => k.stripPrefix(ns + "/") -> f
+    }
+    new GraftDataset(sub, subDerived, units.collect {
+      case (k, u) if k.startsWith(ns + "/") => k.stripPrefix(ns + "/") -> u
+    })
+  }
+
+  /** Materialize selected fields (physical and derived) as a plain
+    * DataFrame, with unit metadata stamped into each column. */
+  def select(paths: String*): DataFrame = {
+    val cols = paths.map { p =>
+      val c = field(p).as(phys(p), unitMeta(p))
+      c
+    }
+    df.select(cols: _*)
+  }
+
+  private def unitMeta(path: String): Metadata =
+    units.get(path)
+      .map(u => new MetadataBuilder().putString("unit", u).build())
+      .getOrElse(Metadata.empty)
+
+  /** scida get_dataframe (fields.py:478): flatten array fields into
+    * scalar `_0.._k` columns so the result is purely tabular. */
+  def flatten(arrayWidths: Map[String, Int] = Map.empty): DataFrame = {
+    val cols = df.schema.fields.flatMap {
+      case StructField(name, _: ArrayType, _, _) =>
+        val width = arrayWidths.getOrElse(name.replace(sep, "/"), 3)
+        (0 until width).map(i => element_at(col(name), i + 1).as(s"${name}_$i"))
+      case StructField(name, _, _, _) => Seq(col(name))
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Schema + units + derived-field report — scida info(). */
+  def info: String = {
+    val phys = df.schema.fields.map { f =>
+      val u = units.get(f.name.replace(sep, "/")).map(u => s" [$u]").getOrElse("")
+      s"  ${f.name.replace(sep, "/")}: ${f.dataType.simpleString}$u"
+    }
+    val der = derived.keys.toSeq.sorted.map(k => s"  $k: <derived>")
+    (Seq(s"GraftDataset (${phys.length} physical, ${der.length} derived)") ++
+      phys ++ der).mkString("\n")
+  }
+}
+
+object GraftDataset {
+  /** Separator embedding the field hierarchy into flat column names. */
+  val NsSep = "__"
+
+  def apply(df: DataFrame): GraftDataset =
+    new GraftDataset(df, Map.empty, Map.empty)
+
+  /** Build from per-namespace frames: columns get `ns__` prefixes and
+    * frames are column-concatenated via an index-free crossJoin-safe
+    * union — caller guarantees row alignment is NOT required (each
+    * namespace is independent, as in scida where PartType0/PartType1
+    * have different lengths; here they stay separate frames). */
+  def fromNamespaces(frames: Map[String, DataFrame]): Map[String, GraftDataset] =
+    frames.map { case (ns, f) => ns -> apply(f) }
+}

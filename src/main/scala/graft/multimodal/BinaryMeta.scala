@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride through
+  * the engine as opaque `binary` columns with typed metadata
+  * (SURVEY.md §2 "LLM-data-pipeline: multimodal").
+  *
+  * The decode step itself is STUBBED — this container has no image/
+  * audio codecs — behind `fakeDecode`, a deterministic function of the
+  * bytes, so every piece of Spark-side plumbing (schema, encoders,
+  * batch iteration, partitioning) is real and tested while the codec
+  * is swappable.
+  *
+  * Scale: `decodeMeta` is a `mapPartitions` over the typed Dataset —
+  * the batch-iterator shape a real decoder needs (amortized codec
+  * init per partition, streaming iteration, no per-row JNI setup), and
+  * the binary column never shuffles: decode happens at scan site and
+  * only the small metadata struct flows on.
+  */
+object BinaryMeta {
+
+  /** Typed metadata a decoder would produce. */
+  final case class MediaMeta(id: Long, n_bytes: Int, width: Int,
+      height: Int, format: String)
+
+  // not private: Spark's encoder codegen needs public accessors
+  final case class BinRow(id: Long, payload: Array[Byte])
+
+  /** STUB decoder — deterministic fake: dimensions/format derived from
+    * payload size and first byte. Replace with a real codec call; the
+    * signature (bytes in, meta out) is the real contract. */
+  def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length
+    val first = if (n > 0) bytes(0) & 0xFF else 0
+    MediaMeta(id, n, n % 640, (n * 7) % 480,
+      (first % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "webp" })
+  }
+
+  /** Attach a fake binary payload column (UTF-8 bytes of a text
+    * column) — stands in for a real image/audio column. */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Batch decode: binary column → typed metadata Dataset via
+    * mapPartitions (per-partition codec lifecycle). */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions { rows =>
+        // real decoder would init its codec context here, once
+        rows.map(r => fakeDecode(r.id, r.payload))
+      }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.sources.Tables
+
+/** Similarity-search family over `embeddings` (SURVEY.md §2). The
+  * query vector is the corpus vector with vec_id = 0 (joined in, so
+  * the query needs no literals and the oracle can express the same).
+  */
+object AnnQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+    // --- exact cosine top-k vs query vector (TakeOrderedAndProject) ---
+    "ann_bruteforce" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_vec"))
+        Ann.bruteForceTopK(
+          e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q)),
+          "vec_id", "embedding", col("q_vec"), k = 10)
+      },
+      """SELECT e.vec_id,
+        |  floor((
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))))
+        |    *1000000 + 0.5)/1000000 AS cos
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id != 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    // --- random-hyperplane LSH bucketed ANN — rows-only; spec
+    // measures recall vs brute force and candidate-set pruning ---
+    "ann_lsh" -> QueryDef.rowsOnly(
+      (s, d) => {
+        val spark = s
+        val e = Tables.embeddings(spark, d)
+        // the query vector as plain doubles (tiny driver fetch of ONE
+        // row — the query itself, not corpus data)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Ann.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, k = 10, dims = 64, tables = 4, planes = 4)
+      })
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Deduplication family over `documents` / `embeddings` (SURVEY.md §2).
+  *
+  * Oracle notes: the exact-Jaccard shingle join is fully SQL-
+  * expressible, so ngram Jaccard (and embedding cosine) get DuckDB
+  * oracles; MinHash-LSH and SimHash depend on xxhash64, which DuckDB
+  * lacks → rows-only here, with ScalaTest specs asserting MinHash
+  * pairs == exact-Jaccard pairs and SimHash self-consistency.
+  */
+object DedupQueries {
+
+  // Shared SQL fragment: per-doc distinct 3-shingle list (matches
+  // Hashing.shingles(k=3) incl. the short-doc whole-text fallback).
+  private val shingleCte =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(w) >= 3 THEN
+      |      list_transform(range(1, len(w) - 1),
+      |        i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [text] END)) AS shingle
+      |  FROM ws
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |)""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    // --- exact dup groups by content hash ---
+    "dedup_exact" -> QueryDef.sql(
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("h"),
+      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin),
+
+    // --- n-gram shingle Jaccard similarity join (threshold 0.8) ---
+    "dedup_ngram_jaccard" -> QueryDef.sql(
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", k = 3, minJ = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      shingleCte +
+        """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 AS j
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // --- MinHash + LSH banding (64 sigs, 16 bands × 4 rows), exact
+    // verify at 0.8 — rows-only; spec asserts == dedup_ngram_jaccard ---
+    "dedup_minhash" -> QueryDef.rowsOnly(
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d),
+        "doc_id", "text", k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // --- 64-bit SimHash, 4×16-bit band join, Hamming <= 3 — rows-only ---
+    "dedup_simhash" -> QueryDef.rowsOnly(
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d),
+        "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // --- embedding-cosine near-dup pairs, label-blocked ---
+    "dedup_embcos" -> QueryDef.sql(
+      (s, d) => Dedup.embCosPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", minCos = 0.4)
+        .orderBy("id_a", "id_b"),
+      """WITH p AS (
+        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    floor((
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
+        |      *1000000 + 0.5)/1000000 AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, id_a, id_b, cos FROM p WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps.roundAt
+import graft.operators.{AsOfJoin, Sessionize}
+import graft.sources.Tables
+
+/** Event-time operators over the `events` table: tumbling-window
+  * aggregation, gap sessionization, and the time as-of join — the
+  * batch equivalents of the Structured Streaming runtime in
+  * graft.streaming (scida has no streaming surface; these extend the
+  * engine to the event/stream side of a training-data pipeline).
+  *
+  * All time arithmetic is on `ts_ns` (epoch nanos as int64, see
+  * Tables.normalizeEvents) — integer math, no timezone or double
+  * precision hazards, and cheap at 100 TB.
+  */
+object EventQueries {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val GapUs = 1800L * 1000 * 1000 // 30 min session gap, micros
+
+  def defs: Map[String, QueryDef] = Map(
+    // --- tumbling-window aggregation (batch equiv of streaming agg) ---
+    // Bin id computed map-side (integer div) → partial agg → tiny
+    // shuffle of (bucket, type) partials: O(buckets), not O(rows).
+    "event_window_agg" -> QueryDef.sql(
+      (s, d) => Tables.events(s, d)
+        .groupBy(expr(s"ts_ns div $HourNs").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), roundAt(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_bucket", "event_type"),
+      s"""SELECT epoch_ns(ts)//$HourNs AS hour_bucket, event_type,
+        |  count(*) AS n, floor(sum(value)*100 + 0.5)/100 AS sum_value
+        |FROM events GROUP BY hour_bucket, event_type
+        |ORDER BY hour_bucket, event_type""".stripMargin),
+
+    // --- gap-based sessionization (lag + cumulative session index) ---
+    // Times in epoch MICROS on both sides: DuckDB truncates the
+    // nanosecond parquet timestamps to its microsecond TIMESTAMP, so
+    // the oracle can't see nanos — `ts_ns div 1000` matches exactly.
+    "sessionize" -> QueryDef.sql(
+      (s, d) => Sessionize.sessions(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", col("ts_us"), GapUs, col("value"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          (col("t_end") - col("t_start")).as("dur_us"),
+          roundAt(col("value_sum"), 2).as("value_sum"))
+        .orderBy("user_id", "session_seq"),
+      s"""WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapUs THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), se AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM t)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  max(ts_us) - min(ts_us) AS dur_us,
+        |  floor(sum(value)*100 + 0.5)/100 AS value_sum
+        |FROM se GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin),
+
+    // --- time as-of join: each click gets the latest prior view's
+    // value for the same user (inclusive). Composed union+window —
+    // one shuffle on user_id (operators.AsOfJoin). ---
+    "asof_join" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_ns")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ns"), col("value").as("view_value"))
+        AsOfJoin.asof(clicks, views, "user_id", "ts_ns", Seq("view_value"))
+          .filter(col("view_value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            roundAt(col("view_value"), 2).as("view_value"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, a.user_id,
+        |  floor(b.view_value*100 + 0.5)/100 AS view_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
+        |           WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin)
+  )
+}

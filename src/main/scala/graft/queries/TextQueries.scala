@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.functions.VectorOps.roundAt
+import graft.sources.Tables
+
+/** Text-analysis pipeline over the `documents` table: language ID,
+  * quality scoring, token counting, content fingerprinting. All four
+  * are single-pass map-side expressions (functions.TextOps) — at
+  * 100 TB they run at parquet scan speed with zero shuffle (the ORDER
+  * BY here exists only for the deterministic oracle compare).
+  */
+object TextQueries {
+
+  // SQL fragments mirroring TextOps, kept adjacent to their uses.
+  private def dictHitsSql(dict: Seq[String]): String =
+    dict.map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")
+
+  def defs: Map[String, QueryDef] = Map(
+    // --- heuristic dictionary language ID (TextOps.langId) ---
+    "text_langid" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      {
+        val scores = TextOps.langDicts.map { case (lang, dict) =>
+          s"${dictHitsSql(dict)} AS s_$lang"
+        }.mkString(",\n    ")
+        val langs = TextOps.langDicts.map(_._1)
+        val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'")
+          .mkString("\n    ")
+        s"""WITH t AS (
+          |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+          |  FROM documents
+          |), sc AS (
+          |  SELECT doc_id, lang,
+          |    $scores
+          |  FROM t
+          |), b AS (
+          |  SELECT *, $best AS best FROM sc
+          |)
+          |SELECT doc_id, lang,
+          |  CASE
+          |    $pick
+          |    ELSE 'und' END AS pred_lang
+          |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    // --- quality scores: length, word count, punct + stopword ratios ---
+    "text_quality" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_c"),
+          TextOps.wsTokenCount(col("text")).as("n_words"),
+          roundAt(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+          roundAt(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"))
+        .orderBy("doc_id"),
+      {
+        val stopHits = TextOps.enStopwords
+          .map(w => s"len(list_filter(ws, x -> x = '$w'))").mkString(" + ")
+        s"""WITH t AS (
+          |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+          |  FROM documents)
+          |SELECT doc_id,
+          |  length(text) AS n_chars_c,
+          |  len(ws) AS n_words,
+          |  floor(((length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))::DOUBLE
+          |    / length(text))*1000000 + 0.5)/1000000 AS punct_ratio,
+          |  floor((($stopHits)::DOUBLE / len(ws))*1000000 + 0.5)/1000000 AS stop_ratio
+          |FROM t ORDER BY doc_id""".stripMargin
+      }),
+
+    // --- token counts: whitespace + BPE-ish regex pre-tokenizer ---
+    "text_tokens" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // --- content fingerprints: byte-exact md5 + canonical bag md5 ---
+    // (winnowing rolling-hash fingerprint: TextOps.winnowingFingerprint,
+    // spec-tested; not oracle-checked since DuckDB lacks xxhash64)
+    "text_fingerprint" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.exactHash(col("text")).as("fp_exact"),
+          TextOps.bagFingerprint(col("text")).as("fp_bag"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, md5(text) AS fp_exact,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fp_bag
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming runtime for the event surface (SURVEY.md §2
+  * "Event/stream ops"): the streaming duals of EventQueries'
+  * batch operators.
+  *
+  * scida has no streaming surface; a 100 TB training-data pipeline
+  * does — ingest dedup, windowed quality stats, sessionized logs. The
+  * same declarative plan runs incrementally: watermarks bound state,
+  * windowed aggregation state is per (window, type) — O(active
+  * windows), not O(events) — and sessionization keeps one small state
+  * record per active key with an event-time timeout.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums with a watermark bounding state.
+    * Works on any streaming (or batch) frame with (ts: timestamp,
+    * event_type: string, value: double). */
+  def windowedAgg(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Evt(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, t_start: Long, t_end: Long,
+      n_events: Long, value_sum: Double)
+
+  /** True unbounded sessionization with per-key state + processing-
+    * time timeout: emits a session once `gapUs` elapses without new
+    * events for the key. State per active key is one 4-field record —
+    * bounded by concurrently-active users, not by history. */
+  def sessionize(events: Dataset[Evt], gapUs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, evts, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.last, s.n, s.sum))
+          } else {
+            // events within a micro-batch arrive unordered: sort the
+            // (small, per-key per-batch) slice before folding
+            val sorted = evts.toSeq.sortBy(_.ts_us)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last <= gapUs =>
+                  cur = Some(SessionState(s.start, e.ts_us, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration("30 seconds")
+            closed.reverseIterator
+          }
+      }
+  }
+}

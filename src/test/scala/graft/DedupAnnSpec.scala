@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Accuracy specs for the approximate operators, versus their exact
+  * counterparts on real testdata (SURVEY.md §2 rows-only entries). */
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val embs = Tables.embeddings(spark, sfDir)
+
+  test("minhash LSH pairs == exact ngram-jaccard pairs at 0.8") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh == exact)
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("simhash pairs have small hamming distance and include exact dups") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._3 <= 3))
+    // high-jaccard (≈1.0) pairs should mostly be simhash-close too
+    val exact1 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.95)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val simSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(exact1.intersect(simSet).size >= exact1.size / 2)
+  }
+
+  test("embcos blocked pairs are symmetric-free and above threshold") {
+    val pairs = Dedup.embCosPairs(embs, "vec_id", "embedding", "label", 0.3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0.3))
+    assert(pairs.nonEmpty)
+  }
+
+  test("lsh ANN: candidates pruned vs corpus, decent recall vs brute force") {
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val qCol = array(q.map(lit): _*)
+    val brute = Ann.bruteForceTopK(embs.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qCol, 10).select("vec_id").as[Long].collect().toSet
+    val lsh = Ann.lshTopK(embs.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", q, 10, 64, tables = 8, planes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.intersect(brute).size >= 3, s"recall too low: $lsh vs $brute")
+    // the scale point: LSH scans a strict subset of the corpus
+    val candFilter = (0 until 8).map(t =>
+      Ann.lshBucket(col("embedding"), 64, t, 4) === Ann.lshBucket(qCol, 64, t, 4))
+      .reduce(_ || _)
+    val nCand = embs.filter(candFilter).count()
+    assert(nCand < embs.count(), "LSH should prune the candidate set")
+  }
+
+  test("exact groups count every doc exactly once") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.agg(sum("n_docs")).as[Long].head() == docs.count())
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.GraftDataset
+import graft.multimodal.BinaryMeta
+import graft.streaming.EventStreams
+
+class ModelStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftDataset: derived fields resolve recursively and lazily") {
+    val ds = GraftDataset(Seq((2.0, 3.0)).toDF("p0__x", "p0__y"))
+      .withDerived("p0/r2")(g => g.field("p0/x") * g.field("p0/x") +
+        g.field("p0/y") * g.field("p0/y"))
+      .withDerived("p0/r")(g => sqrt(g.field("p0/r2")))
+    val r = ds.select("p0/r").as[Double].head()
+    assert(math.abs(r - math.sqrt(13.0)) < 1e-12)
+  }
+
+  test("GraftDataset: container scoping and info") {
+    val ds = GraftDataset(Seq((1.0, 2.0, 9L)).toDF("gas__rho", "gas__t", "star__id"))
+      .withUnit("gas/rho", "g/cm^3")
+    val gas = ds.container("gas")
+    assert(gas.fieldNames.toSet == Set("rho", "t"))
+    assert(ds.unitOf("gas/rho").contains("g/cm^3"))
+    assert(ds.info.contains("gas/rho") && ds.info.contains("[g/cm^3]"))
+  }
+
+  test("GraftDataset: unit metadata survives select; flatten explodes arrays") {
+    val ds = GraftDataset(Seq((1.0, Seq(1.0, 2.0, 3.0))).toDF("m", "pos"))
+      .withUnit("m", "Msun")
+    val out = ds.select("m")
+    assert(out.schema("m").metadata.getString("unit") == "Msun")
+    val flat = ds.flatten(Map("pos" -> 3))
+    assert(flat.columns.toSeq == Seq("m", "pos_0", "pos_1", "pos_2"))
+    assert(flat.select("pos_2").as[Double].head() == 3.0)
+  }
+
+  test("BinaryMeta: batch decode plumbing with deterministic stub") {
+    val df = Seq((1L, "hello"), (2L, "x")).toDF("doc_id", "text")
+    val meta = BinaryMeta.decodeMeta(
+      BinaryMeta.withPayload(df, "text"), "doc_id", "payload")
+      .collect().sortBy(_.id)
+    assert(meta(0).n_bytes == 5 && meta(1).n_bytes == 1)
+    assert(meta(0).width == 5 && meta(0).height == 35)
+    // 'h' = 104, 104 % 3 = 2 → webp; 'x' = 120 % 3 = 0 → png
+    assert(meta(0).format == "webp" && meta(1).format == "png")
+  }
+
+  test("streaming windowed agg over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedAgg(sdf, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(0, 10), "click", 1.0), (t(0, 40), "click", 2.0),
+      (t(1, 5), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("winagg")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("streaming sessionize emits sessions after gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Evt]
+    val q = EventStreams.sessionize(mem.toDS(), gapUs = 1000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // two sessions for user 1 within one batch: gap of 5000us > 1000us
+    mem.addData(EventStreams.Evt(1L, 0L, 1.0), EventStreams.Evt(1L, 500L, 2.0),
+      EventStreams.Evt(1L, 6000L, 7.0))
+    // NOTE: processAllAvailable() can hang with ProcessingTimeTimeout
+    // (timeout scheduling keeps the stream "not caught up") — poll the
+    // sink with a deadline instead.
+    val deadline = System.currentTimeMillis + 60000
+    def closedNow() = spark.table("sess")
+      .select("user_id", "n_events", "value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    var closed = closedNow()
+    while (closed.isEmpty && System.currentTimeMillis < deadline) {
+      Thread.sleep(250); closed = closedNow()
+    }
+    q.stop()
+    // first session (2 events, sum 3.0) closes when the 6000us event arrives
+    assert(closed == Set((1L, 2L, 3.0)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hist1d bins fixed-width and covers all rows") {
+    val df = Seq(0.5, 1.5, 2.5, 2.9, 7.1).toDF("x")
+    val h = Histograms.hist1d(df, col("x"), 1.0).collect()
+    assert(h.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (1L, 1L), (2L, 2L), (7L, 1L)))
+  }
+
+  test("hist2d bins both axes") {
+    val df = Seq((0.1, 0.1), (0.1, 1.1), (1.1, 1.1)).toDF("x", "y")
+    val h = Histograms.hist2d(df, col("x"), 1.0, col("y"), 1.0).collect()
+    assert(h.length == 3 && h.map(_.getLong(2)).sum == 3)
+  }
+
+  test("boxCut keeps half-open intervals") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Spatial.boxCut(df, Seq(("x", 2.0, 4.0))).as[Double].collect().sorted
+    assert(r.toSeq == Seq(2.0, 3.0))
+  }
+
+  test("sphereCutPruned == exact sphereCut") {
+    val df = (-10 to 10).flatMap(x => (-10 to 10).map(y => (x.toDouble, y.toDouble)))
+      .toDF("x", "y")
+    val exact = Spatial.sphereCut(df, Seq((col("x"), 1.0), (col("y"), -2.0)), 4.0)
+      .count()
+    val pruned = Spatial.sphereCutPruned(df, Seq(("x", 1.0), ("y", -2.0)), 4.0)
+      .count()
+    assert(exact == pruned && exact > 0)
+  }
+
+  test("range assign picks the containing band; bucketed variant agrees") {
+    val df = Seq(-5.0, 0.0, 10.0, 99.9).toDF("v")
+    val bands = Seq((-100.0, 0.0, "neg"), (0.0, 50.0, "low"), (50.0, 100.0, "high"))
+    val r = RangeAssign.assign(df, col("v"), bands)
+      .select("v", "band").as[(Double, String)].collect().toMap
+    assert(r == Map(-5.0 -> "neg", 0.0 -> "low", 10.0 -> "low", 99.9 -> "high"))
+    val bandDf = bands.toDF("lo", "hi", "band")
+    val b = RangeAssign.assignBucketed(df, col("v"), bandDf,
+      col("lo"), col("hi"), 7.0)
+      .select("v", "band").as[(Double, String)].collect().toMap
+    assert(b == r)
+  }
+
+  test("asof join attaches latest prior (inclusive) payload per key") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 10L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 11L, "x"))
+      .toDF("k", "t", "p")
+    val r = AsOfJoin.asof(left, right, "k", "t", Seq("p"))
+      .select("k", "t", "p").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(r == Set((1L, 10L, Some("a")), (1L, 20L, Some("b")),
+      (1L, 5L, None), (2L, 10L, None)))
+  }
+
+  test("sessionize splits on gap and aggregates per session") {
+    val df = Seq((1L, 0L, 1.0), (1L, 10L, 1.0), (1L, 200L, 1.0),
+      (2L, 0L, 5.0)).toDF("user_id", "t", "value")
+    val s = Sessionize.sessions(df, "user_id", col("t"), 50L, col("value"))
+      .select("user_id", "session_seq", "n_events", "value_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(s == Set((1L, 1L, 2L, 2.0), (1L, 2L, 1L, 1.0), (2L, 1L, 1L, 5.0)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextOps}
+
+class TextHashingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-word windows, dedup, short-doc fallback") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val sh = df.select(Hashing.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0).toSet == Set("a b c", "b c d"))
+    assert(sh(1) == Seq("x y"))
+  }
+
+  test("jaccard on shingle arrays") {
+    val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
+    val j = df.select(Hashing.jaccard(
+      Hashing.shingles(col("t1"), 2), Hashing.shingles(col("t2"), 2)))
+      .as[Double].head()
+    // shingles t1: {a b, b c, c d}, t2: {b c, c d, d e} → 2/4
+    assert(j == 0.5)
+  }
+
+  test("minhash signature is deterministic and length k") {
+    val df = Seq("a b c d e f", "a b c d e f").toDF("text")
+    val sigs = df.select(Hashing.minhashSignature(
+      Hashing.shingles(col("text"), 3), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0).length == 16 && sigs(0) == sigs(1))
+  }
+
+  test("minhash similarity estimates jaccard") {
+    // two texts sharing most shingles → most signature slots agree
+    val df = Seq(("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz")).toDF("t1", "t2")
+    val (s1, s2) = df.select(
+      Hashing.minhashSignature(Hashing.shingles(col("t1"), 3), 128).as("a"),
+      Hashing.minhashSignature(Hashing.shingles(col("t2"), 3), 128).as("b"))
+      .as[(Seq[Long], Seq[Long])].head()
+    val agree = s1.zip(s2).count { case (a, b) => a == b } / 128.0
+    val trueJ = 7.0 / 9.0 // 8 shingles each, 7 shared → union 9
+    assert(math.abs(agree - trueJ) < 0.15)
+  }
+
+  test("simhash: identical texts collide, unrelated texts are far") {
+    val df = Seq("spark catalyst plan optimizer engine",
+      "spark catalyst plan optimizer engine",
+      "completely different words entirely here").toDF("text")
+    val sims = df.select(Hashing.simhash(split(col("text"), " ")))
+      .as[Long].collect()
+    assert(sims(0) == sims(1))
+    assert(java.lang.Long.bitCount(sims(0) ^ sims(2)) > 10)
+  }
+
+  test("langid picks dictionary language") {
+    val df = Seq("the cat and the dog", "der hund und die katze",
+      "qqq www eee").toDF("text")
+    val preds = df.select(TextOps.langId(col("text"))).as[String].collect()
+    assert(preds.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("bag fingerprint canonicalizes order and repetition") {
+    val df = Seq("b a a b", "a b", "a c").toDF("text")
+    val fps = df.select(TextOps.bagFingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("winnowing fingerprint: equal texts equal, shifted text overlaps") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "PREFIX the quick brown fox jumps over the lazy dog").toDF("text")
+    val fps = df.select(TextOps.winnowingFingerprint(col("text")).as("f"))
+      .as[Seq[Long]].collect()
+    assert(fps(0) == fps(1))
+    val overlap = fps(0).toSet.intersect(fps(2).toSet).size.toDouble / fps(0).length
+    assert(overlap > 0.5) // winnowing is robust to prefix shift
+  }
+
+  test("token counts: ws and bpe-ish") {
+    val df = Seq("ab cd12 e!").toDF("text")
+    val r = df.select(TextOps.wsTokenCount(col("text")),
+      TextOps.bpeishTokenCount(col("text"))).as[(Int, Int)].head()
+    assert(r == ((3, 5))) // [ab] [cd][12] [e][!]
+  }
+}
