@@ -30,11 +30,31 @@ object Hashing {
   }
 
   /** MinHash signature of a shingle-array column: element i is
-    * min over shingles of xxhash64(i, shingle). One map-side pass,
-    * k hash evaluations per shingle. */
+    * min over shingles of xxhash64(i, shingle).
+    *
+    * WARNING — prefer `minhashSignatures` (the DataFrame form) in any
+    * hot path: as a single nested higher-order expression this cannot
+    * whole-stage-codegen, and if Catalyst's CollapseProject inlines
+    * the shingle expression the inner array is re-evaluated once per
+    * seed. Kept for point use/tests. */
   def minhashSignature(shingleArr: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+
+  /** MinHash signatures, scalable form: explode shingles and take k
+    * seeded-hash MIN aggregates — a codegen'd hash aggregate with
+    * map-side partial min, so each shingle is hashed exactly k times
+    * in one streaming pass and the shuffle carries only (id, k mins).
+    * Input: (idCol, shingleCol array). Output: (idCol, sig array<long>).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, shingleCol: String,
+      k: Int = 64): DataFrame = {
+    val ex = df.select(col(idCol), explode(col(shingleCol)).as("__s"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("__s"))).as(s"__h$i"))
+    ex.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /** LSH band keys for a minhash signature: hash of each band of
     * `rowsPerBand` consecutive signature entries, tagged with the band
@@ -45,8 +65,11 @@ object Hashing {
         xxhash64(b, array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")).as("key")))
 
   /** 64-bit SimHash of a word-array column: per-word xxhash64, sum
-    * ±1 per bit position over words, sign → bit. Pure expression —
-    * computed map-side. */
+    * ±1 per bit position over words, sign → bit.
+    *
+    * WARNING — prefer `simhashes` (the DataFrame form) in any hot
+    * path, for the same codegen/CollapseProject reasons as
+    * minhashSignature. */
   def simhash(wordsArr: Column): Column = {
     val hashes = transform(wordsArr, w => xxhash64(w))
     val bitSums = transform(sequence(lit(0), lit(63)), b =>
@@ -56,6 +79,22 @@ object Hashing {
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash, scalable form: explode words, hash each once, take 64
+    * ±1 bit-sum aggregates (codegen'd, map-side partial), assemble the
+    * sign bits into one int64. Shuffle carries (id, 64 ints).
+    * Input: (idCol, wordsCol array). Output: (idCol, sim long). */
+  def simhashes(df: DataFrame, idCol: String, wordsCol: String): DataFrame = {
+    val ex = df.select(col(idCol), explode(col(wordsCol)).as("__w"))
+      .select(col(idCol), xxhash64(col("__w")).as("__h"))
+    val sums = (0 until 64).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b"))
+    val bits = (0 until 64).map(b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    ex.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), bits.reduce(_ bitwiseOR _).as("sim"))
   }
 
   /** Hamming distance between two int64 columns. */

@@ -190,11 +190,16 @@ object RelationalQueries {
         |ORDER BY flag, status""".stripMargin),
 
     // --- exact interpolated quantiles ---
+    // One percentile aggregate with an ARRAY of percentages: the
+    // (unavoidably value-buffering) exact-quantile state is built and
+    // merged once, not once per quantile.
     "percentiles" -> QueryDef.sql(
-      (s, d) => Tables.lineitem(s, d).agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75")),
+      (s, d) => Tables.lineitem(s, d)
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75")),
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
