@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan audits (SURVEY.md §6): the properties that make these
+  * plans survive a 100x scale-up, asserted so regressions fail CI.
+  *
+  *  - projections/filters reach the parquet scan (column pruning +
+  *    predicate pushdown → row-group pruning at scale),
+  *  - dimension joins broadcast (no shuffle of the fact side),
+  *  - global top-k plans as TakeOrderedAndProject (per-partition
+  *    k-heaps, no full sort shuffle),
+  *  - aggregations are partial (map-side combine) before the exchange.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("load_project: column pruning reaches the scan") {
+    val p = plan("load_project")
+    assert(p.contains("ReadSchema"), p.take(500))
+    assert(!p.contains("l_extendedprice"), "scan should not read unused columns")
+  }
+
+  test("filter_select: predicates pushed to parquet") {
+    val p = plan("filter_select")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("LessThan(l_quantity"), p.take(800))
+  }
+
+  test("join5_broadcast: all dims broadcast, fact never shuffled for dims") {
+    val p = plan("join5_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // customer/supplier/nation/region joins must all be broadcast:
+    // the only SortMergeJoin allowed is lineitem-orders (fact-fact)
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"expected <=1 SortMergeJoin (fact-fact), got $smj")
+  }
+
+  test("sort_limit and topk_heavy: TakeOrderedAndProject, no global sort") {
+    assert(plan("sort_limit").contains("TakeOrderedAndProject"))
+    assert(plan("topk_heavy").contains("TakeOrderedAndProject"))
+  }
+
+  test("groupby_agg: partial aggregation before the exchange") {
+    val p = plan("groupby_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(800))
+  }
+
+  test("histogram1d: shuffle carries bins, not rows (partial agg on bin id)") {
+    val p = plan("histogram1d")
+    assert(p.contains("partial_count"))
+  }
+
+  test("range_assign: band table broadcast (big side streams)") {
+    assert(plan("range_assign").contains("BroadcastNestedLoopJoin") ||
+      plan("range_assign").contains("BroadcastHashJoin"))
+  }
+
+  test("group_quantity_join: dim quantity broadcast onto fact") {
+    assert(plan("group_quantity_join").contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen active in scan-side stages") {
+    // AQE only reveals the final (codegen-annotated) plan after THIS
+    // df's own plan instance has run (write/count would re-plan)
+    val df = SparkEntry.queries("groupby_agg")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Operator" in the plan string
+    assert(p.contains("*(") , p.take(800))
+  }
+}
