@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.{CosineSimilarity, DotProduct}
+
+/** graft's SparkSessionExtensions: registers the native vector
+  * expressions as SQL functions (`graft_dot`, `graft_cosine`) so they
+  * participate in whole-stage codegen everywhere — DataFrame API (via
+  * call_function), SQL text, and views.
+  *
+  * Wire up via `.withExtensions(new GraftExtensions)` (GraftSession
+  * does) or `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    f(args(0), args(1))
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
+      binary("graft_dot", DotProduct.apply) _),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      binary("graft_cosine", CosineSimilarity.apply) _))
+}

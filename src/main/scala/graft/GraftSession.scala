@@ -17,6 +17,7 @@ object GraftSession {
   /** Apply graft defaults to an existing builder (lets Verify/Bench
     * keep driver-imposed master/conf while inheriting ours). */
   def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

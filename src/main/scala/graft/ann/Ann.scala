@@ -21,7 +21,7 @@ object Ann {
     * ties broken by id for full determinism. */
   def bruteForceTopK(embs: DataFrame, id: String, vec: String,
       query: Column, k: Int, digits: Int = 6): DataFrame =
-    embs.withColumn("cos", VectorOps.roundAt(VectorOps.cosine(col(vec), query), digits))
+    embs.withColumn("cos", VectorOps.roundAt(VectorOps.cosineFast(col(vec), query), digits))
       .select(col(id), col("cos"))
       .orderBy(col("cos").desc, col(id))
       .limit(k)
@@ -44,7 +44,7 @@ object Ann {
   def lshBucket(vec: Column, dims: Int, table: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val hp = array((0 until dims).map(i => lit(hpComponent(table, p, i))): _*)
-      when(VectorOps.dot(vec, hp) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(VectorOps.dotFast(vec, hp) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

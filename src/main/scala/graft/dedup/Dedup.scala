@@ -99,7 +99,7 @@ object Dedup {
     // pair only the dot product remains (3x fewer vector passes, and
     // at scale the normed side can be written once and reused).
     val normed = embs.select(col(id), col(vec), col(blockKey))
-      .withColumn("nrm", VectorOps.norm(col(vec)))
+      .withColumn("nrm", sqrt(VectorOps.dotFast(col(vec), col(vec))))
     val a = normed.select(col(blockKey), col(id).as("id_a"),
       col(vec).as("v_a"), col("nrm").as("nrm_a"))
     val b = normed.select(col(blockKey), col(id).as("id_b"),
@@ -107,7 +107,7 @@ object Dedup {
     a.join(b, Seq(blockKey))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VectorOps.roundAt(
-        VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        VectorOps.dotFast(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col(blockKey), col("id_a"), col("id_b"), col("cos"))
   }
