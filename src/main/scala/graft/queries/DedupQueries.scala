@@ -54,6 +54,30 @@ object DedupQueries {
         |HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // --- keep-list materialization: drop the higher-id side of every
+    // near-dup pair (first-wins policy, the standard LSH-dedup keep
+    // rule; no iterative connected components needed) ---
+    "dedup_keeplist" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val drop = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJ = 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      shingleCte +
+        """
+        |, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |  HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        |ORDER BY doc_id""".stripMargin),
+
     // --- MinHash + LSH banding (64 sigs, 16 bands × 4 rows), exact
     // verify at 0.8 — rows-only; spec asserts == dedup_ngram_jaccard ---
     "dedup_minhash" -> QueryDef.rowsOnly(

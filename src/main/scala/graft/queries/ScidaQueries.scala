@@ -220,6 +220,34 @@ object ScidaQueries {
         |WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // --- arbitrary per-group kernel (arepo/dataset.py:1448
+    // map_group_operation): imperative Scala fold over each group's
+    // row iterator via groupByKey+mapGroups; oracle re-expresses the
+    // same reduction relationally. Sums stay exact (integer-valued
+    // doubles), so the kernel's fold order can't diverge from SQL. ---
+    "group_kernel" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+          .as[(Long, Double, Double)]
+        graft.operators.GroupKernel.perGroup(rows,
+          (r: (Long, Double, Double)) => r._1) { (k, it) =>
+          var n = 0L; var mn = Double.MaxValue; var mx = Double.MinValue
+          var sq = 0.0
+          it.foreach { case (_, p, q) =>
+            n += 1; if (p < mn) mn = p; if (p > mx) mx = p; sq += q
+          }
+          (k, n, math.floor((mx - mn) * 100.0 + 0.5) / 100.0, sq)
+        }.toDF("l_orderkey", "n_items", "price_span", "sum_qty")
+          .orderBy("l_orderkey")
+      },
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  floor((max(l_extendedprice) - min(l_extendedprice))*100 + 0.5)/100
+        |    AS price_span,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+
     // --- save + re-read (interface.py:273 save) — rows-only check ---
     "save_roundtrip" -> QueryDef.rowsOnly(
       (s, d) => {
