@@ -30,6 +30,17 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming ingest dedup: drop repeated ids within the watermark
+    * horizon — the stream-side twin of Dedup.exactGroups. State is one
+    * entry per id seen inside the watermark window; expired state is
+    * dropped by the engine, so memory is bounded by arrival rate ×
+    * horizon, not stream length. */
+  def streamingDedup(events: DataFrame, idCol: String,
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Evt(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, t_start: Long, t_end: Long,

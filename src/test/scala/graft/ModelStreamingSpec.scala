@@ -66,6 +66,24 @@ class ModelStreamingSpec extends SparkSpec {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingDedup(sdf, "doc_id")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    mem.addData((1L, t(0), "a"), (1L, t(1), "a-dup"), (2L, t(2), "b"))
+    q.processAllAvailable()
+    mem.addData((2L, t(3), "b-dup"), (3L, t(4), "c"))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup").select("doc_id")
+      .as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("streaming sessionize emits sessions after gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Evt]
