@@ -57,6 +57,26 @@ final class GraftDataset private (
   def withDerived(path: String)(f: GraftDataset => Column): GraftDataset =
     new GraftDataset(df, derived + (path -> f), units)
 
+  /** Rename-free alias — scida fields.py:531 (`add_alias`): the alias
+    * resolves to the target field (physical or derived) with zero
+    * copy; it's just another registry entry. */
+  def withAlias(alias: String, target: String): GraftDataset =
+    new GraftDataset(df, derived + (alias -> ((g: GraftDataset) => g.field(target))),
+      units ++ units.get(target).map(alias -> _))
+
+  /** Merge another dataset's fields (scida fields.py:224 merge).
+    * scida merges containers that share an implicit row index; Spark
+    * has no positional identity, so the row alignment must be an
+    * explicit key — the honest distributed equivalent (an equi-join
+    * on `on`, one shuffle, or none if both sides are co-partitioned).
+    * Derived fields and units union, `other` winning name clashes. */
+  def merge(other: GraftDataset, on: Seq[String]): GraftDataset =
+    new GraftDataset(df.join(other.df, on),
+      derived ++ other.fieldDerived, units ++ other.fieldUnits)
+
+  private[model] def fieldDerived: Map[String, GraftDataset => Column] = derived
+  private[model] def fieldUnits: Map[String, String] = units
+
   /** Attach a unit to a field — scida units mixin. */
   def withUnit(path: String, unit: String): GraftDataset =
     new GraftDataset(df, derived, units + (path -> unit))

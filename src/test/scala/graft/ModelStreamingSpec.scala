@@ -27,6 +27,20 @@ class ModelStreamingSpec extends SparkSpec {
     assert(ds.info.contains("gas/rho") && ds.info.contains("[g/cm^3]"))
   }
 
+  test("GraftDataset: aliases resolve to targets with units; merge joins on key") {
+    val ds = GraftDataset(Seq((1L, 2.0)).toDF("id", "mass"))
+      .withUnit("mass", "Msun")
+      .withAlias("m", "mass")
+    assert(ds.select("m").as[Double].head() == 2.0)
+    assert(ds.unitOf("m").contains("Msun"))
+    val other = GraftDataset(Seq((1L, 7.0)).toDF("id", "vel"))
+      .withUnit("vel", "km/s")
+    val merged = ds.merge(other, Seq("id"))
+    assert(merged.fieldNames.toSet.contains("vel"))
+    assert(merged.select("vel").as[Double].head() == 7.0)
+    assert(merged.unitOf("vel").contains("km/s"))
+  }
+
   test("GraftDataset: unit metadata survives select; flatten explodes arrays") {
     val ds = GraftDataset(Seq((1.0, Seq(1.0, 2.0, 3.0))).toDF("m", "pos"))
       .withUnit("m", "Msun")
