@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ann.Ann
+import graft.ann.{Ann, Ivf}
 import graft.sources.Tables
 
 /** Similarity-search family over `embeddings` (SURVEY.md §2). The
@@ -34,6 +34,19 @@ object AnnQueries {
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id != 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    // --- IVF ANN: k-means coarse quantizer (fixed seed), probe the 4
+    // nearest of 16 cells, exact re-rank — rows-only; spec asserts
+    // exhaustive-probe == brute force and pruning at small nProbe ---
+    "ann_ivf" -> QueryDef.rowsOnly(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val (indexed, centers) = Ivf.build(e.filter(col("vec_id") =!= 0),
+          "embedding", nCells = 16)
+        Ivf.topK(indexed, centers, "vec_id", "embedding", q, k = 10, nProbe = 4)
+      }),
 
     // --- random-hyperplane LSH bucketed ANN — rows-only; spec
     // measures recall vs brute force and candidate-set pruning ---

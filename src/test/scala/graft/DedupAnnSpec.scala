@@ -58,6 +58,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(nCand < embs.count(), "LSH should prune the candidate set")
   }
 
+  test("IVF ANN: exhaustive probe == brute force; small probe prunes") {
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val qCol = array(q.map(lit): _*)
+    val rest = embs.filter(col("vec_id") =!= 0)
+    val brute = Ann.bruteForceTopK(rest, "vec_id", "embedding", qCol, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val (indexed, centers) = graft.ann.Ivf.build(rest, "embedding", nCells = 8)
+    // probing every cell is exhaustive → identical to brute force
+    val full = graft.ann.Ivf.topK(indexed, centers, "vec_id", "embedding",
+      q, 10, nProbe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+    // probing 2/8 cells scans a strict subset
+    val probed = graft.ann.Ivf.topK(indexed, centers, "vec_id", "embedding",
+      q, 10, nProbe = 2)
+    assert(probed.count() == 10)
+    val cellSizes = indexed.groupBy("cell").count().count()
+    assert(cellSizes == 8, "quantizer should populate all cells")
+  }
+
   test("exact groups count every doc exactly once") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("n_docs")).as[Long].head() == docs.count())
