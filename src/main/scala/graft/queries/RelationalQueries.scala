@@ -205,6 +205,22 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem""".stripMargin),
 
+    // --- approximate sketches: the 100 TB-native forms of distinct
+    // count (HyperLogLog++) and quantiles (constant-size state, one
+    // pass, map-side mergeable) — rows-only (sketch algorithms differ
+    // across engines); accuracy pinned vs exact in SketchSpec ---
+    "sketch_distinct" -> QueryDef.rowsOnly(
+      (s, d) => Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"))),
+    "sketch_percentiles" -> QueryDef.rowsOnly(
+      (s, d) => Tables.lineitem(s, d)
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))
+        .select(
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"))),
+
     // --- heavy hitters (top-k by frequency) ---
     "topk_heavy" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d)
