@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Storage-layout levers for the 100 TB posture, proven on real plans:
+  * bucketing removes the join shuffle entirely, and snapshot
+  * partitioning prunes series reads at the source. */
+class ScaleLayoutSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    // managed tables land in the session's default warehouse dir and
+    // are dropped (with data) at the end
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides read pre-bucketed: the join itself needs no Exchange
+    // (the only exchange allowed is the post-join aggregation's — and
+    // even that is avoided since bucketing preserves the grouping key)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(1500)}")
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+  }
+
+  test("snapshot-partitioned series prunes non-matching snapshots at scan") {
+    val dir = Files.createTempDirectory("graft_series").toString
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    c.withColumn("snapshot", lit("s1"))
+      .unionByName(c.withColumn("snapshot", lit("s2")))
+      .write.mode("overwrite").partitionBy("snapshot").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("snapshot") === "s1")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("snapshot"), plan.take(1000))
+    // pruned scan reads exactly one snapshot's rows
+    assert(one.count() == c.count())
+  }
+}
