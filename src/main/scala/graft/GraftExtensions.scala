@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSimilarity, DotProduct}
+import graft.functions.expressions.{BandIndex, CosineSimilarity, DotProduct}
 
 /** graft's SparkSessionExtensions: registers the native vector
   * expressions as SQL functions (`graft_dot`, `graft_cosine`) so they
@@ -37,5 +37,12 @@ object GraftExtensions {
       binary("graft_dot", DotProduct.apply) _),
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
-      binary("graft_cosine", CosineSimilarity.apply) _))
+      binary("graft_cosine", CosineSimilarity.apply) _),
+    (FunctionIdentifier("graft_band_index"),
+      info("graft_band_index",
+        "graft_band_index(v, lows, highs) - binary-search index of the sorted half-open interval containing v"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, s"graft_band_index expects 3 arguments, got ${args.length}")
+        BandIndex(args(0), args(1), args(2))
+      }))
 }

@@ -24,6 +24,27 @@ object RangeAssign {
     df.join(broadcast(bandDf), value >= col("lo") && value < col("hi"))
   }
 
+  /** Join-free assignment for driver-known band tables (scida's halo
+    * offset catalogs are driver-side arrays too): bands are sorted and
+    * embedded as literal arrays, and `graft_band_index` (native
+    * codegen'd binary search, functions/expressions/BandIndex.scala)
+    * finds the containing interval in O(log B) per row — no join
+    * operator, no broadcast nested loop, scales to 1e6+ intervals.
+    * Bands must be non-overlapping. Rows outside every band are
+    * dropped (same inner-join semantics as `assign`). */
+  def assignSorted(df: DataFrame, value: Column,
+      bands: Seq[(Double, Double, String)]): DataFrame = {
+    val sorted = bands.sortBy(_._1)
+    val los = array(sorted.map(b => lit(b._1)): _*)
+    val his = array(sorted.map(b => lit(b._2)): _*)
+    val labels = array(sorted.map(b => lit(b._3)): _*)
+    df.withColumn("__bi",
+      call_function("graft_band_index", value.cast("double"), los, his))
+      .filter(col("__bi").isNotNull)
+      .withColumn("band", element_at(labels, col("__bi") + 1))
+      .drop("__bi")
+  }
+
   /** Scale path for many intervals: quantize `value` to a bucket of
     * `bucketWidth`, explode each band to its covered buckets, and
     * equi-join on bucket before the exact range check — turns the

@@ -112,9 +112,12 @@ object ScidaQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
-    // --- interval containment assignment (arepo/dataset.py:312 add_catalogIDs) ---
+    // --- interval containment assignment (arepo/dataset.py:312
+    // add_catalogIDs). Join-free: native binary-search band lookup
+    // (O(log B)/row, codegen'd); the oracle expresses the same
+    // semantics as a range join. ---
     "range_assign" -> QueryDef.sql(
-      (s, d) => RangeAssign.assign(
+      (s, d) => RangeAssign.assignSorted(
         Tables.customer(s, d), col("c_acctbal"),
         Seq((-10000.0, 0.0, "neg"), (0.0, 2500.0, "low"),
           (2500.0, 5000.0, "mid"), (5000.0, 7500.0, "high"),

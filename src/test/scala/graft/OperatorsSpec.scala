@@ -46,6 +46,13 @@ class OperatorsSpec extends SparkSpec {
       col("lo"), col("hi"), 7.0)
       .select("v", "band").as[(Double, String)].collect().toMap
     assert(b == r)
+    val s = RangeAssign.assignSorted(df, col("v"), bands)
+      .select("v", "band").as[(Double, String)].collect().toMap
+    assert(s == r)
+    // out-of-band values are dropped (inner-join semantics)
+    val out = RangeAssign.assignSorted(
+      Seq(-1000.0, 100.0).toDF("v"), col("v"), bands).count()
+    assert(out == 0)
   }
 
   test("asof join attaches latest prior (inclusive) payload per key") {

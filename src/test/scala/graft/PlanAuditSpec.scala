@@ -51,9 +51,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"))
   }
 
-  test("range_assign: band table broadcast (big side streams)") {
-    assert(plan("range_assign").contains("BroadcastNestedLoopJoin") ||
-      plan("range_assign").contains("BroadcastHashJoin"))
+  test("range_assign: join-free binary-search band lookup") {
+    val p = plan("range_assign")
+    assert(p.contains("graft_band_index"), p.take(800))
+    assert(!p.contains("Join"), "band assignment should not plan a join")
   }
 
   test("group_quantity_join: dim quantity broadcast onto fact") {
