@@ -35,6 +35,12 @@ object RangeAssign {
   def assignSorted(df: DataFrame, value: Column,
       bands: Seq[(Double, Double, String)]): DataFrame = {
     val sorted = bands.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((lo1, hi1, b1), (lo2, _, b2)) =>
+        require(hi1 <= lo2, s"overlapping bands: [$b1) ends at $hi1 after [$b2) starts at $lo2")
+        require(lo1 < hi1, s"empty band $b1")
+      case _ =>
+    }
     val los = array(sorted.map(b => lit(b._1)): _*)
     val his = array(sorted.map(b => lit(b._2)): _*)
     val labels = array(sorted.map(b => lit(b._3)): _*)

@@ -67,6 +67,21 @@ class OperatorsSpec extends SparkSpec {
       (1L, 5L, None), (2L, 10L, None)))
   }
 
+  test("sessionize agrees with Spark's builtin session_window on real events") {
+    val e = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val gapUs = 1800L * 1000 * 1000
+    val ours = Sessionize.sessions(e, "user_id", col("ts_us"), gapUs, col("value"))
+      .select("user_id", "n_events")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val builtin = e
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select("user_id", "n_events")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(ours == builtin)
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val df = Seq((1L, 0L, 1.0), (1L, 10L, 1.0), (1L, 200L, 1.0),
       (2L, 0L, 5.0)).toDF("user_id", "t", "value")
