@@ -25,7 +25,7 @@ object Ivf {
     val feat = embs.withColumn("__f", array_to_vector(col(vec).cast("array<double>")))
     val train = if (sampleFraction < 1.0) feat.sample(withReplacement = false, sampleFraction, seed) else feat
     val model = new KMeans()
-      .setK(nCells).setSeed(seed)
+      .setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__f").setPredictionCol("cell")
       .fit(train)
     (model.transform(feat).drop("__f"), model.clusterCenters.map(_.toArray))
