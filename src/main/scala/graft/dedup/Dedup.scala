@@ -85,8 +85,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         Hashing.hamming(col("sim_a"), col("sim_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // filter BEFORE the
+      .distinct() // distinct-shuffle: most candidates are discards
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (label,

@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.{ArrayType, Metadata, MetadataBuilder, StructF
 final class GraftDataset private (
     val df: DataFrame,
     derived: Map[String, GraftDataset => Column],
-    units: Map[String, String]) {
+    units: Map[String, String],
+    resolvePrefix: String = "") {
 
   private def sep = GraftDataset.NsSep
 
@@ -38,8 +39,15 @@ final class GraftDataset private (
   private def phys(path: String): String = path.replace("/", sep)
 
   /** Resolve a field: physical column, or derived expression
-    * (recursively over other fields). */
-  def field(path: String): Column = {
+    * (recursively over other fields). In a container view,
+    * `resolvePrefix` translates parent-absolute paths used inside
+    * derived-field closures (e.g. "gas/rho" inside a "gas" container
+    * resolves as "rho"). */
+  def field(path0: String): Column = {
+    val path =
+      if (resolvePrefix.nonEmpty && path0.startsWith(resolvePrefix))
+        path0.stripPrefix(resolvePrefix)
+      else path0
     val p = phys(path)
     if (df.columns.contains(p)) col(p)
     else derived.get(path) match {
@@ -55,14 +63,14 @@ final class GraftDataset private (
 
   /** Register a derived (virtual) field — scida fields.py:381. */
   def withDerived(path: String)(f: GraftDataset => Column): GraftDataset =
-    new GraftDataset(df, derived + (path -> f), units)
+    new GraftDataset(df, derived + (path -> f), units, resolvePrefix)
 
   /** Rename-free alias — scida fields.py:531 (`add_alias`): the alias
     * resolves to the target field (physical or derived) with zero
     * copy; it's just another registry entry. */
   def withAlias(alias: String, target: String): GraftDataset =
     new GraftDataset(df, derived + (alias -> ((g: GraftDataset) => g.field(target))),
-      units ++ units.get(target).map(alias -> _))
+      units ++ units.get(target).map(alias -> _), resolvePrefix)
 
   /** Merge another dataset's fields (scida fields.py:224 merge).
     * scida merges containers that share an implicit row index; Spark
@@ -72,14 +80,14 @@ final class GraftDataset private (
     * Derived fields and units union, `other` winning name clashes. */
   def merge(other: GraftDataset, on: Seq[String]): GraftDataset =
     new GraftDataset(df.join(other.df, on),
-      derived ++ other.fieldDerived, units ++ other.fieldUnits)
+      derived ++ other.fieldDerived, units ++ other.fieldUnits, resolvePrefix)
 
   private[model] def fieldDerived: Map[String, GraftDataset => Column] = derived
   private[model] def fieldUnits: Map[String, String] = units
 
   /** Attach a unit to a field — scida units mixin. */
   def withUnit(path: String, unit: String): GraftDataset =
-    new GraftDataset(df, derived, units + (path -> unit))
+    new GraftDataset(df, derived, units + (path -> unit), resolvePrefix)
 
   def unitOf(path: String): Option[String] = units.get(path)
 
@@ -88,7 +96,10 @@ final class GraftDataset private (
   def convert(path: String, toUnit: String, factor: Double): (Column, String) =
     (field(path) * lit(factor), toUnit)
 
-  /** Sub-container view — scida's `ds['PartType0']`. */
+  /** Sub-container view — scida's `ds['PartType0']`. Derived-field
+    * closures registered on the parent keep working: they reference
+    * parent-absolute paths ("gas/rho"), which the sub-dataset's
+    * `resolvePrefix` maps into the container's local names. */
   def container(ns: String): GraftDataset = {
     val prefix = phys(ns) + sep
     val cols = df.columns.filter(_.startsWith(prefix))
@@ -98,7 +109,7 @@ final class GraftDataset private (
     }
     new GraftDataset(sub, subDerived, units.collect {
       case (k, u) if k.startsWith(ns + "/") => k.stripPrefix(ns + "/") -> u
-    })
+    }, resolvePrefix = ns + "/")
   }
 
   /** Materialize selected fields (physical and derived) as a plain
@@ -117,11 +128,15 @@ final class GraftDataset private (
       .getOrElse(Metadata.empty)
 
   /** scida get_dataframe (fields.py:478): flatten array fields into
-    * scalar `_0.._k` columns so the result is purely tabular. */
+    * scalar `_0.._k` columns so the result is purely tabular. Every
+    * array field must have an explicit width — silently guessing
+    * would truncate wide arrays or null-pad narrow ones. */
   def flatten(arrayWidths: Map[String, Int] = Map.empty): DataFrame = {
     val cols = df.schema.fields.flatMap {
       case StructField(name, _: ArrayType, _, _) =>
-        val width = arrayWidths.getOrElse(name.replace(sep, "/"), 3)
+        val path = name.replace(sep, "/")
+        val width = arrayWidths.getOrElse(path, throw new IllegalArgumentException(
+          s"flatten: array field '$path' needs an explicit width in arrayWidths"))
         (0 until width).map(i => element_at(col(name), i + 1).as(s"${name}_$i"))
       case StructField(name, _, _, _) => Seq(col(name))
     }
@@ -145,7 +160,7 @@ object GraftDataset {
   val NsSep = "__"
 
   def apply(df: DataFrame): GraftDataset =
-    new GraftDataset(df, Map.empty, Map.empty)
+    new GraftDataset(df, Map.empty, Map.empty, "")
 
   /** Build from per-namespace frames: columns get `ns__` prefixes and
     * frames are column-concatenated via an index-free crossJoin-safe

@@ -33,9 +33,11 @@ object BinaryMeta {
     * signature (bytes in, meta out) is the real contract. */
   def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
-    val first = if (n > 0) bytes(0) & 0xFF else 0
+    // all fields derive from the byte LENGTH only: a first-byte rule
+    // would diverge from any SQL oracle using ascii() (codepoint, not
+    // UTF-8 byte) on non-ASCII payloads
     MediaMeta(id, n, n % 640, (n * 7) % 480,
-      (first % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "webp" })
+      (n % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "webp" })
   }
 
   /** Attach a fake binary payload column (UTF-8 bytes of a text

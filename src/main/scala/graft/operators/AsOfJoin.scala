@@ -36,7 +36,11 @@ object AsOfJoin {
     val unioned = l.withColumn("__p", lit(null).cast(r.schema("__p").dataType))
       .select((leftCols.map(col) :+ col("__side") :+ col("__p")): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(time), col("__side"))
+    // final tie-break on the payload's string form: multiple right
+    // rows at the same (key, time) would otherwise resolve by shuffle
+    // order — run-to-run nondeterminism the oracle hash would catch
+    val w = Window.partitionBy(key)
+      .orderBy(col(time), col("__side"), col("__p").cast("string"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)

@@ -35,10 +35,10 @@ object RangeAssign {
   def assignSorted(df: DataFrame, value: Column,
       bands: Seq[(Double, Double, String)]): DataFrame = {
     val sorted = bands.sortBy(_._1)
+    sorted.foreach { case (lo, hi, b) => require(lo < hi, s"empty band $b") }
     sorted.sliding(2).foreach {
-      case Seq((lo1, hi1, b1), (lo2, _, b2)) =>
+      case Seq((_, hi1, b1), (lo2, _, b2)) =>
         require(hi1 <= lo2, s"overlapping bands: [$b1) ends at $hi1 after [$b2) starts at $lo2")
-        require(lo1 < hi1, s"empty band $b1")
       case _ =>
     }
     val los = array(sorted.map(b => lit(b._1)): _*)

@@ -20,8 +20,10 @@ object Sessionize {
   /** Adds `session_seq` (1-based per-key session index). `time` must
     * be a monotonic numeric column (e.g. epoch nanos). */
   def withSessions(df: DataFrame, key: String, time: Column, gap: Long): DataFrame = {
+    // >= gap splits, matching Spark session_window's half-open window
+    // (an event exactly at last + gap starts a new session)
     val order = Window.partitionBy(key).orderBy(time)
-    val isNew = when(time - lag(time, 1).over(order) > gap, 1)
+    val isNew = when(time - lag(time, 1).over(order) >= gap, 1)
       .when(lag(time, 1).over(order).isNull, 1)
       .otherwise(0)
     val run = Window.partitionBy(key).orderBy(time)

@@ -49,7 +49,7 @@ object EventQueries {
       s"""WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
-        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapUs THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $GapUs THEN 1
         |         ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
@@ -69,12 +69,15 @@ object EventQueries {
     // one shuffle on user_id (operators.AsOfJoin). ---
     "asof_join" -> QueryDef.sql(
       (s, d) => {
-        val e = Tables.events(s, d)
+        // micros, not nanos: DuckDB's ASOF compares micro-truncated
+        // timestamps, so a same-micro later-nano view must count as
+        // "at or before" on the Spark side too
+        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
         val clicks = e.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts_ns")
+          .select("event_id", "user_id", "ts_us")
         val views = e.filter(col("event_type") === "view")
-          .select(col("user_id"), col("ts_ns"), col("value").as("view_value"))
-        AsOfJoin.asof(clicks, views, "user_id", "ts_ns", Seq("view_value"))
+          .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
+        AsOfJoin.asof(clicks, views, "user_id", "ts_us", Seq("view_value"))
           .filter(col("view_value").isNotNull)
           .select(col("event_id"), col("user_id"),
             roundAt(col("view_value"), 2).as("view_value"))

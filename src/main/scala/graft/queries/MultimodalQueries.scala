@@ -24,7 +24,7 @@ object MultimodalQueries {
         |  octet_length(encode(text)) AS n_bytes,
         |  octet_length(encode(text)) % 640 AS width,
         |  (octet_length(encode(text)) * 7) % 480 AS height,
-        |  CASE (ascii(substr(text, 1, 1)) % 3)
+        |  CASE (octet_length(encode(text)) % 3)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
         |FROM documents ORDER BY id""".stripMargin)
   )

@@ -29,7 +29,9 @@ object Tables {
     * and the timestamp for window functions. */
   private def normalizeEvents(df: DataFrame): DataFrame = df
     .withColumnRenamed("ts", "ts_ns")
-    .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast "long"))
+    // integer division — `/` would cast the ~1.7e18 nano value to
+    // double (> 2^53) and round, putting ~13% of timestamps off by 1us
+    .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

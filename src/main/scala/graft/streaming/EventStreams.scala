@@ -46,10 +46,15 @@ object EventStreams {
   final case class SessionOut(user_id: Long, t_start: Long, t_end: Long,
       n_events: Long, value_sum: Double)
 
-  /** True unbounded sessionization with per-key state + processing-
-    * time timeout: emits a session once `gapUs` elapses without new
-    * events for the key. State per active key is one 4-field record —
-    * bounded by concurrently-active users, not by history. */
+  /** True unbounded sessionization with per-key state. Sessions close
+    * two ways: (a) exactly, by event-time gap, when a later event for
+    * the key arrives >= gapUs after the last one; (b) approximately,
+    * by a processing-time timeout sized to the same gap, for keys that
+    * simply stop sending (an event-time-precise close would need a
+    * watermark; the timeout approximates it under the assumption that
+    * processing time roughly tracks event time for a live stream).
+    * State per active key is one 4-field record — bounded by
+    * concurrently-active users, not by history. */
   def sessionize(events: Dataset[Evt], gapUs: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -69,7 +74,7 @@ object EventStreams {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts_us - s.last <= gapUs =>
+                case Some(s) if e.ts_us - s.last < gapUs => // >= gap splits, like batch Sessionize
                   cur = Some(SessionState(s.start, e.ts_us, s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.start, s.last, s.n, s.sum)
@@ -79,7 +84,7 @@ object EventStreams {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration("30 seconds")
+            state.setTimeoutDuration(math.max(gapUs / 1000L, 1L)) // ms ≈ gap
             closed.reverseIterator
           }
       }

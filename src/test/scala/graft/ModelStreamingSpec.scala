@@ -58,8 +58,8 @@ class ModelStreamingSpec extends SparkSpec {
       .collect().sortBy(_.id)
     assert(meta(0).n_bytes == 5 && meta(1).n_bytes == 1)
     assert(meta(0).width == 5 && meta(0).height == 35)
-    // 'h' = 104, 104 % 3 = 2 → webp; 'x' = 120 % 3 = 0 → png
-    assert(meta(0).format == "webp" && meta(1).format == "png")
+    // 5 % 3 = 2 → webp; 1 % 3 = 1 → jpg
+    assert(meta(0).format == "webp" && meta(1).format == "jpg")
   }
 
   test("streaming windowed agg over MemoryStream matches batch result") {
