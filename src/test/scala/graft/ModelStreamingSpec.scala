@@ -18,6 +18,15 @@ class ModelStreamingSpec extends SparkSpec {
     assert(math.abs(r - math.sqrt(13.0)) < 1e-12)
   }
 
+  test("GraftDataset: derived fields registered on the parent resolve in container views") {
+    val ds = GraftDataset(Seq((2.0, 3.0)).toDF("gas__rho", "gas__u"))
+      .withDerived("gas/p")(g => g.field("gas/rho") * g.field("gas/u"))
+    val gas = ds.container("gas")
+    assert(gas.select("p").as[Double].head() == 6.0)
+    // still resolvable from the parent too
+    assert(ds.select("gas/p").as[Double].head() == 6.0)
+  }
+
   test("GraftDataset: container scoping and info") {
     val ds = GraftDataset(Seq((1.0, 2.0, 9L)).toDF("gas__rho", "gas__t", "star__id"))
       .withUnit("gas/rho", "g/cm^3")
