@@ -57,4 +57,64 @@ object BinaryMeta {
         rows.map(r => fakeDecode(r.id, r.payload))
       }
   }
+
+  final case class MediaFeature(id: Long, embedding: Array[Float])
+  final case class ResizedMeta(id: Long, width: Int, height: Int, n_bytes: Int)
+  final case class FrameSample(id: Long, frame_idx: Int, offset: Long)
+
+  /** STUB feature extractor — a deterministic hash-derived embedding
+    * standing in for a vision/audio encoder. The Spark contract is the
+    * real part: batch iteration, fixed-width float vector output ready
+    * for the ann/ operators downstream. */
+  def featureExtract(df: DataFrame, idCol: String, payloadCol: String,
+      dims: Int = 16): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val vec = Array.tabulate(dims) { i =>
+            var h = 1469598103934665603L ^ (i * 0x9E3779B97F4A7C15L)
+            r.payload.foreach { b => h ^= b; h *= 1099511628211L }
+            ((h >>> 11).toFloat / (1L << 53).toFloat) * 2f - 1f
+          }
+          MediaFeature(r.id, vec)
+        }
+      }
+  }
+
+  /** STUB resize — target dimensions pass through, "resized" byte
+    * count scales deterministically with the area ratio. */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): Dataset[ResizedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions(_.map { r =>
+        val m = fakeDecode(r.id, r.payload)
+        val ratio = (targetW.toLong * targetH).toDouble /
+          math.max(m.width.toLong * m.height, 1L)
+        ResizedMeta(r.id, targetW, targetH,
+          math.max((m.n_bytes * ratio).toInt, 1))
+      })
+  }
+
+  /** STUB frame sampler — one output row per sampled frame with a
+    * deterministic byte offset; flatMap shape (1 row in, N out) is the
+    * real contract for video frame extraction. */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      nFrames: Int): Dataset[FrameSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .flatMap { r =>
+        val n = r.payload.length
+        (0 until math.min(nFrames, math.max(n, 1))).map { i =>
+          FrameSample(r.id, i, (n.toLong * i) / math.max(nFrames, 1))
+        }
+      }
+  }
 }

@@ -71,6 +71,26 @@ class ModelStreamingSpec extends SparkSpec {
     assert(meta(0).format == "webp" && meta(1).format == "jpg")
   }
 
+  test("BinaryMeta: feature-extract, resize, frame-sample plumbing") {
+    val df = Seq((1L, "hello world"), (2L, "xy")).toDF("doc_id", "text")
+    val withBin = BinaryMeta.withPayload(df, "text")
+    val feats = BinaryMeta.featureExtract(withBin, "doc_id", "payload", dims = 8)
+      .collect().sortBy(_.id)
+    assert(feats.forall(_.embedding.length == 8))
+    assert(feats.forall(_.embedding.forall(v => v >= -1f && v <= 1f)))
+    // deterministic: same payload → same embedding
+    val feats2 = BinaryMeta.featureExtract(withBin, "doc_id", "payload", dims = 8)
+      .collect().sortBy(_.id)
+    assert(feats.zip(feats2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+    val rs = BinaryMeta.resize(withBin, "doc_id", "payload", 32, 32)
+      .collect().sortBy(_.id)
+    assert(rs.forall(r => r.width == 32 && r.height == 32 && r.n_bytes > 0))
+    val frames = BinaryMeta.frameSample(withBin, "doc_id", "payload", nFrames = 4)
+      .collect()
+    assert(frames.count(_.id == 1L) == 4)
+    assert(frames.filter(_.id == 1L).map(_.offset).toSeq == Seq(0L, 2L, 5L, 8L))
+  }
+
   test("streaming windowed agg over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
