@@ -96,6 +96,15 @@ final class GraftDataset private (
   def convert(path: String, toUnit: String, factor: Double): (Column, String) =
     (field(path) * lit(factor), toUnit)
 
+  /** Registry-backed conversion (pint `.to()`): looks up the field's
+    * recorded unit and the target in model.Units, validates the
+    * dimensions match, and emits a single literal multiply. */
+  def convertTo(path: String, toUnit: String): Column = {
+    val from = units.getOrElse(path, throw new IllegalArgumentException(
+      s"field $path has no recorded unit"))
+    field(path) * lit(Units.factor(from, toUnit))
+  }
+
   /** Sub-container view — scida's `ds['PartType0']`. Derived-field
     * closures registered on the parent keep working: they reference
     * parent-absolute paths ("gas/rho"), which the sub-dataset's

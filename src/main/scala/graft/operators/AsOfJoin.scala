@@ -20,6 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Backward as-of with a tolerance bound (pandas merge_asof
+    * semantics): like `asof`, but matches further than `tolerance`
+    * time units in the past are nulled out. Implemented by carrying
+    * the right row's time through the window and filtering after —
+    * same single shuffle. */
+  def asofTolerance(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String], tolerance: Long): DataFrame = {
+    val rtCol = "__rt"
+    val r = right.withColumn(rtCol, col(time))
+    val joined = asof(left, r, key, time, payload :+ rtCol)
+    val within = col(rtCol).isNotNull && (col(time) - col(rtCol) <= tolerance)
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(within, col(p)))
+    }.drop(rtCol)
+  }
+
+  /** Forward as-of: earliest right row with time >= left.time. Same
+    * composition on negated time (order flips, bounds flip). */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String]): DataFrame = {
+    val neg = "__negt"
+    val l = left.withColumn(neg, -col(time))
+    val r = right.withColumn(neg, -col(time))
+    asof(l, r, key, neg, payload).drop(neg)
+  }
+
   /** @param left  rows to enrich; must contain `key` and `time`
     * @param right rows providing `payload` columns; must contain
     *              `key`, `time`, and `payload`

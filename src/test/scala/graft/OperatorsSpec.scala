@@ -82,6 +82,32 @@ class OperatorsSpec extends SparkSpec {
     assert(ours == builtin)
   }
 
+  test("asof tolerance nulls stale matches; forward as-of looks ahead") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "old"), (1L, 98L, "recent")).toDF("k", "t", "p")
+    val tol = AsOfJoin.asofTolerance(left, right, "k", "t", Seq("p"), tolerance = 5L)
+      .select("p").as[Option[String]].head()
+    assert(tol.contains("recent"))
+    val tight = AsOfJoin.asofTolerance(left, right, "k", "t", Seq("p"), tolerance = 1L)
+      .select("p").as[Option[String]].head()
+    assert(tight.isEmpty) // nearest match is 2 units away > tolerance 1
+    val fwd = AsOfJoin.asofForward(
+      Seq((1L, 50L)).toDF("k", "t"), right, "k", "t", Seq("p"))
+      .select("p").as[Option[String]].head()
+    assert(fwd.contains("recent")) // earliest right at t >= 50 is t=98
+  }
+
+  test("unit registry converts within a dimension and rejects mismatches") {
+    val ds = graft.model.GraftDataset(Seq(2.0).toDF("d"))
+      .withUnit("d", "kpc")
+    val inPc = Seq(2.0).toDF("d")
+      .select(ds.convertTo("d", "pc").as("pc")).as[Double].head()
+    assert(math.abs(inPc - 2000.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.model.Units.factor("kpc", "Msun")
+    }
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val df = Seq((1L, 0L, 1.0), (1L, 10L, 1.0), (1L, 200L, 1.0),
       (2L, 0L, 5.0)).toDF("user_id", "t", "value")
