@@ -27,22 +27,40 @@ object Dedup {
     docs.select(col(id), Hashing.shingles(col(text), k).as("sh"))
 
   /** All pairs with shingle-set Jaccard >= minJ (rounded to 6 dp for
-    * engine-stable thresholding). The join key is the shingle, so the
-    * shuffle is O(total shingles) and pairs only materialize for docs
-    * that actually share a shingle. */
+    * engine-stable thresholding).
+    *
+    * Prefix filtering (PPJoin family, Xiao et al., WWW'08): order each
+    * doc's shingles RAREST-FIRST (ascending global document frequency)
+    * and index only the first n - ceil(minJ*n) + 1 — two sets with
+    * J >= minJ MUST share a token inside both prefixes. Because
+    * prefixes hold the rarest tokens, the candidate join's fan-out per
+    * key is minimal (ordering by anything else — e.g. a hash — puts
+    * globally hot tokens in every prefix and goes quadratic). Costs
+    * one extra df-count aggregation + join over the shingle stream;
+    * exact Jaccard verifies candidates from the full arrays. Output is
+    * identical to the naive all-shingles join (which the DuckDB oracle
+    * uses). */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       k: Int, minJ: Double): DataFrame = {
     val sh = withShingles(docs, id, text, k)
-      .select(col(id), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
-    val a = sh.toDF("doc_a", "n_a", "shingle")
-    val b = sh.toDF("doc_b", "n_b", "shingle")
-    a.join(b, Seq("shingle"))
+    val ex = sh.select(col(id), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix = rarest floor((1-t)*n)+1 tokens of each doc
+    val ranked = ex.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+          .orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= (col("n") - ceil(col("n") * lit(minJ)) + 1))
+      .select(col(id), col("s"))
+    val a = ranked.toDF("doc_a", "s")
+    val b = ranked.toDF("doc_b", "s")
+    val cand = a.join(b, Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("j", VectorOps.roundAt(
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")), 6))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sh.toDF("doc_a", "sh_a")
+    val sb = sh.toDF("doc_b", "sh_b")
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("j", VectorOps.roundAt(Hashing.jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("j") >= minJ)
       .select("doc_a", "doc_b", "j")
   }
