@@ -82,6 +82,16 @@ class OperatorsSpec extends SparkSpec {
     assert(ours == builtin)
   }
 
+  test("series loader unions snapshots with tags (DatasetSeries)") {
+    val s = graft.sources.Tables.series(spark,
+      Seq("t0" -> "/root/testdata/sf0.001", "t1" -> "/root/testdata/sf0.01"),
+      "region")
+    assert(s.columns.contains("snapshot"))
+    val counts = s.groupBy("snapshot").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("t0", "t1") && counts.values.forall(_ > 0))
+  }
+
   test("asof tolerance nulls stale matches; forward as-of looks ahead") {
     val left = Seq((1L, 100L)).toDF("k", "t")
     val right = Seq((1L, 10L, "old"), (1L, 98L, "recent")).toDF("k", "t", "p")
