@@ -89,6 +89,39 @@ object ScidaQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY bin_x, bin_y ORDER BY bin_x, bin_y""".stripMargin),
 
+    // --- weighted 1D histogram (per-bin weight sums) ---
+    "histogram_weighted" -> QueryDef.sql(
+      (s, d) => Histograms.hist1dWeighted(Tables.lineitem(s, d),
+        col("l_extendedprice"), 5000.0, col("l_quantity"))
+        .select(col("bin"), col("n"),
+          floor(col("wsum") * 100 + 0.5) / 100 as "wsum")
+        .orderBy("bin"),
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  floor(sum(l_quantity)*100 + 0.5)/100 AS wsum
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // --- per-group offset table (arepo/dataset.py:555-663: lengths →
+    // cumulative offsets, the layout scida's halo catalogs key on).
+    // The global window runs on the POST-aggregation table (one row
+    // per group) — at 100 TB that's the catalog (1e6-1e7 rows), which
+    // is single-executor sized by construction, same assumption scida
+    // makes for its offset arrays. ---
+    "group_offsets" -> QueryDef.sql(
+      (s, d) => {
+        val w = Window.orderBy("l_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("len"))
+          .withColumn("offset", sum(col("len")).over(w) - col("len"))
+          .orderBy("l_orderkey")
+      },
+      """SELECT l_orderkey, len,
+        |  sum(len) OVER (ORDER BY l_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS offset
+        |FROM (SELECT l_orderkey, count(*) AS len FROM lineitem GROUP BY 1)
+        |ORDER BY l_orderkey""".stripMargin),
+
     // --- per-group cardinalities (arepo/dataset.py:555 get_grouplengths) ---
     "group_lengths" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d)
