@@ -61,6 +61,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("group_quantity_join").contains("BroadcastHashJoin"))
   }
 
+  test("asof_join: one hash exchange on the key (plus the output sort)") {
+    val p = plan("asof_join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"as-of should shuffle once on user_id, got $hashEx:\n${p.take(1200)}")
+  }
+
+  test("sessionize: both windows share one exchange on the key") {
+    val p = plan("sessionize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    // lag-window, cumsum-window, and the session groupBy all key on
+    // user_id — Catalyst must reuse a single hash exchange
+    assert(hashEx == 1, s"sessionize should shuffle once, got $hashEx")
+  }
+
   test("whole-stage codegen active in scan-side stages") {
     // AQE only reveals the final (codegen-annotated) plan after THIS
     // df's own plan instance has run (write/count would re-plan)
