@@ -78,6 +78,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(cellSizes == 8, "quantizer should populate all cells")
   }
 
+  test("embcos blocks compose with LSH buckets when no labels exist") {
+    // the general 100TB path: block key = deterministic LSH bucket
+    val bucketed = embs.withColumn("bucket",
+      Ann.lshBucket(col("embedding"), 64, table = 0, planes = 6))
+    val pairs = Dedup.embCosPairs(bucketed, "vec_id", "embedding", "bucket", 0.3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0.3))
+    // blocking prunes: way fewer comparisons than the full cross join
+    val buckets = bucketed.groupBy("bucket").count()
+      .as[(Long, Long)].collect()
+    val blockedPairs = buckets.map { case (_, n) => n * (n - 1) / 2 }.sum
+    val allPairs = embs.count() * (embs.count() - 1) / 2
+    assert(blockedPairs < allPairs / 4,
+      s"blocking should prune: $blockedPairs vs $allPairs")
+  }
+
   test("exact groups count every doc exactly once") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("n_docs")).as[Long].head() == docs.count())
