@@ -24,14 +24,18 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A failed query reports the 1e9 sentinel, not its (near-zero)
+    // wall time — a broken query must never look like a speedup.
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        1e9
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     exec("groupby_agg") // warmup: JVM + codegen + parquet footer caches

@@ -41,8 +41,21 @@ object Dedup {
     * identical to the naive all-shingles join (which the DuckDB oracle
     * uses). */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
-      k: Int, minJ: Double): DataFrame = {
-    val sh = withShingles(docs, id, text, k)
+      k: Int, minJ: Double): DataFrame =
+    ngramJaccardPairsFromShingles(persisted(withShingles(docs, id, text, k)), id, minJ)
+
+  /** The shingle frame is scanned three times downstream (prefix
+    * ranking, verify side a, verify side b) — materialize it once
+    * instead of re-splitting/re-shingling the corpus per scan. At
+    * 100 TB the analogue is writing the signature table out once and
+    * reusing it; locally MEMORY_AND_DISK caching is the same move. */
+  private def persisted(sh: DataFrame): DataFrame =
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Pair generation over a precomputed (id, sh) shingle frame —
+    * shared by the threshold join and keep-list materialization so the
+    * expensive shingling runs once. */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, id: String, minJ: Double): DataFrame = {
     val ex = sh.select(col(id), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix = rarest floor((1-t)*n)+1 tokens of each doc
@@ -73,7 +86,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: String, text: String, k: Int,
       sigLen: Int, bands: Int, minJ: Double): DataFrame = {
     require(sigLen % bands == 0, "bands must divide signature length")
-    val sh = withShingles(docs, id, text, k)
+    val sh = persisted(withShingles(docs, id, text, k))
     val sig = Hashing.minhashSignatures(sh, id, "sh", sigLen)
       .withColumn("bk", Hashing.bandKeys(col("sig"), bands, sigLen / bands))
     val cand = Hashing.lshCandidates(sig.select(col(id), col("bk")), id, "bk")

@@ -30,11 +30,6 @@ object TextOps {
   def charsPerWsToken(text: Column): Column =
     length(text).cast("double") / wsTokenCount(text)
 
-  /** Count how many of `dict` words occur in the text (presence, not
-    * frequency — robust to repetition spam). */
-  def dictHits(ws: Column, dict: Seq[String]): Column =
-    dict.map(w => array_contains(ws, w).cast("int")).reduce(_ + _)
-
   /** Tiny per-language stopword dictionaries for heuristic language
     * ID. Deterministic and engine-portable (plain array_contains). */
   val langDicts: Seq[(String, Seq[String])] = Seq(
@@ -45,26 +40,39 @@ object TextOps {
     "zh" -> Seq("de5", "shi4", "le5", "zai4"))
 
   /** Predicted language = dict with the most distinct stopword hits;
-    * ties and zero hits resolve by dict order (en first) / "und". */
-  def langId(text: Column): Column = {
-    val ws = words(lower(text))
-    val scored = langDicts.map { case (lang, dict) => (lang, dictHits(ws, dict)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
-      when(score === best && score > 0, lit(lang)).otherwise(els)
-    }
-    pick
-  }
+    * ties and zero hits resolve by dict order (en first) / "und".
+    *
+    * The token split is bound ONCE as the lambda variable of a
+    * single-element `transform` — a projection barrier. Referencing it
+    * as a named column instead lets CollapseProject inline the
+    * `split()` subtree into all ~20 array_contains terms (measured
+    * 2.3× slower; same trap SURVEY §6 documents for MinHash). The
+    * lambda body is interpreted, but its per-term cost is an array
+    * probe, not a regex split. */
+  def langId(text: Column): Column =
+    element_at(transform(array(words(lower(text))), ws => {
+      // dict hits against the pre-matched dictionary-word set: one
+      // array_intersect per language over the bound token array
+      val scored = langDicts.map { case (lang, dict) =>
+        (lang, size(array_intersect(ws, array(dict.map(lit(_)): _*))))
+      }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
+        when(score === best && score > 0, lit(lang)).otherwise(els)
+      }
+    }), 1)
 
   /** English stopword ratio — quality signal: natural text has a
     * stable stopword density; boilerplate/code/spam doesn't. */
   val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  def stopwordRatio(text: Column): Column = {
-    val ws = words(lower(text))
-    val hits = enStopwords.map(w =>
-      size(filter(ws, x => x === lit(w)))).reduce(_ + _)
-    hits.cast("double") / size(ws)
-  }
+  def stopwordRatio(text: Column): Column =
+    // same single-split lambda barrier as langId: 9 consumers of the
+    // token array must not each re-run the split
+    element_at(transform(array(words(lower(text))), ws => {
+      val hits = enStopwords.map(w =>
+        size(filter(ws, x => x === lit(w)))).reduce(_ + _)
+      hits.cast("double") / size(ws)
+    }), 1)
 
   /** Punctuation+digit character ratio. */
   def punctRatio(text: Column): Column =

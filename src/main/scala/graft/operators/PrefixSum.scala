@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-out exclusive prefix sum (the offset-table primitive behind
+  * scida's `get_groupoffsets`, reference: src/scida/customs/arepo/
+  * dataset.py:592).
+  *
+  * A single `Window.orderBy(key)` computes this but serializes the
+  * whole table into ONE task ("WindowExec: No Partition Defined").
+  * Here the classic two-phase scan: range-bucket rows by key (quantile
+  * boundaries → native binary-search band lookup, no join), cumulative
+  * sum WITHIN each bucket in parallel, then add each bucket's
+  * broadcast prefix (sum of all earlier buckets) back map-side. The
+  * only non-parallel step touches the `buckets`-row totals table.
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = exclusive prefix sum of `len` in ascending
+    * numeric-`key` order. Keys must be unique (one row per group, as
+    * in an offset catalog). */
+  def exclusive(dfIn: DataFrame, key: String, len: Column, buckets: Int,
+      outCol: String = "offset"): DataFrame = {
+    // the catalog feeds three scans (quantile sampling, in-bucket
+    // cumsum, bucket totals) — materialize it once; at 100 TB this is
+    // "write the offset catalog out once", the move scida also makes
+    val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // quantile boundaries: a tiny driver-side array (same role as
+    // RangePartitioner's sample), deterministic given the data
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat
+      .approxQuantile(key, probs, 0.001).distinct.sorted
+    val bucketed =
+      if (bounds.isEmpty) df.withColumn("__b", lit(0))
+      else {
+        val los = array((Double.MinValue +: bounds).map(lit(_)): _*)
+        val his = array((bounds :+ Double.MaxValue).map(lit(_)): _*)
+        df.withColumn("__b",
+          call_function("graft_band_index", col(key).cast("double"), los, his))
+      }
+    val inBucket = Window.partitionBy("__b").orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.withColumn("__cum", sum(len).over(inBucket))
+    // per-bucket totals (buckets rows) → exclusive bucket prefix via a
+    // tiny triangular self-join; no global window anywhere
+    val totals = bucketed.groupBy("__b").agg(sum(len).as("__tot"))
+    val prefix = totals.select(col("__b"), col("__tot"))
+      .as("a")
+      .join(totals.select(col("__b").as("__b2"), col("__tot").as("__tot2")),
+        col("__b2") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(coalesce(sum(col("__tot2")), lit(0L)).as("__pre"))
+    cum.join(broadcast(prefix), Seq("__b"))
+      .withColumn(outCol, col("__pre") + col("__cum") - len)
+      .drop("__b", "__cum", "__pre")
+  }
+}

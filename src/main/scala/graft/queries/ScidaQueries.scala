@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Histograms, RangeAssign, Spatial}
+import graft.operators.{Histograms, PrefixSum, RangeAssign, Spatial}
 import graft.sources.Tables
 
 /** Queries that re-express scida's own capability surface
@@ -103,22 +103,21 @@ object ScidaQueries {
 
     // --- per-group offset table (arepo/dataset.py:555-663: lengths →
     // cumulative offsets, the layout scida's halo catalogs key on).
-    // The global window runs on the POST-aggregation table (one row
-    // per group) — at 100 TB that's the catalog (1e6-1e7 rows), which
-    // is single-executor sized by construction, same assumption scida
-    // makes for its offset arrays. ---
+    // Two-phase parallel prefix sum (operators.PrefixSum): bucketed
+    // in-partition cumsum + broadcast bucket prefixes — no global
+    // single-task window even at 1e8+ groups. Oracle offset is CAST
+    // to BIGINT: DuckDB's integer SUM yields HUGEINT, which would
+    // hash-mismatch Spark's int64 despite equal values. ---
     "group_offsets" -> QueryDef.sql(
-      (s, d) => {
-        val w = Window.orderBy("l_orderkey")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      (s, d) => PrefixSum.exclusive(
         Tables.lineitem(s, d)
-          .groupBy("l_orderkey").agg(count(lit(1)).as("len"))
-          .withColumn("offset", sum(col("len")).over(w) - col("len"))
-          .orderBy("l_orderkey")
-      },
+          .groupBy("l_orderkey").agg(count(lit(1)).as("len")),
+        "l_orderkey", col("len"), buckets = 32)
+        .select("l_orderkey", "len", "offset")
+        .orderBy("l_orderkey"),
       """SELECT l_orderkey, len,
-        |  sum(len) OVER (ORDER BY l_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS offset
+        |  CAST(sum(len) OVER (ORDER BY l_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS BIGINT) AS offset
         |FROM (SELECT l_orderkey, count(*) AS len FROM lineitem GROUP BY 1)
         |ORDER BY l_orderkey""".stripMargin),
 
@@ -284,16 +283,27 @@ object ScidaQueries {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
 
-    // --- save + re-read (interface.py:273 save) — rows-only check ---
-    "save_roundtrip" -> QueryDef.rowsOnly(
+    // --- save + re-read (interface.py:273 save). Oracle-checked: the
+    // DuckDB side computes the same aggregate from the ORIGINAL table,
+    // so a lossy roundtrip would hash-mismatch. Revenue is stored as
+    // integer cents (floor(x*100+0.5), the engine-portable rounding)
+    // so the checksum is an exact integer sum — no FP association
+    // noise between engines. ---
+    "save_roundtrip" -> QueryDef.sql(
       (s, d) => {
         val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip"
         Tables.lineitem(s, d)
-          .withColumn("revenue", round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2))
-          .select("l_orderkey", "l_linenumber", "revenue")
+          .withColumn("revenue_cents",
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100.0 + 0.5)
+              .cast("long"))
+          .select("l_orderkey", "l_linenumber", "revenue_cents")
           .write.mode("overwrite").parquet(out)
         s.read.parquet(out)
-          .agg(count(lit(1)).as("n"), round(sum("revenue"), 2).as("sum_revenue"))
-      })
+          .agg(count(lit(1)).as("n"), sum("revenue_cents").as("sum_revenue_cents"))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS sum_revenue_cents
+        |FROM lineitem""".stripMargin)
   )
 }

@@ -75,6 +75,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"sessionize should shuffle once, got $hashEx")
   }
 
+  test("group_offsets: two-phase prefix sum, no unpartitioned window") {
+    val p = plan("group_offsets")
+    // every Window must be partitioned (on the range bucket) — a
+    // global Window.orderBy serializes the catalog into one task
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p.take(800))
+    windows.foreach(w =>
+      assert(!w.contains("No Partition") && w.contains("__b"),
+        s"window must partition on the range bucket: $w"))
+    // bucket prefixes join back via broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("whole-stage codegen active in scan-side stages") {
     // AQE only reveals the final (codegen-annotated) plan after THIS
     // df's own plan instance has run (write/count would re-plan)
