@@ -48,11 +48,24 @@ object ChunkedHdf5 {
     } else numbered.sortBy(_._1).map(_._2)
   }
 
+  /** Per-JVM memoized chunk metadata — scida memoizes exactly this in
+    * its loader cache file (io/_base.py ChunkedHDF5Loader): planning a
+    * scan of an N-chunk snapshot must open each file ONCE, not once
+    * per (schema, rowCount, attrs) consumer. Keyed by
+    * (canonical path, mtime, size) so rewritten fixtures re-parse. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Hdf5Reader.H5File]()
+
+  def metadata(file: String): Hdf5Reader.H5File = {
+    val f = new File(file)
+    val key = (f.getCanonicalPath, f.lastModified(), f.length())
+    metaCache.computeIfAbsent(key, _ => Hdf5Reader.open(file))
+  }
+
   /** Row count of `group` in one chunk, from dataspace metadata only. */
   def rowCount(file: String, group: String): Long = {
-    val cols = Hdf5Table.columnsFor(file, group)
-    val byDs = cols.map(_.dsPath).distinct
-    val f = Hdf5Reader.open(file)
+    val f = metadata(file)
+    val byDs = Hdf5Table.columnsFromFile(f, group, file).map(_.dsPath).distinct
     val rows = f.datasets.filter(d => byDs.contains(d.path)).map(_.rows).distinct
     require(rows.size == 1,
       s"datasets under '$group' in $file disagree on row count: $rows")
@@ -62,13 +75,13 @@ object ChunkedHdf5 {
   /** All non-root group paths of the first chunk (namespace listing —
     * scida walk_hdf5file `tree["groups"]`). */
   def groups(path: String, fileprefix: String = ""): Seq[String] =
-    Hdf5Reader.open(discoverChunks(path, fileprefix).head).groups
+    metadata(discoverChunks(path, fileprefix).head).groups
 
   /** Attributes of the first chunk: object path -> name -> value
     * (scida reads snapshot metadata from chunk 0 the same way,
     * io/_base.py:366 load_metadata). */
   def attrs(path: String, fileprefix: String = ""): Map[String, Map[String, Any]] =
-    Hdf5Reader.open(discoverChunks(path, fileprefix).head).attrs
+    metadata(discoverChunks(path, fileprefix).head).attrs
 
   /** Load one particle-type group of a (possibly multi-file) snapshot
     * as a DataFrame via the graft-hdf5 DataSource V2. */

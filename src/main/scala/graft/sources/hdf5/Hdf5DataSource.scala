@@ -66,7 +66,7 @@ object Hdf5Table {
 
   /** Datasets under `group` in the first chunk define the table. */
   def columnsFor(firstChunk: String, group: String): Seq[Col] =
-    columnsFromFile(Hdf5Reader.open(firstChunk), group, firstChunk)
+    columnsFromFile(ChunkedHdf5.metadata(firstChunk), group, firstChunk)
 
   def columnsFromFile(f: Hdf5Reader.H5File, group: String, label: String): Seq[Col] = {
     val prefix = if (group == "/" || group.isEmpty) "/" else s"/${group.stripPrefix("/")}/"
@@ -153,7 +153,7 @@ final class Hdf5ReaderFactory(group: String, colNames: Array[String])
 final class Hdf5PartitionReader(p: Hdf5Partition, group: String,
     colNames: Array[String]) extends PartitionReader[InternalRow] {
 
-  private val h5 = Hdf5Reader.open(p.file)
+  private val h5 = ChunkedHdf5.metadata(p.file)
   private val byName =
     Hdf5Table.columnsFromFile(h5, group, p.file).map(c => c.name -> c).toMap
   private val dsMeta = h5.datasets.map(d => d.path -> d).toMap
@@ -179,7 +179,11 @@ final class Hdf5PartitionReader(p: Hdf5Partition, group: String,
         case (0, 1, false) => (i: Int) => (buf.get(i * w + comp) & 0xff).toShort
         case (0, 2, false) => (i: Int) => buf.getShort((i * w + comp) * 2) & 0xffff
         case (0, 4, false) => (i: Int) => buf.getInt((i * w + comp) * 4) & 0xffffffffL
-        case (0, 8, false) => (i: Int) => buf.getLong((i * w + comp) * 8)
+        case (0, 8, false) => (i: Int) => {
+          val v = buf.getLong((i * w + comp) * 8)
+          if (v < 0) sys.error(s"u8 value >= 2^63 in ${c.dsPath} does not fit LongType")
+          v
+        }
         case (1, 4, _) => (i: Int) => buf.getFloat((i * w + comp) * 4)
         case (1, 8, _) => (i: Int) => buf.getDouble((i * w + comp) * 8)
         case t => sys.error(s"unreachable dtype $t")

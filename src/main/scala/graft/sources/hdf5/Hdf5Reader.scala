@@ -64,7 +64,12 @@ object Hdf5Reader {
     }
   }
 
+  /** Count of full metadata walks (file opens) — lets specs assert the
+    * planner's metadata pass opens each chunk exactly once. */
+  val openCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   def open(path: String): H5File = {
+    openCount.incrementAndGet()
     val raf = new RandomAccessFile(path, "r")
     try {
       val in = new In(raf)
@@ -247,13 +252,12 @@ object Hdf5Reader {
     if (ver == 1) { b.getShort(); b.getInt() } // reserved
     (0 until n).map { _ =>
       val id = b.getShort() & 0xffff
-      val nameLen = if (ver == 1 || id >= 256) b.getShort() & 0xffff else { b.getShort(); 0 }
-      val hasName = ver == 1 || id >= 256
-      val realNameLen = if (ver == 1) nameLen else if (id >= 256) nameLen else 0
+      // v2 messages omit the name-length field entirely for ids < 256
+      val nameLen = if (ver == 1 || id >= 256) b.getShort() & 0xffff else 0
       b.getShort() // flags
       val nvals = b.getShort() & 0xffff
-      if (hasName && realNameLen > 0) {
-        val skip = if (ver == 1) (realNameLen + 7) / 8 * 8 else realNameLen
+      if (nameLen > 0) {
+        val skip = if (ver == 1) (nameLen + 7) / 8 * 8 else nameLen
         b.position(b.position() + skip)
       }
       b.position(b.position() + 4 * nvals)
@@ -294,9 +298,15 @@ object Hdf5Reader {
         val s = new Array[Byte](dt.size); b.get(s)
         new String(s.takeWhile(_ != 0), "UTF-8")
     }
+    // typed arrays (not Array[Any]) so consumers can cast to
+    // Array[Long]/Array[Double]/Array[String] directly
     val v: Any =
       if (shape.isEmpty) one()
-      else Array.fill(n)(one()) // 1D (or flattened) attr array
+      else dt.clazz match {
+        case 0 => Array.fill(n)(one().asInstanceOf[Long])
+        case 1 => Array.fill(n)(one().asInstanceOf[Double])
+        case 3 => Array.fill(n)(one().asInstanceOf[String])
+      }
     (name, v)
   }
 
@@ -477,12 +487,17 @@ object Hdf5Reader {
       val chunkEnd = startRow + chunkRows
       if (chunkEnd > rowStart && startRow < rowEnd) {
         var raw = { val a = new Array[Byte](csize.toInt); in.raf.seek(addr); in.raf.readFully(a); a }
-        // apply filters in reverse pipeline order
-        ch.filters.reverse.foreach {
-          case 1 => raw = inflate(raw, (chunkRows * rowBytes).toInt)
-          case 2 if (mask & 0x2) == 0 => raw = unshuffle(raw, d.dtype.size)
-          case 2 => ()
-          case f => sys.error(s"filter $f not supported for ${d.path}")
+        // apply filters in reverse pipeline order; libhdf5 sets bit
+        // <pipeline index> of the mask when an optional filter was
+        // skipped for this chunk (e.g. deflate on incompressible data)
+        ch.filters.zipWithIndex.reverse.foreach { case (f, idx) =>
+          val skipped = ((mask >> idx) & 1) != 0
+          f match {
+            case _ if skipped => ()
+            case 1 => raw = inflate(raw, (chunkRows * rowBytes).toInt)
+            case 2 => raw = unshuffle(raw, d.dtype.size)
+            case other => sys.error(s"filter $other not supported for ${d.path}")
+          }
         }
         val from = math.max(rowStart, startRow)
         val until = math.min(rowEnd, chunkEnd)

@@ -245,7 +245,8 @@ object Hdf5Writer {
     }
     putKey(nChunks.toLong * c.chunkRows, 0) // terminator key
     // layout v3 class 2 (chunked): dimensionality incl. element dim
-    val layout = ByteBuffer.allocate(2 + 8 + (rank + 1) * 4).order(ByteOrder.LITTLE_ENDIAN)
+    // 3 header bytes (version, layout class, dimensionality)
+    val layout = ByteBuffer.allocate(3 + 8 + (rank + 1) * 4).order(ByteOrder.LITTLE_ENDIAN)
     layout.put(3.toByte); layout.put(2.toByte)
     layout.put((rank + 1).toByte)
     layout.putLong(btAddr.toLong)
@@ -267,7 +268,8 @@ object Hdf5Writer {
       if (c.gzip) Some((1, 4)) else None // deflate(level)
     ).flatten
     if (fs.isEmpty) return None
-    val b = ByteBuffer.allocate(8 + fs.size * 12).order(ByteOrder.LITTLE_ENDIAN)
+    // per filter: id(2)+namelen(2)+flags(2)+nvals(2)+cval(4)+pad(4)
+    val b = ByteBuffer.allocate(8 + fs.size * 16).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(fs.size.toByte)
     b.putShort(0); b.putInt(0) // reserved
     fs.foreach { case (id, cval) =>

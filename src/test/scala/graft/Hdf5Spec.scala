@@ -98,7 +98,7 @@ class Hdf5Spec extends SparkSpec {
     val df = spark.read.format("graft-hdf5")
       .option("group", "PartType0").option("rowsPerPartition", "2")
       .load(snapDir)
-    assert(df.rdd.getNumPartitions == 6) // ceil(5/2)+ceil(3/2)+ceil(4/2)
+    assert(df.rdd.getNumPartitions == 7) // ceil(5/2)+ceil(3/2)+ceil(4/2) = 3+2+2
     assert(df.orderBy("row_id").select("ParticleIDs").collect().map(_.getLong(0)).toSeq
       == (0L until 12L))
   }
@@ -108,6 +108,15 @@ class Hdf5Spec extends SparkSpec {
     val h = a("/Header")
     assert(h("Omega0") == 0.3089)
     assert(h("NumFilesPerSnapshot") == 3L)
+  }
+
+  test("scan planning opens each chunk file at most once (metadata memoized)") {
+    val df = ChunkedHdf5.load(spark, snapDir, "PartType0") // snapDir already cached above
+    val before = Hdf5Reader.openCount.get()
+    df.queryExecution.executedPlan // forces planInputPartitions via inferSchema+plan
+    df.count()
+    val opens = Hdf5Reader.openCount.get() - before
+    assert(opens == 0, s"metadata pass re-opened cached chunks $opens times")
   }
 
   test("hdf5 → parquet conversion round-trips") {
