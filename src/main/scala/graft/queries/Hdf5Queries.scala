@@ -1,0 +1,70 @@
+package graft.queries
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.sources.hdf5.{ChunkedHdf5, Hdf5Writer}
+
+/** HDF5 ingestion under the oracle gate — scida's ChunkedHDF5Loader
+  * semantics (reference: src/scida/io/_base.py:348): a snapshot is a
+  * directory of `prefix.K.hdf5` chunk files virtually concatenated
+  * along axis 0, with `/Header` metadata on every chunk.
+  *
+  * `hdf5_load` materializes the orders table as such a snapshot
+  * (driver-side fixture generation — in production the snapshot
+  * already exists on disk; the measured operator is the DataSource V2
+  * read), loads it back through `graft-hdf5`, and aggregates. The
+  * DuckDB oracle recomputes the same aggregate from the ORIGINAL
+  * orders parquet, so any loss or reorder in write→read→concat
+  * hash-fails. All aggregates are exact integers (keys and
+  * floor-rounded cents), immune to FP association order.
+  */
+object Hdf5Queries {
+
+  /** Write orders as a 4-chunk Gadget-shaped HDF5 snapshot; returns
+    * the snapshot directory. Deterministic: rows ordered by
+    * o_orderkey, fixed chunking, fixed header attrs. */
+  private def ordersSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_h5_orders_" + Integer.toHexString(d.hashCode))
+    dir.mkdirs()
+    dir.listFiles().foreach(f => if (f.getName.endsWith(".hdf5")) f.delete())
+    val rows = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .collect()
+    val nChunks = 4
+    val per = (rows.length + nChunks - 1) / nChunks
+    (0 until nChunks).foreach { k =>
+      val slice = rows.slice(k * per, math.min((k + 1) * per, rows.length))
+      val root = Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> 0.5, "Redshift" -> 1.0, "HubbleParam" -> 0.6774,
+          "NumPart_ThisFile" -> Array(slice.length.toLong, 0L, 0L, 0L, 0L, 0L),
+          "NumFilesPerSnapshot" -> nChunks.toLong)),
+        "PartType0" -> Hdf5Writer.Group(children = Seq(
+          "OrderKey" -> Hdf5Writer.I64(slice.map(_.getLong(0))),
+          "CustKey" -> Hdf5Writer.I64(slice.map(_.getLong(1))),
+          "TotalPrice" -> Hdf5Writer.F64(slice.map(_.getDouble(2)))))))
+      Hdf5Writer.write(new File(dir, s"snap.$k.hdf5").getPath, root)
+    }
+    dir.getPath
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "hdf5_load" -> QueryDef.sql(
+      (s, d) => {
+        val snap = ordersSnapshot(s, d)
+        ChunkedHdf5.load(s, snap, "PartType0")
+          .groupBy((col("CustKey") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum("OrderKey").as("sum_key"),
+            sum(floor(col("TotalPrice") * 100.0 + 0.5).cast("long")).as("cents"))
+          .orderBy("bucket")
+      },
+      """SELECT o_custkey % 8 AS bucket, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+}
