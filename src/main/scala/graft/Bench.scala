@@ -26,7 +26,11 @@ object Bench {
 
     // A failed query reports the 1e9 sentinel, not its (near-zero)
     // wall time — a broken query must never look like a speedup.
-    def exec(name: String): Double = {
+    // CacheScope.withScope: operator-internal persists (shingle
+    // frames, offset catalogs) are released once the query's action
+    // completes — without this, 51 queries × 2 passes accumulate dead
+    // cached partitions and later queries pay eviction churn.
+    def exec(name: String): Double = CacheScope.withScope {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)

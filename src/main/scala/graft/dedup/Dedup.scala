@@ -42,15 +42,31 @@ object Dedup {
     * uses). */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       k: Int, minJ: Double): DataFrame =
-    ngramJaccardPairsFromShingles(persisted(withShingles(docs, id, text, k)), id, minJ)
+    ngramJaccardPairsFromShingles(persisted(withShingles(spread(docs), id, text, k)),
+      id, minJ)
+
+  /** Shingling is the CPU-heavy stage (split + windowed slices per
+    * doc); materializing the persisted shingle frame runs it inside
+    * the input's scan stage, whose task count equals the input's
+    * split count. Repartition the (cheap) raw text first so the
+    * expensive compute always runs at full parallelism — the driver's
+    * test parquet has a single row group, and at 100 TB a skewed or
+    * under-split source gets the same guard for one small shuffle of
+    * raw text. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** The shingle frame is scanned three times downstream (prefix
     * ranking, verify side a, verify side b) — materialize it once
     * instead of re-splitting/re-shingling the corpus per scan. At
     * 100 TB the analogue is writing the signature table out once and
-    * reusing it; locally MEMORY_AND_DISK caching is the same move. */
+    * reusing it; locally MEMORY_AND_DISK caching is the same move.
+    * Registered with CacheScope so the harness unpersists it once the
+    * query's action completes (cache hygiene — a bench/service session
+    * must not accumulate dead cached partitions). */
   private def persisted(sh: DataFrame): DataFrame =
-    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.track(sh)
 
   /** Pair generation over a precomputed (id, sh) shingle frame —
     * shared by the threshold join and keep-list materialization so the
@@ -86,7 +102,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: String, text: String, k: Int,
       sigLen: Int, bands: Int, minJ: Double): DataFrame = {
     require(sigLen % bands == 0, "bands must divide signature length")
-    val sh = persisted(withShingles(docs, id, text, k))
+    val sh = persisted(withShingles(spread(docs), id, text, k))
     val sig = Hashing.minhashSignatures(sh, id, "sh", sigLen)
       .withColumn("bk", Hashing.bandKeys(col("sig"), bands, sigLen / bands))
     val cand = Hashing.lshCandidates(sig.select(col(id), col("bk")), id, "bk")

@@ -25,8 +25,10 @@ object PrefixSum {
       outCol: String = "offset"): DataFrame = {
     // the catalog feeds three scans (quantile sampling, in-bucket
     // cumsum, bucket totals) — materialize it once; at 100 TB this is
-    // "write the offset catalog out once", the move scida also makes
-    val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "write the offset catalog out once", the move scida also makes.
+    // CacheScope-tracked: the harness unpersists after the consuming
+    // query's action, so repeated invocations don't leak storage.
+    val df = graft.CacheScope.track(dfIn)
     // quantile boundaries: a tiny driver-side array (same role as
     // RangePartitioner's sample), deterministic given the data
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray

@@ -244,12 +244,19 @@ object RelationalQueries {
         // detection runs on a seeded 1/8 sample (the result does not
         // depend on WHICH keys are called hot — any hot set yields the
         // same join output — so sampled detection is safe and 8x
-        // cheaper than an exact count; both join branches share this
-        // one frame, so they agree on the set)
-        val hot = Tables.lineitem(s, d).sample(withReplacement = false, 0.125, 42L)
-          .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 2)
-          .select(col("l_orderkey").as("hotkey"))
+        // cheaper than an exact count). The hot set is MATERIALIZED
+        // ONCE (persist + eager count) before wiring into both join
+        // branches: correctness requires both sides to agree on the
+        // set, and two independent re-executions of a sample could
+        // diverge if the scans ever split differently (AQE, file
+        // listing) — a key hot on only the fact side would get salts
+        // with no build-side match and its rows silently dropped.
+        val hot = graft.CacheScope.track(
+          Tables.lineitem(s, d).sample(withReplacement = false, 0.125, 42L)
+            .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2)
+            .select(col("l_orderkey").as("hotkey")))
+        hot.count() // forces the single evaluation both branches reuse
         val l = Tables.lineitem(s, d)
           .join(broadcast(hot), col("l_orderkey") === col("hotkey"), "left")
           .withColumn("salt", when(col("hotkey").isNotNull,
