@@ -31,7 +31,8 @@ final class GraftDataset private (
     val df: DataFrame,
     derived: Map[String, GraftDataset => Column],
     units: Map[String, String],
-    resolvePrefix: String = "") {
+    resolvePrefix: String = "",
+    val cosmology: Option[Cosmology] = None) {
 
   private def sep = GraftDataset.NsSep
 
@@ -63,14 +64,14 @@ final class GraftDataset private (
 
   /** Register a derived (virtual) field — scida fields.py:381. */
   def withDerived(path: String)(f: GraftDataset => Column): GraftDataset =
-    new GraftDataset(df, derived + (path -> f), units, resolvePrefix)
+    new GraftDataset(df, derived + (path -> f), units, resolvePrefix, cosmology)
 
   /** Rename-free alias — scida fields.py:531 (`add_alias`): the alias
     * resolves to the target field (physical or derived) with zero
     * copy; it's just another registry entry. */
   def withAlias(alias: String, target: String): GraftDataset =
     new GraftDataset(df, derived + (alias -> ((g: GraftDataset) => g.field(target))),
-      units ++ units.get(target).map(alias -> _), resolvePrefix)
+      units ++ units.get(target).map(alias -> _), resolvePrefix, cosmology)
 
   /** Merge another dataset's fields (scida fields.py:224 merge).
     * scida merges containers that share an implicit row index; Spark
@@ -80,14 +81,22 @@ final class GraftDataset private (
     * Derived fields and units union, `other` winning name clashes. */
   def merge(other: GraftDataset, on: Seq[String]): GraftDataset =
     new GraftDataset(df.join(other.df, on),
-      derived ++ other.fieldDerived, units ++ other.fieldUnits, resolvePrefix)
+      derived ++ other.fieldDerived, units ++ other.fieldUnits, resolvePrefix,
+      cosmology.orElse(other.cosmology))
 
   private[model] def fieldDerived: Map[String, GraftDataset => Column] = derived
   private[model] def fieldUnits: Map[String, String] = units
 
   /** Attach a unit to a field — scida units mixin. */
   def withUnit(path: String, unit: String): GraftDataset =
-    new GraftDataset(df, derived, units + (path -> unit), resolvePrefix)
+    new GraftDataset(df, derived, units + (path -> unit), resolvePrefix, cosmology)
+
+  /** Attach cosmology metadata — scida CosmologyMixin (reference:
+    * src/scida/interfaces/mixins/cosmology.py:16): per-snapshot
+    * scalars (z, a, h, Ω) derived from header attrs, carried on the
+    * dataset and surfaced in `info`. */
+  def withCosmology(c: Cosmology): GraftDataset =
+    new GraftDataset(df, derived, units, resolvePrefix, Some(c))
 
   def unitOf(path: String): Option[String] = units.get(path)
 
@@ -118,7 +127,7 @@ final class GraftDataset private (
     }
     new GraftDataset(sub, subDerived, units.collect {
       case (k, u) if k.startsWith(ns + "/") => k.stripPrefix(ns + "/") -> u
-    }, resolvePrefix = ns + "/")
+    }, resolvePrefix = ns + "/", cosmology)
   }
 
   /** Materialize selected fields (physical and derived) as a plain
@@ -160,7 +169,7 @@ final class GraftDataset private (
     }
     val der = derived.keys.toSeq.sorted.map(k => s"  $k: <derived>")
     (Seq(s"GraftDataset (${phys.length} physical, ${der.length} derived)") ++
-      phys ++ der).mkString("\n")
+      cosmology.toSeq.flatMap(_.infoLines) ++ phys ++ der).mkString("\n")
   }
 }
 

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.{Cosmology, GraftDataset}
+import graft.sources.hdf5.{ChunkedHdf5, Hdf5Writer}
+
+/** Cosmology mixin — scida CosmologyMixin semantics (reference:
+  * src/scida/interfaces/mixins/cosmology.py:50-52 attach z/cosmology,
+  * :85-130 validate, :112-114 a = 1/(1+z), :135
+  * get_redshift_from_rawmetadata, :160 get_cosmology_from_rawmetadata
+  * alias order).
+  */
+class CosmologySpec extends SparkSpec {
+
+  private def snapshotWith(attrs: Seq[(String, Any)], extra: Seq[(String, Hdf5Writer.Group)] = Nil): String = {
+    val dir = Files.createTempDirectory("graft_cosmo").toString
+    val root = Hdf5Writer.Group(children =
+      Seq("Header" -> Hdf5Writer.Group(attrs = attrs)) ++ extra ++
+        Seq("PartType0" -> Hdf5Writer.Group(children = Seq(
+          "Masses" -> Hdf5Writer.F64(Array(1.0, 2.0, 3.0))))))
+    Hdf5Writer.write(s"$dir/snap.0.hdf5", root)
+    dir
+  }
+
+  private val gadgetHeader = Seq[(String, Any)](
+    "Time" -> 0.25, "Redshift" -> 3.0, "HubbleParam" -> 0.6774,
+    "Omega0" -> 0.3089, "OmegaBaryon" -> 0.0486)
+
+  test("redshift, scale factor, and params derive from /Header attrs") {
+    val attrs = ChunkedHdf5.attrs(snapshotWith(gadgetHeader))
+    assert(Cosmology.redshiftFromAttrs(attrs).contains(3.0))
+    val c = Cosmology.fromAttrs(attrs).get
+    assert(c.redshift == 3.0)
+    assert(c.scaleFactor == 0.25) // a = 1/(1+z), cosmology.py:112-114
+    assert(c.h == 0.6774)
+    assert(c.omega0.contains(0.3089) && c.omegaBaryon.contains(0.0486))
+    assert(c.comovingToPhysical == 0.25 / 0.6774)
+  }
+
+  test("validate accepts consistent Time==1/(1+z) and rejects inconsistent") {
+    // legacy detection: Time consistent with a = 1/(1+Redshift)
+    assert(Cosmology.isCosmological(ChunkedHdf5.attrs(snapshotWith(gadgetHeader))))
+    // non-cosmological: Time is just "time", inconsistent with z
+    val bad = snapshotWith(Seq("Time" -> 13.7, "Redshift" -> 3.0, "HubbleParam" -> 0.7))
+    assert(!Cosmology.isCosmological(ChunkedHdf5.attrs(bad)))
+    // Redshift with no Time at all counts (LGalaxies-style)
+    val noTime = snapshotWith(Seq("Redshift" -> 2.0, "HubbleParam" -> 0.7))
+    assert(Cosmology.isCosmological(ChunkedHdf5.attrs(noTime)))
+  }
+
+  test("/Parameters aliases win over /Header, per scida alias order") {
+    val dir = snapshotWith(
+      Seq("Time" -> 0.5, "Redshift" -> 1.0, "HubbleParam" -> 0.9),
+      extra = Seq("Parameters" -> Hdf5Writer.Group(attrs = Seq(
+        "HubbleParam" -> 0.6774))))
+    val c = Cosmology.fromAttrs(ChunkedHdf5.attrs(dir)).get
+    assert(c.h == 0.6774) // /Parameters consulted before /Header
+  }
+
+  test("missing Hubble parameter yields no cosmology, like scida's None") {
+    val attrs = ChunkedHdf5.attrs(snapshotWith(Seq("Redshift" -> 1.0)))
+    assert(Cosmology.fromAttrs(attrs).isEmpty)
+    assert(Cosmology.redshiftFromAttrs(attrs).contains(1.0))
+  }
+
+  test("GraftDataset carries cosmology through transforms and into info") {
+    val dir = snapshotWith(gadgetHeader)
+    val c = Cosmology.fromAttrs(ChunkedHdf5.attrs(dir)).get
+    val ds = GraftDataset(ChunkedHdf5.load(spark, dir, "PartType0"))
+      .withCosmology(c)
+      .withUnit("Masses", "Msun")
+      .withDerived("PhysMass")(g =>
+        g.field("Masses") * lit(g.cosmology.get.comovingToPhysical))
+    assert(ds.cosmology.contains(c))
+    assert(ds.info.contains("z = 3.00")) // _info_custom analogue
+    val out = ds.select("PhysMass").orderBy("PhysMass")
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(1.0, 2.0, 3.0).map(_ * 0.25 / 0.6774))
+  }
+}
