@@ -100,6 +100,25 @@ final class GraftDataset private (
 
   def unitOf(path: String): Option[String] = units.get(path)
 
+  /** The field as a unit-carrying Quantity — fields with no recorded
+    * unit enter the algebra as dimensionless, like pint's bare
+    * magnitudes. */
+  def q(path: String): Quantity =
+    Quantity(field(path),
+      units.get(path).map(Units.parse).getOrElse(Units.dimensionless))
+
+  /** Register a derived field whose unit is COMPUTED by the quantity
+    * algebra — scida derived fields return pint quantities, so
+    * `rho = mass/vol` records Msun/kpc³ without the author spelling
+    * it (units.py UnitMixin over fields.py:381). The unit is derived
+    * once at registration (it depends only on operand units, not on
+    * data); the column expression stays lazy per consumer. */
+  def withDerivedQ(path: String)(f: GraftDataset => Quantity): GraftDataset = {
+    val u = f(this).unit
+    new GraftDataset(df, derived + (path -> ((g: GraftDataset) => f(g).col)),
+      units + (path -> u.toString), resolvePrefix, cosmology)
+  }
+
   /** Unit-aware scaling: returns the field converted by `factor` with
     * the new unit recorded (pint's `.to()` for linear units). */
   def convert(path: String, toUnit: String, factor: Double): (Column, String) =

@@ -1,47 +1,139 @@
 package graft.model
 
-/** Minimal linear unit registry — the pint analogue behind scida's
-  * units mixin (reference: src/scida/interfaces/mixins/units.py):
-  * every unit maps to (dimension, factor-to-base); conversion between
-  * units of the same dimension is a single multiplicative factor
-  * (affine units like °C are out of scope, as in scida's field use).
+/** Unit algebra — the pint analogue behind scida's units mixin
+  * (reference: src/scida/interfaces/mixins/units.py: per-field pint
+  * quantities compose through arithmetic and are validated on
+  * conversion). Re-expressed for Spark:
   *
-  * Deliberately driver-side and tiny: the factor becomes a literal in
-  * the Catalyst plan (`GraftDataset.convertTo`), so unit conversion
-  * costs one codegen'd multiply per row and nothing at shuffle time.
+  *  - a `Measure` is a symbolic product of registered unit symbols
+  *    with integer exponents ("Msun/kpc^3" ≡ {Msun→1, kpc→-3});
+  *    multiplication/division/power operate on the exponent vector,
+  *    so units COMPOSE through arithmetic exactly as pint quantities
+  *    do (`rho = mass/vol` carries Msun/kpc³ automatically);
+  *  - dimensional consistency is checked structurally: each symbol
+  *    maps to a base-dimension exponent vector (mass¹, length³, …),
+  *    and conversion between measures requires equal dimension
+  *    vectors (pint's DimensionalityError otherwise);
+  *  - everything is driver-side and tiny: a conversion factor becomes
+  *    ONE literal multiply in the Catalyst plan (codegen'd, free at
+  *    shuffle time); no unit logic ever executes per-row.
   */
 object Units {
 
-  /** unit symbol → (dimension, factor to the dimension's base unit) */
-  private val registry: Map[String, (String, Double)] = Map(
-    // length (base m)
-    "m" -> ("length", 1.0), "km" -> ("length", 1e3), "cm" -> ("length", 1e-2),
-    "pc" -> ("length", 3.0856775814913673e16),
-    "kpc" -> ("length", 3.0856775814913673e19),
-    "Mpc" -> ("length", 3.0856775814913673e22),
-    // mass (base kg)
-    "kg" -> ("mass", 1.0), "g" -> ("mass", 1e-3),
-    "Msun" -> ("mass", 1.98892e30),
-    // time (base s)
-    "s" -> ("time", 1.0), "ms" -> ("time", 1e-3), "us" -> ("time", 1e-6),
-    "ns" -> ("time", 1e-9), "hr" -> ("time", 3600.0),
-    "Gyr" -> ("time", 3.15576e16),
-    // velocity (base m/s)
-    "m/s" -> ("velocity", 1.0), "km/s" -> ("velocity", 1e3),
-    // dimensionless counting units
-    "1" -> ("dimensionless", 1.0), "dozen" -> ("dimensionless", 12.0))
+  /** Base-dimension exponent vector, e.g. mass·length⁻³. */
+  final case class Dimension(exps: Map[String, Int]) {
+    def *(o: Dimension): Dimension = Dimension(merge(exps, o.exps, 1))
+    def /(o: Dimension): Dimension = Dimension(merge(exps, o.exps, -1))
+    def pow(n: Int): Dimension = Dimension(exps.map { case (k, e) => k -> e * n }
+      .filter(_._2 != 0))
+    def isDimensionless: Boolean = exps.isEmpty
+    override def toString: String =
+      if (exps.isEmpty) "dimensionless"
+      else exps.toSeq.sortBy(_._1)
+        .map { case (d, 1) => d; case (d, e) => s"$d^$e" }.mkString(" ")
+  }
 
-  def dimensionOf(unit: String): Option[String] = registry.get(unit).map(_._1)
+  private def merge(a: Map[String, Int], b: Map[String, Int], sign: Int): Map[String, Int] =
+    (a.keySet ++ b.keySet).iterator
+      .map(k => k -> (a.getOrElse(k, 0) + sign * b.getOrElse(k, 0)))
+      .filter(_._2 != 0).toMap
+
+  /** symbol → (factor to SI base, base-dimension vector). Linear units
+    * only, as in scida's field use (affine °C-style units are out of
+    * scope there too). */
+  private val registry: Map[String, (Double, Dimension)] = {
+    def d(pairs: (String, Int)*) = Dimension(pairs.filter(_._2 != 0).toMap)
+    Map(
+      // length (base m)
+      "m" -> (1.0, d("length" -> 1)), "km" -> (1e3, d("length" -> 1)),
+      "cm" -> (1e-2, d("length" -> 1)),
+      "pc" -> (3.0856775814913673e16, d("length" -> 1)),
+      "kpc" -> (3.0856775814913673e19, d("length" -> 1)),
+      "Mpc" -> (3.0856775814913673e22, d("length" -> 1)),
+      // mass (base kg)
+      "kg" -> (1.0, d("mass" -> 1)), "g" -> (1e-3, d("mass" -> 1)),
+      "Msun" -> (1.98892e30, d("mass" -> 1)),
+      // time (base s)
+      "s" -> (1.0, d("time" -> 1)), "ms" -> (1e-3, d("time" -> 1)),
+      "us" -> (1e-6, d("time" -> 1)), "ns" -> (1e-9, d("time" -> 1)),
+      "hr" -> (3600.0, d("time" -> 1)), "Gyr" -> (3.15576e16, d("time" -> 1)),
+      // dimensionless counting units
+      "1" -> (1.0, d()), "dozen" -> (12.0, d()))
+  }
+
+  /** A symbolic composite unit: registered symbols with integer
+    * exponents. The SI factor and dimension are derived, so algebra
+    * stays exact and symbolic ("Msun/kpc^3" survives as itself, not a
+    * bare 6.77e-29). */
+  final case class Measure(syms: Map[String, Int]) {
+    def *(o: Measure): Measure = Measure(merge(syms, o.syms, 1))
+    def /(o: Measure): Measure = Measure(merge(syms, o.syms, -1))
+    def pow(n: Int): Measure = Measure(syms.map { case (k, e) => k -> e * n }
+      .filter(_._2 != 0))
+
+    def dimension: Dimension = syms.foldLeft(Dimension(Map.empty)) {
+      case (acc, (sym, e)) => acc * registry(sym)._2.pow(e)
+    }
+
+    /** Multiplicative factor taking a value in this measure to SI. */
+    def siFactor: Double = syms.foldLeft(1.0) {
+      case (acc, (sym, e)) => acc * math.pow(registry(sym)._1, e)
+    }
+
+    def isDimensionless: Boolean = dimension.isDimensionless
+
+    /** Canonical form: positive-exponent symbols joined by `*`, each
+      * negative-exponent symbol appended as `/sym^e` — parses back to
+      * an equal Measure. */
+    override def toString: String = {
+      val (pos, neg) = syms.toSeq.sortBy(_._1).partition(_._2 > 0)
+      val num =
+        if (pos.isEmpty) "1"
+        else pos.map { case (s, 1) => s; case (s, e) => s"$s^$e" }.mkString("*")
+      num + neg.map { case (s, e) => s"/$s" + (if (e == -1) "" else s"^${-e}") }.mkString
+    }
+  }
+
+  val dimensionless: Measure = Measure(Map.empty)
+
+  /** Parse a composite unit expression: `sym[^exp]` terms chained with
+    * `*` and `/` (left-associative, as in "Msun/kpc^3" or "km/s"),
+    * with "1" as the empty numerator ("1/s"). Unknown symbols throw —
+    * same contract as pint's UndefinedUnitError. */
+  def parse(s: String): Measure = {
+    val trimmed = s.trim
+    require(trimmed.nonEmpty, "empty unit string")
+    var syms = Map.empty[String, Int]
+    // split retaining the operators
+    val tokens = trimmed.split("(?=[*/])").toSeq
+    tokens.foreach { tok0 =>
+      val (op, tok) =
+        if (tok0.startsWith("*")) (1, tok0.tail)
+        else if (tok0.startsWith("/")) (-1, tok0.tail)
+        else (1, tok0)
+      val (sym, exp) = tok.split('^') match {
+        case Array(y) => (y.trim, 1)
+        case Array(y, e) => (y.trim, e.trim.toInt)
+        case _ => throw new IllegalArgumentException(s"cannot parse unit term '$tok' in '$s'")
+      }
+      if (sym != "1") {
+        require(registry.contains(sym), s"unknown unit '$sym' in '$s'")
+        syms = merge(syms, Map(sym -> exp), op)
+      }
+    }
+    Measure(syms)
+  }
+
+  def dimensionOf(unit: String): Dimension = parse(unit).dimension
 
   /** Multiplicative factor converting a quantity in `from` to `to`.
-    * Throws for unknown units or dimension mismatch (same contract as
-    * pint's DimensionalityError). */
-  def factor(from: String, to: String): Double = {
-    val (df_, ff) = registry.getOrElse(from,
-      throw new IllegalArgumentException(s"unknown unit '$from'"))
-    val (dt, ft) = registry.getOrElse(to,
-      throw new IllegalArgumentException(s"unknown unit '$to'"))
-    require(df_ == dt, s"cannot convert $from ($df_) to $to ($dt)")
-    ff / ft
+    * Throws for unknown units or dimension mismatch (pint's
+    * DimensionalityError). Both sides may be composite expressions. */
+  def factor(from: String, to: String): Double = factor(parse(from), parse(to))
+
+  def factor(from: Measure, to: Measure): Double = {
+    require(from.dimension == to.dimension,
+      s"cannot convert $from (${from.dimension}) to $to (${to.dimension})")
+    from.siFactor / to.siFactor
   }
 }

@@ -56,6 +56,30 @@ object ScidaQueries {
         |  round(l_quantity / 12.0, 6) AS qty_dozen
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // --- unit ALGEBRA (mixins/units.py): units compose through
+    // arithmetic — rho = mass/vol records Msun/kpc^3 without the
+    // author spelling it, and .to("kg/m^3") is a dimension-checked
+    // single literal multiply. The oracle inlines the same factor
+    // (computed once, driver-side, by the same registry) — Scala's
+    // Double.toString round-trips exactly through DuckDB's literal
+    // parser, so per-row arithmetic is bit-identical. ---
+    "unit_algebra" -> QueryDef.sql(
+      (s, d) => {
+        val ds = graft.model.GraftDataset(Tables.lineitem(s, d))
+          .withUnit("l_extendedprice", "Msun")
+          .withUnit("l_quantity", "kpc^3")
+          .withDerivedQ("rho")(g => g.q("l_extendedprice") / g.q("l_quantity"))
+          .withDerivedQ("rho_si")(g => g.q("rho").to("kg/m^3"))
+        assert(ds.unitOf("rho").contains("Msun/kpc^3"), "unit algebra must compose")
+        ds.select("l_orderkey", "l_linenumber", "rho_si")
+          .orderBy("l_orderkey", "l_linenumber")
+      }, {
+        val f = graft.model.Units.factor("Msun/kpc^3", "kg/m^3")
+        s"""SELECT l_orderkey, l_linenumber,
+           |  l_extendedprice / l_quantity * $f AS rho_si
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      }),
+
     // --- whole-field reductions (dask sum/mean/min/max/std analogue) ---
     "field_stats" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d).agg(

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.{GraftDataset, Quantity, Units}
+
+/** Unit algebra — scida UnitMixin / pint semantics (reference:
+  * src/scida/interfaces/mixins/units.py): composition through
+  * multiply/divide, dimension-checked conversion, auto-convert on
+  * addition, propagation through derived fields.
+  */
+class UnitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("composite parse and canonical round-trip") {
+    val rho = Units.parse("Msun/kpc^3")
+    assert(rho.syms == Map("Msun" -> 1, "kpc" -> -3))
+    assert(rho.toString == "Msun/kpc^3")
+    assert(Units.parse(rho.toString) == rho)
+    assert(Units.parse("km/s").dimension.toString == "length time^-1")
+    assert(Units.parse("1/s").syms == Map("s" -> -1))
+    assert(Units.parse("kg*m/s^2").dimension ==
+      Units.parse("Msun*kpc/hr^2").dimension) // force dimension, any flavor
+    intercept[IllegalArgumentException](Units.parse("furlong"))
+  }
+
+  test("measure algebra: multiply, divide, pow") {
+    val m = Units.parse("Msun")
+    val v = Units.parse("kpc").pow(3)
+    assert((m / v).toString == "Msun/kpc^3")
+    assert((m / v) * v == m)
+    assert(Units.parse("km/s").pow(2).toString == "km^2/s^2")
+  }
+
+  test("conversion factors, including composite, reject dimension mismatch") {
+    assert(Units.factor("kpc", "pc") == 1000.0)
+    // Msun/kpc^3 → kg/m^3: both sides through SI
+    val f = Units.factor("Msun/kpc^3", "kg/m^3")
+    val expect = 1.98892e30 / math.pow(3.0856775814913673e19, 3)
+    assert(math.abs(f - expect) / expect < 1e-12)
+    intercept[IllegalArgumentException](Units.factor("Msun", "kpc"))
+    intercept[IllegalArgumentException](Units.factor("Msun/kpc^3", "kg/m^2"))
+  }
+
+  test("quantity arithmetic composes units and auto-converts on +") {
+    val df = Seq((10.0, 2.0, 0.5)).toDF("mass", "vol", "extra_kg")
+    val mass = Quantity(col("mass"), Units.parse("Msun"))
+    val vol = Quantity(col("vol"), Units.parse("kpc^3"))
+    val rho = mass / vol
+    assert(rho.unit.toString == "Msun/kpc^3")
+    // + auto-converts the right side (kg → Msun here)
+    val total = mass + Quantity(col("extra_kg"), Units.parse("kg"))
+    assert(total.unit.toString == "Msun")
+    val Array(r) = df.select(total.as("t")).as[Double].collect()
+    assert(math.abs(r - (10.0 + 0.5 / 1.98892e30)) < 1e-12)
+    // + across dimensions throws at plan time
+    intercept[IllegalArgumentException](mass + vol)
+  }
+
+  test("derived fields propagate computed units end-to-end") {
+    val df = Seq((4.0, 2.0), (9.0, 3.0)).toDF("mass", "vol")
+    val ds = GraftDataset(df)
+      .withUnit("mass", "Msun").withUnit("vol", "kpc^3")
+      .withDerivedQ("rho")(g => g.q("mass") / g.q("vol"))
+      .withDerivedQ("rho_cgs")(g => g.q("rho").to("g/cm^3"))
+    assert(ds.unitOf("rho").contains("Msun/kpc^3"))
+    assert(ds.unitOf("rho_cgs").contains("g/cm^3"))
+    // unit metadata is stamped on selected output columns
+    val out = ds.select("rho", "rho_cgs")
+    assert(out.schema("rho").metadata.getString("unit") == "Msun/kpc^3")
+    assert(out.schema("rho_cgs").metadata.getString("unit") == "g/cm^3")
+    val rows = out.orderBy("rho").as[(Double, Double)].collect()
+    val f = Units.factor("Msun/kpc^3", "g/cm^3")
+    assert(rows.toSeq == Seq((2.0, 2.0 * f), (3.0, 3.0 * f)))
+    // convertTo still dimension-checks composite units
+    intercept[IllegalArgumentException](ds.convertTo("rho", "Msun"))
+  }
+}
