@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nested (group ⊃ subhalo) catalog offsets and membership selectors —
+  * the scida halo-catalog machinery beyond flat group offsets
+  * (reference: src/scida/customs/arepo/dataset.py:603
+  * `get_subhalolengths`, :625 `get_subhalooffsets`,
+  * src/scida/customs/arepo/selector.py:100 `select_group`).
+  *
+  * scida's layout contract: particles are stored grouped by halo, and
+  * within each halo its subhalos' particles come first (in subhalo
+  * order), followed by unbound "fuzz" — so a group's length may
+  * exceed the sum of its subhalos' lengths. The subhalo offset
+  * decomposes exactly as the reference computes it:
+  *
+  *   offset(s) = groupOffset(grnr(s)) + localOffset(s)
+  *
+  * where localOffset is the cumulative length of earlier subhalos in
+  * the SAME group. Distributed translation: group offsets via the
+  * two-phase parallel PrefixSum (no global window), local offsets via
+  * a window partitioned BY GROUP — each group's subhalo list is tiny,
+  * so the window parallelizes across groups and nothing serializes
+  * into one task at 1e8 halos.
+  */
+object GroupCatalog {
+
+  /** Subhalo offset table. `groups`: one row per group (groupKey,
+    * groupLen — may exceed the subhalo sum, fuzz included);
+    * `subhalos`: one row per subhalo (groupKey = parent, subKey,
+    * subLen). Adds `local_offset` (first-particle index within the
+    * parent group) and `offset` (global first-particle index). */
+  def subhaloOffsets(groups: DataFrame, groupKey: String, groupLen: Column,
+      subhalos: DataFrame, subKey: String, subLen: Column,
+      buckets: Int = 32): DataFrame = {
+    val goff = PrefixSum.exclusive(groups, groupKey, groupLen, buckets, "__goff")
+      .select(col(groupKey), col("__goff"))
+    val inGroup = Window.partitionBy(groupKey).orderBy(subKey)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    subhalos
+      .withColumn("local_offset", sum(subLen).over(inGroup) - subLen)
+      .join(goff, Seq(groupKey))
+      .withColumn("offset", col("__goff") + col("local_offset"))
+      .drop("__goff")
+  }
+
+  /** Membership selection by a driver-known object-id list — scida
+    * `select_group` re-expressed distributed. The reference slices
+    * positionally by (offset, length); on a cluster the same rows are
+    * the membership equi-class of the id, so selection is a pushed-
+    * down `In` filter (for literal id lists — reaches the parquet
+    * scan as PushedFilters, pruning at the source) — the positional
+    * and membership forms are proven equivalent in GroupCatalogSpec. */
+  def selectByIds(particles: DataFrame, key: String, ids: Seq[Any]): DataFrame =
+    particles.filter(col(key).isin(ids: _*))
+
+  /** Membership selection against a DataFrame of ids (when the list
+    * is itself the result of a query, e.g. "all subhalos above mass
+    * M"): broadcast left-semi join — no shuffle of the particle side. */
+  def selectByIdFrame(particles: DataFrame, key: String, ids: DataFrame): DataFrame =
+    particles.join(broadcast(ids), particles(key) === ids(ids.columns.head), "left_semi")
+}

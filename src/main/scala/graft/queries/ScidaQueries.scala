@@ -153,6 +153,62 @@ object ScidaQueries {
       """SELECT l_orderkey, count(*) AS n_items FROM lineitem
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
 
+    // --- nested (group ⊃ subhalo) offsets (arepo/dataset.py:603,625):
+    // offset(sub) = groupOffset(parent) + cumulative length of earlier
+    // subhalos in the same group. Group offsets via the parallel
+    // PrefixSum; local offsets via a window partitioned BY GROUP (tiny
+    // per-group lists — parallel across 1e8 groups). Customers play
+    // groups, orders play subhalos, lineitems play particles. ---
+    "subhalo_offsets" -> QueryDef.sql(
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        // the subhalo catalog feeds both the group rollup and the
+        // offset join — materialize once (CacheScope releases it)
+        val sub = graft.CacheScope.track(
+          Tables.lineitem(s, d)
+            .join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_custkey", "o_orderkey").agg(count(lit(1)).as("slen")))
+        val grp = sub.groupBy("o_custkey").agg(sum("slen").as("glen"))
+        graft.operators.GroupCatalog.subhaloOffsets(
+          grp, "o_custkey", col("glen"), sub, "o_orderkey", col("slen"))
+          .select(col("o_custkey"), col("o_orderkey"), col("slen"),
+            col("local_offset"), col("offset"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """WITH sub AS (
+        |  SELECT o_custkey, o_orderkey, count(*) AS slen
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, o_orderkey
+        |), grp AS (
+        |  SELECT o_custkey, CAST(sum(slen) AS BIGINT) AS glen
+        |  FROM sub GROUP BY o_custkey
+        |), goff AS (
+        |  SELECT o_custkey, CAST(sum(glen) OVER (ORDER BY o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - glen AS BIGINT) AS g_off
+        |  FROM grp
+        |)
+        |SELECT s.o_custkey, s.o_orderkey, s.slen,
+        |  CAST(sum(s.slen) OVER (PARTITION BY s.o_custkey ORDER BY s.o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s.slen AS BIGINT)
+        |    AS local_offset,
+        |  CAST(g.g_off + sum(s.slen) OVER (PARTITION BY s.o_custkey ORDER BY s.o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s.slen AS BIGINT)
+        |    AS "offset"
+        |FROM sub s JOIN goff g ON s.o_custkey = g.o_custkey
+        |ORDER BY s.o_custkey, s.o_orderkey""".stripMargin),
+
+    // --- ID-list membership selection (selector.py:100 select_group):
+    // a driver-known id list becomes a pushed-down In filter at the
+    // scan (PushedFilters — source-level pruning, no join at all). ---
+    "subhalo_select" -> QueryDef.sql(
+      (s, d) => graft.operators.GroupCatalog.selectByIds(
+        Tables.lineitem(s, d), "l_orderkey", Seq(3L, 17L, 256L, 999L, 1204L))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (3, 17, 256, 999, 1204)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // --- broadcast group quantity onto members (arepo/dataset.py:519) ---
     "group_quantity_join" -> QueryDef.sql(
       (s, d) => {
