@@ -363,6 +363,35 @@ object ScidaQueries {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
 
+    // --- chained grouped-operation DAG (arepo/dataset.py:789
+    // ChainOps, :826 GroupAwareOperation): half (every 2nd particle
+    // of the ordered group) → ×2 → sum, composed lazily, one shuffle
+    // at evaluate. Quantities are integer-valued doubles, so the
+    // kernel's fold order can't diverge from the SQL aggregate. The
+    // within-group order breaks (l_orderkey, l_linenumber) ties BY THE
+    // VALUE (this synthetic lineitem has duplicate line numbers):
+    // rows still tying carry equal values, so `half`'s picks are
+    // engine-invariant. ---
+    "grouped_chain" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.GroupedChain.of[Long, Double](Tables.lineitem(s, d),
+          col("l_orderkey"),
+          col("l_linenumber").cast("long") * 1000 + col("l_quantity").cast("long"),
+          col("l_quantity"))
+          .half.map(_ * 2.0).sum.evaluate
+          .toDF("l_orderkey", "half_qty2")
+          .orderBy("l_orderkey")
+      },
+      """SELECT l_orderkey, sum(l_quantity * 2.0) AS half_qty2
+        |FROM (
+        |  SELECT l_orderkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY CAST(l_linenumber AS BIGINT) * 1000 + CAST(l_quantity AS BIGINT)) AS rn
+        |  FROM lineitem)
+        |WHERE (rn - 1) % 2 = 0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+
     // --- save + re-read (interface.py:273 save). Oracle-checked: the
     // DuckDB side computes the same aggregate from the ORIGINAL table,
     // so a lossy roundtrip would hash-mismatch. Revenue is stored as
