@@ -1,0 +1,283 @@
+package graft.sources.zarr
+
+import java.io.File
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util.zip.Inflater
+
+/** Pure-JVM reader for zarr v2 directory stores — written against the
+  * public zarr v2 storage specification
+  * (https://zarr.readthedocs.io/en/stable/spec/v2.html). scida's
+  * second native format (reference: src/scida/io/_base.py:267
+  * `ZarrLoader`): a store directory holds `.zgroup`, per-array
+  * subdirectories with `.zarray` metadata + `.zattrs` attributes, and
+  * chunk files named `i` / `i.j` (C-order indices, `.` separator).
+  *
+  * Supported subset (documented, checked, errors are informative):
+  * dtypes `<f8 <f4 <i8 <i4 <i2 |i1 |u1 <u2 <u4 <u8` (plus `>` big-
+  * endian), compressor `null` or `zlib`/`gzip` (java.util.zip —
+  * zarr-python's default blosc needs a native lib and fails fast with
+  * a clear message), `order: "C"`, no filters, chunking along axis 0
+  * only (inner dimensions unchunked — the tabular layout scida
+  * snapshots use). Edge chunks are full-sized per spec; MISSING chunk
+  * files materialize as fill_value.
+  */
+object ZarrStore {
+
+  /** Parsed `.zarray` metadata for one array. */
+  final case class ArrayMeta(
+      name: String,
+      dir: String,
+      shape: Seq[Long],
+      chunks: Seq[Long],
+      dtypeStr: String,
+      compressor: Option[String], // "zlib" | "gzip" (id string) | None
+      compressorLevel: Int,
+      fillValue: Double) {
+    def rows: Long = if (shape.isEmpty) 1L else shape.head
+    def rowWidth: Int = shape.drop(1).product.toInt max 1
+    def chunkRows: Long = if (chunks.isEmpty) 1L else chunks.head
+    def elemSize: Int = dtypeStr.drop(2).toInt
+    def littleEndian: Boolean = dtypeStr.head != '>'
+    /** 'f' float, 'i' signed int, 'u' unsigned int. */
+    def kind: Char = dtypeStr.charAt(1)
+  }
+
+  final case class Store(path: String, arrays: Seq[ArrayMeta],
+      attrs: Map[String, Map[String, Any]])
+
+  /** Open a store directory: every descendant directory containing
+    * `.zarray` is an array; `.zattrs` files become attrs keyed by
+    * store-relative path ("/" for root, "/name" per array). */
+  def open(path: String): Store = {
+    val root = new File(path)
+    require(root.isDirectory, s"no such zarr store: $path")
+    require(new File(root, ".zgroup").exists() || new File(root, ".zarray").exists(),
+      s"$path is not a zarr store (no .zgroup/.zarray)")
+    def walk(dir: File, rel: String): Seq[(String, File)] = {
+      val self = if (new File(dir, ".zarray").exists()) Seq(rel -> dir) else Nil
+      self ++ dir.listFiles().filter(_.isDirectory).sortBy(_.getName)
+        .flatMap(d => walk(d, s"$rel/${d.getName}".replaceAll("^//", "/")))
+    }
+    val arrays = walk(root, "").map { case (rel, dir) =>
+      parseArrayMeta(if (rel.isEmpty) root.getName else rel.stripPrefix("/"), dir)
+    }
+    val attrDirs = (root -> "/") +: arrays.map(a => new File(a.dir) -> s"/${a.name}")
+    val attrs = attrDirs.flatMap { case (dir, key) =>
+      val f = new File(dir, ".zattrs")
+      if (f.exists())
+        Some(key -> MiniJson.parse(Files.readString(f.toPath))
+          .asInstanceOf[Map[String, Any]])
+      else None
+    }.toMap
+    Store(path, arrays, attrs)
+  }
+
+  private def parseArrayMeta(name: String, dir: File): ArrayMeta = {
+    val j = MiniJson.parse(Files.readString(new File(dir, ".zarray").toPath))
+      .asInstanceOf[Map[String, Any]]
+    require(j("zarr_format").asInstanceOf[Double].toInt == 2,
+      s"$name: only zarr v2 stores are supported")
+    require(j.getOrElse("order", "C") == "C",
+      s"$name: only C-order zarr arrays are supported")
+    require(j.getOrElse("filters", null) == null ||
+      j("filters").asInstanceOf[Seq[Any]].isEmpty,
+      s"$name: zarr filters are not supported")
+    val shape = j("shape").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
+    val chunks = j("chunks").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
+    require(shape.size == chunks.size && shape.size <= 2,
+      s"$name: only 1-D/2-D arrays are supported (shape ${shape.mkString("x")})")
+    shape.drop(1).zip(chunks.drop(1)).foreach { case (s, c) =>
+      require(s == c, s"$name: inner dimensions must be unchunked (shape $s, chunk $c)")
+    }
+    val (comp, lvl) = j.getOrElse("compressor", null) match {
+      case null => (None, 0)
+      case m: Map[String, Any] @unchecked =>
+        val id = m("id").asInstanceOf[String]
+        require(id == "zlib" || id == "gzip",
+          s"$name: unsupported zarr compressor '$id' (supported: null, zlib, gzip; " +
+            "blosc requires a native library)")
+        (Some(id), m.getOrElse("level", 1.0).asInstanceOf[Double].toInt)
+      case x => sys.error(s"$name: malformed compressor $x")
+    }
+    val dtype = j("dtype").asInstanceOf[String]
+    require(dtype.length == 3 && "<>|".contains(dtype.head) &&
+      "fiu".contains(dtype.charAt(1)),
+      s"$name: unsupported dtype '$dtype'")
+    val fill = j.getOrElse("fill_value", null) match {
+      case null => 0.0
+      case d: Double => d
+      case _ => 0.0
+    }
+    ArrayMeta(name, dir.getPath, shape, chunks, dtype, comp, lvl, fill)
+  }
+
+  /** Read rows [rowStart, rowStart+nRows) of an array into a single
+    * native-order buffer of nRows×rowWidth elements. Chunk files are
+    * each decompressed at most once; chunk-aligned callers (the
+    * DataSource partitions) touch exactly one chunk. */
+  def readRows(meta: ArrayMeta, rowStart: Long, nRows: Int): ByteBuffer = {
+    val es = meta.elemSize
+    val w = meta.rowWidth
+    val out = ByteBuffer.allocate(nRows * w * es)
+      .order(if (meta.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val cr = meta.chunkRows
+    var row = rowStart
+    val end = rowStart + nRows
+    while (row < end) {
+      val chunkIdx = row / cr
+      val inChunk = row - chunkIdx * cr
+      val take = math.min(end - row, cr - inChunk).toInt
+      val chunk = readChunk(meta, chunkIdx)
+      out.put(chunk, (inChunk * w * es).toInt, take * w * es)
+      row += take
+    }
+    out.flip()
+    out
+  }
+
+  /** One decompressed chunk (full-sized per spec; missing file =>
+    * fill_value). */
+  def readChunk(meta: ArrayMeta, chunkIdx: Long): Array[Byte] = {
+    val name = if (meta.shape.size <= 1) s"$chunkIdx" else s"$chunkIdx.0"
+    val f = Paths.get(meta.dir, name)
+    val size = (meta.chunkRows * meta.rowWidth * meta.elemSize).toInt
+    if (!Files.exists(f)) return fillChunk(meta, size)
+    val raw = Files.readAllBytes(f)
+    meta.compressor match {
+      case None => raw
+      case Some(_) => inflate(raw, size)
+    }
+  }
+
+  private def fillChunk(meta: ArrayMeta, size: Int): Array[Byte] = {
+    val out = new Array[Byte](size)
+    if (meta.fillValue != 0.0) {
+      val one = ByteBuffer.allocate(meta.elemSize)
+        .order(if (meta.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      meta.kind match {
+        case 'f' => if (meta.elemSize == 4) one.putFloat(meta.fillValue.toFloat)
+          else one.putDouble(meta.fillValue)
+        case _ => meta.elemSize match {
+          case 1 => one.put(meta.fillValue.toByte)
+          case 2 => one.putShort(meta.fillValue.toShort)
+          case 4 => one.putInt(meta.fillValue.toInt)
+          case 8 => one.putLong(meta.fillValue.toLong)
+        }
+      }
+      var i = 0
+      while (i < size) { out(i) = one.get(i % meta.elemSize); i += 1 }
+    }
+    out
+  }
+
+  private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+    // zlib and gzip ids both wrap DEFLATE; zlib has a 2-byte header
+    // the Inflater handles natively, gzip needs GZIPInputStream
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      val out = in.readAllBytes()
+      require(out.length == expected,
+        s"gzip chunk inflated to ${out.length} bytes, expected $expected")
+      out
+    } else {
+      val inf = new Inflater()
+      inf.setInput(raw)
+      val out = new Array[Byte](expected)
+      val n = inf.inflate(out)
+      require(inf.finished() && n == expected,
+        s"zlib chunk inflated to $n bytes, expected $expected")
+      inf.end()
+      out
+    }
+  }
+}
+
+/** Minimal JSON parser for zarr metadata files (objects, arrays,
+  * strings, numbers, booleans, null — the entire grammar `.zarray` /
+  * `.zattrs` use). Self-contained so the store reader has no
+  * dependency surface beyond the JDK. */
+object MiniJson {
+  def parse(s: String): Any = {
+    val p = new P(s)
+    val v = p.value()
+    p.ws()
+    require(p.eof, s"trailing JSON content at ${p.pos}")
+    v
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def ws(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s.charAt(pos) == c, s"expected '$c' at $pos"); pos += 1
+    }
+    def value(): Any = {
+      ws()
+      require(!eof, "unexpected end of JSON")
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true", true)
+        case 'f' => lit("false", false)
+        case 'n' => lit("null", null)
+        case _ => num()
+      }
+    }
+    private def lit(word: String, v: Any): Any = {
+      require(s.startsWith(word, pos), s"bad literal at $pos"); pos += word.length; v
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); ws()
+      if (s.charAt(pos) == '}') { pos += 1; return Map.empty }
+      val b = Map.newBuilder[String, Any]
+      var done = false
+      while (!done) {
+        ws(); val k = str(); ws(); expect(':')
+        b += k -> value(); ws()
+        if (s.charAt(pos) == ',') pos += 1 else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def arr(): Seq[Any] = {
+      expect('['); ws()
+      if (s.charAt(pos) == ']') { pos += 1; return Nil }
+      val b = Seq.newBuilder[Any]
+      var done = false
+      while (!done) {
+        b += value(); ws()
+        if (s.charAt(pos) == ',') pos += 1 else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          s.charAt(pos) match {
+            case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+            case 'b' => sb += '\b'; case 'f' => sb += '\f'
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+            case o => sb += o
+          }
+        } else sb += c
+        pos += 1
+      }
+      pos += 1
+      sb.toString
+    }
+    private def num(): Double = {
+      val start = pos
+      while (!eof && ("+-.eE0123456789".indexOf(s.charAt(pos)) >= 0)) pos += 1
+      s.substring(start, pos).toDouble
+    }
+  }
+}
