@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.{Cosmology, GraftDataset}
+import graft.sources.hdf5.ChunkedHdf5
+
+/** Format auto-detection — scida's `load()` convenience entry
+  * (reference: src/scida/convenience.py:287 `load`,
+  * src/scida/discovertypes.py: candidate classes sniff the path and
+  * vote): open a path without knowing its format, detect
+  * parquet / chunked-HDF5 / zarr, and return a lazily-scanned dataset
+  * with metadata mixins attached.
+  *
+  * Detection is driver-side metadata sniffing only (file names, magic
+  * bytes, store marker files) — no data is read until an action, as
+  * in scida.
+  */
+object Load {
+
+  sealed trait Format
+  case object Parquet extends Format
+  case object Hdf5 extends Format
+  case object Zarr extends Format
+
+  private val Hdf5Magic = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+
+  private def isHdf5File(f: File): Boolean =
+    f.isFile && f.length() >= 8 && {
+      val head = new Array[Byte](8)
+      val in = Files.newInputStream(f.toPath)
+      try { in.readNBytes(head, 0, 8); head.sameElements(Hdf5Magic) }
+      finally in.close()
+    }
+
+  /** Sniff a path's format: zarr marker files win for directories
+    * (`.zgroup`/`.zarray`), then HDF5 magic bytes (any chunk file),
+    * then parquet (extension or directory of part files). Mirrors
+    * scida's validate_path voting with its specificity order. */
+  def detect(path: String): Format = {
+    val f = new File(path)
+    require(f.exists(), s"no such path: $path")
+    if (f.isDirectory) {
+      if (new File(f, ".zgroup").exists() || new File(f, ".zarray").exists()) Zarr
+      else {
+        val files = f.listFiles().filter(_.isFile)
+        if (files.exists(isHdf5File)) Hdf5
+        else if (files.exists(x => x.getName.endsWith(".parquet") ||
+          x.getName.startsWith("part-") || x.getName == "_SUCCESS")) Parquet
+        else sys.error(s"cannot detect dataset format of directory $path " +
+          s"(no zarr markers, HDF5 chunks, or parquet files)")
+      }
+    } else {
+      if (isHdf5File(f)) Hdf5
+      else if (f.getName.endsWith(".parquet")) Parquet
+      else sys.error(s"cannot detect dataset format of file $path")
+    }
+  }
+
+  /** Load a path as a DataFrame, auto-detected. For HDF5, `group`
+    * selects the particle-type group; when omitted and exactly one
+    * group holds datasets, that group is used (scida's single-
+    * container shortcut). */
+  def dataFrame(spark: SparkSession, path: String, group: String = ""): DataFrame =
+    detect(path) match {
+      case Parquet => spark.read.parquet(path)
+      case Zarr => spark.read.format("graft-zarr").load(path)
+      case Hdf5 =>
+        val g = if (group.nonEmpty) group else soleHdf5Group(path)
+        ChunkedHdf5.load(spark, path, g)
+    }
+
+  private def soleHdf5Group(path: String): String = {
+    val chunk = ChunkedHdf5.discoverChunks(path).head
+    val f = ChunkedHdf5.metadata(chunk)
+    val withData = f.groups.filter(g =>
+      f.datasets.exists(d => d.path.startsWith(g + "/"))).map(_.stripPrefix("/"))
+    withData match {
+      case Seq(one) => one
+      case many => sys.error(
+        s"HDF5 snapshot $path has ${many.size} groups (${many.mkString(", ")}); " +
+          "pass group=...")
+    }
+  }
+
+  /** Load as a GraftDataset with metadata mixins attached — the full
+    * scida `load()` contract: cosmology derives from /Header attrs
+    * (HDF5 chunk 0, or a zarr root/.zattrs carrying header keys) when
+    * the snapshot validates as a cosmological run. */
+  def dataset(spark: SparkSession, path: String, group: String = ""): GraftDataset = {
+    val ds = GraftDataset(dataFrame(spark, path, group))
+    attrsOf(path).filter(Cosmology.isCosmological)
+      .flatMap(Cosmology.fromAttrs)
+      .map(ds.withCosmology).getOrElse(ds)
+  }
+
+  private def attrsOf(path: String): Option[Map[String, Map[String, Any]]] =
+    detect(path) match {
+      case Hdf5 => Some(ChunkedHdf5.attrs(path))
+      case Zarr =>
+        val st = graft.sources.zarr.ZarrStore.open(path)
+        // zarr stores carry header metadata on the root group
+        st.attrs.get("/").map(root => Map("/Header" -> root))
+      case Parquet => None
+    }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Load
+import graft.sources.hdf5.Hdf5Writer
+import graft.sources.zarr.ZarrWriter
+
+/** Format auto-detection — scida load()/discovertypes semantics
+  * (reference: src/scida/convenience.py:287, src/scida/
+  * discovertypes.py): sniff a path, pick the loader, attach mixins.
+  */
+class LoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val hdf5Dir: String = {
+    val dir = Files.createTempDirectory("graft_load_h5").toString
+    Hdf5Writer.write(s"$dir/snap.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> Hdf5Writer.Group(attrs = Seq(
+        "Time" -> 0.5, "Redshift" -> 1.0, "HubbleParam" -> 0.6774)),
+      "PartType0" -> Hdf5Writer.Group(children = Seq(
+        "Masses" -> Hdf5Writer.F64(Array(1.0, 2.0)))))))
+    dir
+  }
+
+  private lazy val zarrDir: String = {
+    val dir = Files.createTempDirectory("graft_load_zarr").toString
+    ZarrWriter.write(dir, Seq("Masses" -> ZarrWriter.F64(Array(3.0, 4.0))),
+      attrs = Map("/" -> Map("Redshift" -> 2.0, "HubbleParam" -> 0.7)))
+    dir
+  }
+
+  private lazy val parquetDir: String = {
+    val dir = Files.createTempDirectory("graft_load_pq").toString + "/t"
+    Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v").write.parquet(dir)
+    dir
+  }
+
+  test("detect: zarr markers, hdf5 magic bytes, parquet part files") {
+    assert(Load.detect(zarrDir) == Load.Zarr)
+    assert(Load.detect(hdf5Dir) == Load.Hdf5)
+    assert(Load.detect(s"$hdf5Dir/snap.0.hdf5") == Load.Hdf5)
+    assert(Load.detect(parquetDir) == Load.Parquet)
+    assert(Load.detect("/root/testdata/sf0.001/orders.parquet") == Load.Parquet)
+    intercept[RuntimeException](Load.detect(Files.createTempDirectory("empty").toString))
+  }
+
+  test("dataFrame dispatches to the right source, end-to-end") {
+    assert(Load.dataFrame(spark, parquetDir).count() == 2)
+    // hdf5: sole data-bearing group is picked automatically
+    val h5 = Load.dataFrame(spark, hdf5Dir)
+    assert(h5.columns.contains("Masses") && h5.count() == 2)
+    val z = Load.dataFrame(spark, zarrDir)
+    assert(z.select("Masses").as[Double].collect().sorted.toSeq == Seq(3.0, 4.0))
+  }
+
+  test("dataset attaches the cosmology mixin from snapshot metadata") {
+    val dsH5 = Load.dataset(spark, hdf5Dir)
+    assert(dsH5.cosmology.map(_.redshift).contains(1.0))
+    assert(dsH5.cosmology.map(_.h).contains(0.6774))
+    // zarr root attrs carry header keys; no Time key → z-only validates
+    val dsZ = Load.dataset(spark, zarrDir)
+    assert(dsZ.cosmology.map(_.redshift).contains(2.0))
+    // plain parquet: no cosmology, still loads
+    assert(Load.dataset(spark, parquetDir).cosmology.isEmpty)
+  }
+}
