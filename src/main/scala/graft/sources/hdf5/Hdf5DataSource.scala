@@ -135,16 +135,75 @@ final class Hdf5Scan(options: CaseInsensitiveStringMap, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Hdf5ReaderFactory(options.getOrDefault("group", "/"),
-      required.fields.map(f => f.name))
+    new Hdf5ReaderFactory(options.getOrDefault("group", "/"), required)
 }
 
-final class Hdf5ReaderFactory(group: String, colNames: Array[String])
+final class Hdf5ReaderFactory(group: String, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Hdf5Partition]
-    new Hdf5PartitionReader(p, group, colNames)
+    new Hdf5PartitionReader(p, group, required.fields.map(_.name))
   }
+
+  // Vectorized path: the partition reader already holds columnar
+  // buffers, so serving ColumnarBatch avoids one GenericInternalRow
+  // allocation + boxing per row and feeds whole-stage codegen through
+  // ColumnarToRow — the 100x-scale read path.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new Hdf5ColumnarReader(partition.asInstanceOf[Hdf5Partition], group, required)
+}
+
+/** Columnar partition reader: fills OnHeapColumnVectors straight from
+  * the per-dataset slice buffers in 64k-row batches via the shared
+  * ColumnarFill kernels. */
+final class Hdf5ColumnarReader(p: Hdf5Partition, group: String, schema: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val h5 = ChunkedHdf5.metadata(p.file)
+  private val byName =
+    Hdf5Table.columnsFromFile(h5, group, p.file).map(c => c.name -> c).toMap
+  private val dsMeta = h5.datasets.map(d => d.path -> d).toMap
+
+  private val buffers: Map[String, java.nio.ByteBuffer] =
+    schema.fieldNames.filter(_ != "row_id").map(byName(_)).map(_.dsPath).distinct
+      .map { path =>
+        path -> Hdf5Reader.readRows(p.file, dsMeta(path), p.rowStart, p.nRows)
+      }.toMap
+
+  private val batchSize = math.max(math.min(p.nRows, 1 << 16), 1)
+  private val vectors = schema.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  private val fillers: Array[(Int, Int) => Unit] =
+    schema.fieldNames.zip(vectors).map {
+      case ("row_id", vec) => graft.sources.ColumnarFill.idFiller(vec, p.globalStart)
+      case (name, vec) =>
+        val c = byName(name)
+        val d = dsMeta(c.dsPath)
+        val kind = if (d.dtype.clazz == 1) 'f' else if (d.dtype.signed) 'i' else 'u'
+        graft.sources.ColumnarFill.filler(vec, buffers(c.dsPath), kind,
+          d.dtype.size, d.rowWidth, c.comp, c.dsPath)
+    }
+
+  private var offset = 0
+  override def next(): Boolean =
+    if (offset >= p.nRows) false
+    else {
+      val n = math.min(batchSize, p.nRows - offset)
+      vectors.foreach(_.reset())
+      fillers.foreach(_(offset, n))
+      batch.setNumRows(n)
+      offset += n
+      true
+    }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 /** Reads its slice of each projected dataset into flat buffers once,

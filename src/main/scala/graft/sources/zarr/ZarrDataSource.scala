@@ -123,13 +123,69 @@ final class ZarrScan(options: CaseInsensitiveStringMap, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(required.fields.map(_.name))
+    new ZarrReaderFactory(required)
 }
 
-final class ZarrReaderFactory(colNames: Array[String])
+final class ZarrReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(partition.asInstanceOf[ZarrPartition], colNames)
+    new ZarrPartitionReader(partition.asInstanceOf[ZarrPartition],
+      required.fields.map(_.name))
+
+  // Vectorized path — same rationale as Hdf5ReaderFactory: the
+  // decompressed chunk is already columnar, so ColumnarBatch skips
+  // per-row materialization entirely.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ZarrColumnarReader(partition.asInstanceOf[ZarrPartition], required)
+}
+
+/** Columnar partition reader over the decompressed chunk slice via
+  * the shared ColumnarFill kernels. */
+final class ZarrColumnarReader(p: ZarrPartition, schema: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val store = ZarrStore.open(p.path)
+  private val byName = ZarrTable.columnsFor(store).map(c => c.name -> c).toMap
+  private val metaByArr = store.arrays.map(a => a.name -> a).toMap
+
+  private val buffers: Map[String, java.nio.ByteBuffer] =
+    schema.fieldNames.filter(_ != "row_id").map(byName(_)).map(_.array).distinct
+      .map(arr => arr -> ZarrStore.readRows(metaByArr(arr), p.rowStart, p.nRows))
+      .toMap
+
+  private val batchSize = math.max(math.min(p.nRows, 1 << 16), 1)
+  private val vectors = schema.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  private val fillers: Array[(Int, Int) => Unit] =
+    schema.fieldNames.zip(vectors).map {
+      case ("row_id", vec) => graft.sources.ColumnarFill.idFiller(vec, p.rowStart)
+      case (name, vec) =>
+        val c = byName(name)
+        val m = metaByArr(c.array)
+        graft.sources.ColumnarFill.filler(vec, buffers(c.array), m.kind,
+          m.elemSize, m.rowWidth, c.comp, c.array)
+    }
+
+  private var offset = 0
+  override def next(): Boolean =
+    if (offset >= p.nRows) false
+    else {
+      val n = math.min(batchSize, p.nRows - offset)
+      vectors.foreach(_.reset())
+      fillers.foreach(_(offset, n))
+      batch.setNumRows(n)
+      offset += n
+      true
+    }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 /** Column-major IO (one buffer per projected array slice), row-major

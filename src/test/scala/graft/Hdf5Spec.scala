@@ -94,6 +94,15 @@ class Hdf5Spec extends SparkSpec {
     assert(df.agg(sum("Masses")).head.getDouble(0) == (0 until 12).map(_ + 0.5).sum)
   }
 
+  test("scan serves the vectorized path (ColumnarToRow in plan)") {
+    val df = ChunkedHdf5.load(spark, snapDir, "PartType0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan.take(600))
+    // values flow correctly through the columnar batches, incl. the
+    // u8 ids and multi-batch row_id continuity
+    assert(df.agg(sum("ParticleIDs")).head.getLong(0) == (0 until 12).sum)
+  }
+
   test("row slicing partitions a chunk without changing results") {
     val df = spark.read.format("graft-hdf5")
       .option("group", "PartType0").option("rowsPerPartition", "2")

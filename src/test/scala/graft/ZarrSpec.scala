@@ -104,6 +104,15 @@ class ZarrSpec extends SparkSpec {
     assert(df.as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("graft-zarr serves the vectorized path (ColumnarToRow in plan)") {
+    val dir = tmp()
+    ZarrWriter.write(dir, Seq("v" -> ZarrWriter.F64(Array.tabulate(10)(_ + 0.5))))
+    val df = spark.read.format("graft-zarr").load(dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"), p.take(600))
+    assert(df.agg(sum("v")).as[Double].head() == (0 until 10).map(_ + 0.5).sum)
+  }
+
   test("MiniJson parses the metadata grammar") {
     val v = MiniJson.parse(
       """{"a": [1, 2.5, -3e2], "b": {"c": null, "d": true}, "s": "x\"y\n"}""")
