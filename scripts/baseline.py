@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Produce BASELINE.md: single-node reference timings for every
+oracle-expressible query, so the "BENCH within 2x of BASELINE" gate is
+computable.
+
+Baseline engine: DuckDB (the same engine the correctness gate trusts),
+executing each query's oracle SQL against the sf0.1 parquet with all
+cores. Rationale: the reference implementation (scida) is a
+Python/dask library whose runtime deps (dask, h5py) are not installed
+in this container, so its own numbers cannot be measured here; DuckDB
+on identical data and identical semantics is the strongest available
+single-node stand-in, and is if anything a HARD baseline (vectorized
+C++ OLAP vs JVM Spark on one machine).
+
+Usage: python3 scripts/baseline.py [sfdir] [oracle_sql.json] [bench.json]
+Writes BASELINE.md in the repo root.
+"""
+import json, sys, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+    bench_path = sys.argv[3] if len(sys.argv) > 3 else None
+    oracles = json.load(open(oracle_path))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+    times = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        best = None
+        for _ in range(2):  # two passes, keep the min (same as Bench)
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = best
+
+    bench = None
+    if bench_path:
+        line = open(bench_path).read()
+        bench = json.loads(line[line.index("{"):])
+
+    total = sum(times.values())
+    lines = [
+        "# BASELINE — single-node reference timings (DuckDB oracle engine)",
+        "",
+        f"- Data: `{sfdir}` (driver-generated parquet, one row group per file)",
+        f"- Engine: DuckDB {duckdb.__version__}, all cores, each oracle SQL",
+        "  run twice, min kept (mirrors `graft.Bench`'s protocol).",
+        "- Why DuckDB: the reference (scida) is a Python/dask library whose",
+        "  runtime deps (dask, h5py) are absent in this container, so its own",
+        "  numbers are unmeasurable here. DuckDB executes the SAME semantics",
+        "  on the SAME files and is a hard single-node baseline (vectorized",
+        "  C++ OLAP). Queries with no oracle SQL (sketches, LSH/IVF ANN,",
+        "  SimHash, streaming, multimodal stubs) have no baseline row.",
+        "- Ingestion queries (hdf5_load, cosmo_physical, zarr_roundtrip) are",
+        "  baselined on the ORIGINAL parquet (their oracles' form); the graft",
+        "  side additionally pays the chunked write+read of the fixture.",
+        "",
+        f"**Baseline total ({len(times)} queries): {total:.2f} s**",
+        "",
+        "| query | baseline s | graft s | ratio (graft/base) |",
+        "| --- | ---: | ---: | ---: |",
+    ]
+    ratios = []
+    for name in sorted(times):
+        b = times[name]
+        if bench and name in bench.get("queries", {}):
+            g = bench["queries"][name]
+            r = g / b if b > 0 else float("inf")
+            ratios.append(r)
+            lines.append(f"| {name} | {b:.3f} | {g:.3f} | {r:.1f} |")
+        else:
+            lines.append(f"| {name} | {b:.3f} | — | — |")
+    if bench and ratios:
+        gtot = sum(v for k, v in bench["queries"].items() if k in times)
+        lines += [
+            "",
+            f"**graft total on the same {len(ratios)} queries: {gtot:.2f} s "
+            f"→ aggregate ratio {gtot / total:.2f}x**",
+            "",
+            "Note: per-query ratios on this dataset carry a fixed overhead",
+            "floor — Spark job scheduling + codegen is O(100 ms) per query",
+            "while DuckDB on sub-GB data often finishes in O(10 ms), so",
+            "cheap queries show inflated ratios that vanish at real scale;",
+            "the aggregate ratio and the expensive-query rows (dedup family,",
+            "joins, windows) are the meaningful comparison.",
+        ]
+    open("BASELINE.md", "w").write("\n".join(lines) + "\n")
+    print(f"BASELINE.md written: {len(times)} queries, total {total:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

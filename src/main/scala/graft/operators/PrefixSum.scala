@@ -45,17 +45,32 @@ object PrefixSum {
     val inBucket = Window.partitionBy("__b").orderBy(key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bucketed.withColumn("__cum", sum(len).over(inBucket))
-    // per-bucket totals (buckets rows) → exclusive bucket prefix via a
-    // tiny triangular self-join; no global window anywhere
-    val totals = bucketed.groupBy("__b").agg(sum(len).as("__tot"))
-    val prefix = totals.select(col("__b"), col("__tot"))
-      .as("a")
-      .join(totals.select(col("__b").as("__b2"), col("__tot").as("__tot2")),
-        col("__b2") < col("a.__b"), "left")
-      .groupBy(col("a.__b").as("__b"))
-      .agg(coalesce(sum(col("__tot2")), lit(0L)).as("__pre"))
-    cum.join(broadcast(prefix), Seq("__b"))
-      .withColumn(outCol, col("__pre") + col("__cum") - len)
-      .drop("__b", "__cum", "__pre")
+    // per-bucket totals: <= `buckets` rows after a map-side-combined
+    // aggregate — collect them to the driver and inline the exclusive
+    // bucket prefix as ONE literal-array lookup. This replaces the
+    // former triangular self-join + broadcast hash join (two extra
+    // stages) with a codegen'd element_at; the collected frame is
+    // bounded by the bucket count, never the data.
+    val totals = bucketed.groupBy("__b").agg(sum(len).as("__tot")).collect()
+    if (totals.isEmpty)
+      return cum.withColumn(outCol, col("__cum") - len).drop("__b", "__cum")
+    // exclusive scan over bucket totals, typed to match sum(len) so
+    // long counts never round-trip through double (2^53 hazard)
+    val preCol = totals.head.get(1) match {
+      case _: Long =>
+        val byB = totals.map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val pre = new Array[Long](byB.map(_._1).max + 1)
+        var running = 0L
+        byB.foreach { case (b, tot) => pre(b) = running; running += tot }
+        element_at(typedLit(pre.toSeq), col("__b") + 1)
+      case _ =>
+        val byB = totals.map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+        val pre = new Array[Double](byB.map(_._1).max + 1)
+        var running = 0.0
+        byB.foreach { case (b, tot) => pre(b) = running; running += tot }
+        element_at(typedLit(pre.toSeq), col("__b") + 1)
+    }
+    cum.withColumn(outCol, preCol + col("__cum") - len)
+      .drop("__b", "__cum")
   }
 }

@@ -84,9 +84,11 @@ class PlanAuditSpec extends SparkSpec {
     windows.foreach(w =>
       assert(!w.contains("No Partition") && w.contains("__b"),
         s"window must partition on the range bucket: $w"))
-    // bucket prefixes join back via broadcast, not a shuffle
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      p.take(1200))
+    // bucket prefixes come back as a literal-array element_at lookup
+    // (driver-side exclusive scan over <= `buckets` totals) — the plan
+    // must contain NO join for them at all
+    assert(p.contains("element_at"), p.take(1200))
+    assert(!p.contains("Join"), "bucket prefix must not join:\n" + p.take(1200))
   }
 
   test("whole-stage codegen active in scan-side stages") {
