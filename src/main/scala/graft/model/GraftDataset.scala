@@ -100,6 +100,12 @@ final class GraftDataset private (
 
   def unitOf(path: String): Option[String] = units.get(path)
 
+  /** Fields with no recorded unit — scida missing_units
+    * (units.py:604): the audit surface for "did unit discovery cover
+    * everything". */
+  def missingUnits: Seq[String] =
+    fieldNames.filterNot(units.contains).sorted
+
   /** The field as a unit-carrying Quantity — fields with no recorded
     * unit enter the algebra as dimensionless, like pint's bare
     * magnitudes. */

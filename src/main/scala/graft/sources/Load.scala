@@ -87,16 +87,54 @@ object Load {
   /** Load as a GraftDataset with metadata mixins attached — the full
     * scida `load()` contract: cosmology derives from /Header attrs
     * (HDF5 chunk 0, or a zarr root/.zattrs carrying header keys) when
-    * the snapshot validates as a cosmological run. */
+    * the snapshot validates as a cosmological run, and per-field
+    * units resolve from dataset-level attributes (explicit unit
+    * strings or TNG-style cgs scalings, units.py:122
+    * extract_units_from_attrs): each resolvable field gets its unit
+    * recorded and a derived `<field>_cgs` quantity (raw × factor,
+    * one literal multiply) registered. */
   def dataset(spark: SparkSession, path: String, group: String = ""): GraftDataset = {
-    val ds = GraftDataset(dataFrame(spark, path, group))
-    attrsOf(path).filter(Cosmology.isCosmological)
+    val fmt = detect(path)
+    val df = dataFrame(spark, path, group)
+    var ds = GraftDataset(df)
+    val attrs = attrsOf(fmt, path)
+    attrs.filter(Cosmology.isCosmological)
       .flatMap(Cosmology.fromAttrs)
-      .map(ds.withCosmology).getOrElse(ds)
+      .foreach(c => ds = ds.withCosmology(c))
+    // per-field unit discovery from dataset-level attrs
+    val fieldAttrs: String => Option[Map[String, Any]] = fmt match {
+      case Hdf5 =>
+        val g = if (group.nonEmpty) group else soleHdf5Group(path)
+        val all = ChunkedHdf5.attrs(path)
+        name => all.get(s"/$g/$name")
+      case Zarr =>
+        val st = graft.sources.zarr.ZarrStore.open(path)
+        name => st.attrs.get(s"/$name")
+      case Parquet => _ => None
+    }
+    df.columns.filter(_ != "row_id").foreach { colName =>
+      // flattened 2-D columns (Coordinates_0) carry the array's attrs
+      val a = fieldAttrs(colName)
+        .orElse(fieldAttrs(colName.replaceAll("_\\d+$", "")))
+      a.flatMap(graft.model.UnitAttrs.fromAttrs(_, ds.cosmology)).foreach {
+        case (factor, measure) =>
+          if (factor == 1.0)
+            // explicit unit string: the raw values ARE in this unit
+            ds = ds.withUnit(colName, measure.toString)
+          else
+            // cgs factor: raw values are code units; the derived _cgs
+            // field carries the physical measure (withDerivedQ records
+            // its unit from the quantity algebra)
+            ds = ds.withDerivedQ(s"${colName}_cgs")(g =>
+              graft.model.Quantity(
+                g.field(colName) * org.apache.spark.sql.functions.lit(factor), measure))
+      }
+    }
+    ds
   }
 
-  private def attrsOf(path: String): Option[Map[String, Map[String, Any]]] =
-    detect(path) match {
+  private def attrsOf(fmt: Format, path: String): Option[Map[String, Map[String, Any]]] =
+    fmt match {
       case Hdf5 => Some(ChunkedHdf5.attrs(path))
       case Zarr =>
         val st = graft.sources.zarr.ZarrStore.open(path)
