@@ -91,6 +91,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "bucket prefix must not join:\n" + p.take(1200))
   }
 
+  test("subhalo_offsets: every window partitioned (no one-task catalog scan)") {
+    val p = plan("subhalo_offsets")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p.take(800))
+    // local offsets window on the parent group, prefix-sum window on
+    // the range bucket — a global Window.orderBy would serialize the
+    // whole subhalo catalog into a single task at 1e8 halos
+    windows.foreach(w =>
+      assert(!w.contains("No Partition"), s"unpartitioned window: $w"))
+  }
+
+  test("grouped_chain: one key shuffle into sorted mapGroups") {
+    val p = plan("grouped_chain")
+    assert(p.contains("MapGroups"), p.take(800))
+    // the chain's data path shuffles exactly once (on the group key);
+    // the only other exchange is the final presentation ORDER BY
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + p.take(1200))
+  }
+
+  test("cosmo_physical / unit_algebra: conversion factors are literals") {
+    // unit/cosmology conversion must be a codegen'd literal multiply,
+    // never a join or per-row lookup
+    val p1 = plan("cosmo_physical")
+    assert(!p1.contains("Join"), p1.take(800))
+    val p2 = plan("unit_algebra")
+    assert(!p2.contains("Join"), p2.take(800))
+    assert(p2.contains("0.677") || p2.contains("E-29") || p2.contains("e-29"),
+      "expected the registry-derived factor inlined:\n" + p2.take(1200))
+  }
+
   test("whole-stage codegen active in scan-side stages") {
     // AQE only reveals the final (codegen-annotated) plan after THIS
     // df's own plan instance has run (write/count would re-plan)
