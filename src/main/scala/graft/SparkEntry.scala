@@ -16,7 +16,8 @@ object SparkEntry {
   private def all: Map[String, QueryDef] =
     RelationalQueries.defs ++ ScidaQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
-      MultimodalQueries.defs ++ Hdf5Queries.defs ++ ZarrQueries.defs
+      MultimodalQueries.defs ++ Hdf5Queries.defs ++ ZarrQueries.defs ++
+      FitsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -23,16 +23,21 @@ object Load {
   case object Parquet extends Format
   case object Hdf5 extends Format
   case object Zarr extends Format
+  case object Fits extends Format
 
   private val Hdf5Magic = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+  private val FitsMagic = "SIMPLE  =".getBytes("US-ASCII")
 
-  private def isHdf5File(f: File): Boolean =
-    f.isFile && f.length() >= 8 && {
-      val head = new Array[Byte](8)
+  private def magic(f: File, expect: Array[Byte]): Boolean =
+    f.isFile && f.length() >= expect.length && {
+      val head = new Array[Byte](expect.length)
       val in = Files.newInputStream(f.toPath)
-      try { in.readNBytes(head, 0, 8); head.sameElements(Hdf5Magic) }
+      try { in.readNBytes(head, 0, expect.length); head.sameElements(expect) }
       finally in.close()
     }
+
+  private def isHdf5File(f: File): Boolean = magic(f, Hdf5Magic)
+  private def isFitsFile(f: File): Boolean = magic(f, FitsMagic)
 
   /** Sniff a path's format: zarr marker files win for directories
     * (`.zgroup`/`.zarray`), then HDF5 magic bytes (any chunk file),
@@ -46,13 +51,15 @@ object Load {
       else {
         val files = f.listFiles().filter(_.isFile)
         if (files.exists(isHdf5File)) Hdf5
+        else if (files.exists(isFitsFile)) Fits
         else if (files.exists(x => x.getName.endsWith(".parquet") ||
           x.getName.startsWith("part-") || x.getName == "_SUCCESS")) Parquet
         else sys.error(s"cannot detect dataset format of directory $path " +
-          s"(no zarr markers, HDF5 chunks, or parquet files)")
+          s"(no zarr markers, HDF5 chunks, FITS files, or parquet files)")
       }
     } else {
       if (isHdf5File(f)) Hdf5
+      else if (isFitsFile(f)) Fits
       else if (f.getName.endsWith(".parquet")) Parquet
       else sys.error(s"cannot detect dataset format of file $path")
     }
@@ -66,10 +73,18 @@ object Load {
     detect(path) match {
       case Parquet => spark.read.parquet(path)
       case Zarr => spark.read.format("graft-zarr").load(path)
+      case Fits => spark.read.format("graft-fits").load(firstFits(path))
       case Hdf5 =>
         val g = if (group.nonEmpty) group else soleHdf5Group(path)
         ChunkedHdf5.load(spark, path, g)
     }
+
+  private def firstFits(path: String): String = {
+    val f = new File(path)
+    if (f.isFile) path
+    else f.listFiles().filter(isFitsFile).map(_.getPath).sorted.headOption
+      .getOrElse(sys.error(s"no FITS file in $path"))
+  }
 
   private def soleHdf5Group(path: String): String = {
     val chunk = ChunkedHdf5.discoverChunks(path).head
@@ -110,7 +125,7 @@ object Load {
       case Zarr =>
         val st = graft.sources.zarr.ZarrStore.open(path)
         name => st.attrs.get(s"/$name")
-      case Parquet => _ => None
+      case _ => _ => None
     }
     df.columns.filter(_ != "row_id").foreach { colName =>
       // flattened 2-D columns (Coordinates_0) carry the array's attrs
@@ -140,6 +155,14 @@ object Load {
         val st = graft.sources.zarr.ZarrStore.open(path)
         // zarr stores carry header metadata on the root group
         st.attrs.get("/").map(root => Map("/Header" -> root))
+      case Fits =>
+        // scida load_metadata: the primary header IS the metadata
+        // (io/_base.py:134); numeric cards become header scalars
+        val cards = graft.sources.fits.FitsReader.primaryHeader(firstFits(path))
+        val numeric: Map[String, Any] = cards.flatMap { case (k, v) =>
+          v.toDoubleOption.map(d => k -> (d: Any))
+        }
+        Some(Map("/Header" -> numeric))
       case Parquet => None
     }
 }
