@@ -193,13 +193,16 @@ object RelationalQueries {
     // One percentile aggregate with an ARRAY of percentages: the
     // (unavoidably value-buffering) exact-quantile state is built and
     // merged once, not once per quantile.
+    // Exact quantiles via distributed rank selection
+    // (operators.ExactQuantiles): `percentile()` is exact but buffers
+    // every value in ONE aggregation buffer — single-node state that
+    // cannot hold at 100 TB. Range-partition + sorted-partition rank
+    // extraction keeps memory constant everywhere and moves only
+    // 2x|probs| values to the driver; interpolation rule identical.
     "percentiles" -> QueryDef.sql(
-      (s, d) => Tables.lineitem(s, d)
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
-        .select(
-          round(element_at(col("ps"), 1), 4).as("p25"),
-          round(element_at(col("ps"), 2), 4).as("p50"),
-          round(element_at(col("ps"), 3), 4).as("p75")),
+      (s, d) => graft.operators.ExactQuantiles.quantiles(
+        Tables.lineitem(s, d), "l_extendedprice",
+        probs = Seq(0.25, 0.5, 0.75), names = Seq("p25", "p50", "p75")),
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
