@@ -38,4 +38,24 @@ object Spatial {
     val boxed = boxCut(df, coords.map { case (n, c) => (n, c - radius, c + radius + 1e-12) })
     sphereCut(boxed, coords.map { case (n, c) => (col(n), c) }, radius)
   }
+
+  /** Periodic rectangular cutout — scida `rectangular_cutout_mask`
+    * with pbc=True (reference: src/scida/misc.py:181, wired through
+    * mixins/spatial.py:96): per-axis MINIMUM-IMAGE distance under
+    * periodic boundary conditions — d = |x − center|, wrapped to
+    * |box − d| when d > box/2 — kept when d < width/2 on every axis.
+    * A codegen'd per-row predicate (CASE + abs), no join; unlike the
+    * plain box cut it cannot prune row groups when the selection
+    * wraps the box edge — that asymmetry is inherent to PBC, not to
+    * the plan. */
+  def periodicBoxCut(df: DataFrame,
+      axes: Seq[(Column, Double, Double)], boxsize: Double): DataFrame = {
+    require(boxsize > 0.0, "boxsize must be positive for PBC")
+    val pred = axes.map { case (c, center, width) =>
+      val d = abs(c - lit(center))
+      val wrapped = when(d > lit(0.5 * boxsize), abs(lit(boxsize) - d)).otherwise(d)
+      wrapped < lit(width / 2.0)
+    }.reduce(_ && _)
+    df.filter(pred)
+  }
 }

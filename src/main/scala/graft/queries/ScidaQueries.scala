@@ -287,6 +287,25 @@ object ScidaQueries {
         |  AND p_retailprice >= 920.0 AND p_retailprice < 980.0
         |ORDER BY p_partkey""".stripMargin),
 
+    // --- periodic rectangular cut-out (misc.py:181
+    // rectangular_cutout_mask pbc=True via mixins/spatial.py:96):
+    // minimum-image distance per axis — the p_size axis (box 50,
+    // center 48, width 12) WRAPS, selecting sizes 43..50 and 1..3,
+    // which a non-periodic box cut would split in two. ---
+    "boxcut_periodic" -> QueryDef.sql(
+      (s, d) => graft.operators.Spatial.periodicBoxCut(
+        Tables.part(s, d),
+        Seq((col("p_size").cast("double"), 48.0, 12.0)), boxsize = 50.0)
+        .select("p_partkey").orderBy("p_partkey"),
+      """SELECT p_partkey FROM (
+        |  SELECT p_partkey,
+        |    CASE WHEN abs(CAST(p_size AS DOUBLE) - 48.0) > 25.0
+        |      THEN abs(50.0 - abs(CAST(p_size AS DOUBLE) - 48.0))
+        |      ELSE abs(CAST(p_size AS DOUBLE) - 48.0) END AS dsize
+        |  FROM part)
+        |WHERE dsize < 6.0
+        |ORDER BY p_partkey""".stripMargin),
+
     // --- spherical (radial) cut-out (mixins/spatial.py) ---
     "spherecut" -> QueryDef.sql(
       (s, d) => Spatial.sphereCut(Tables.part(s, d),
