@@ -108,6 +108,9 @@ object ZarrWriter {
     case other => sys.error(s"unsupported attr value $other")
   }
 
+  /** Attrs-object JSON emission, shared with the distributed saver. */
+  private[zarr] def attrsJson(m: Map[String, Any]): String = jsonObj(m)
+
   private def jsonObj(m: Map[String, Any]): String =
     m.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonVal(k) + ": " + jsonVal(v) }
