@@ -41,6 +41,30 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream enrichment against a static dimension: stream-static join
+    * broadcasts the dim to every micro-batch — no streaming state at
+    * all, the streaming twin of the batch broadcast dim join. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
+  /** Stream-stream INTERVAL join: match each event with responses for
+    * the same key arriving within [0, horizon) after it. Both sides
+    * are watermarked so the engine can discard buffered rows once no
+    * counterpart can still arrive — state is bounded by rate ×
+    * (watermark + horizon), not stream length. Event columns:
+    * (key, ts); response columns: (key, r_ts, ...). */
+  def intervalJoin(events: DataFrame, responses: DataFrame, key: String,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = events.withWatermark("ts", watermarkDelay)
+    val r = responses.withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") < col("ts") + expr(s"INTERVAL $horizon"))
+      .drop(r(key))
+  }
+
   final case class Evt(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, t_start: Long, t_end: Long,

@@ -127,6 +127,47 @@ class ModelStreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrichment broadcasts the dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val sdf = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(sdf, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((1L, 5.0), (2L, 7.0), (9L, 1.0)) // 9 has no dim row → dropped
+    q.processAllAvailable()
+    val rows = spark.table("enriched").select("user_id", "value", "tier")
+      .as[(Long, Double, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 5.0, "gold"), (2L, 7.0, "basic")))
+  }
+
+  test("stream-stream interval join matches responses within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evts = MemoryStream[(Long, java.sql.Timestamp)]
+    val resps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val q = EventStreams.intervalJoin(
+      evts.toDF().toDF("user_id", "ts"),
+      resps.toDF().toDF("user_id", "r_ts", "resp"),
+      "user_id", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    evts.addData((1L, t(0)), (2L, t(5)))
+    // in-horizon for user 1 (t+3), out-of-horizon for user 2 (t+15),
+    // before-event response for user 1 (t-? not possible at t0) —
+    // wrong-key response never matches
+    resps.addData((1L, t(3), "ok"), (2L, t(20), "late"), (3L, t(4), "nokey"))
+    q.processAllAvailable()
+    val rows = spark.table("ivjoin").select("user_id", "resp")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "ok")))
+  }
+
   test("streaming sessionize emits sessions after gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Evt]
