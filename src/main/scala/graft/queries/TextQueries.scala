@@ -84,6 +84,67 @@ object TextQueries {
         |  len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // --- end-to-end cleaning pipeline (the composition a training-
+    // data job actually runs): language filter → quality threshold →
+    // exact-dedup keep (first doc per content hash) → token counts.
+    // Every stage is the already-oracled operator composed in ONE
+    // lazy plan: the filters stay map-side on the scan, the only
+    // shuffle is the dedup group-by, and the keep-list comes back as
+    // a semi join. Threshold compares the ROUNDED ratio (parity
+    // protocol: both engines threshold the same rounded value). ---
+    "pipeline_clean" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = docs
+          .filter(TextOps.langId(col("text")) === "en")
+          .filter(roundAt(TextOps.stopwordRatio(col("text")), 6) >= 0.05)
+        val keep = kept
+          .groupBy(TextOps.exactHash(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        kept.join(keep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      {
+        val scores = TextOps.langDicts.map { case (lang, dict) =>
+          s"${dictHitsSql(dict)} AS s_$lang"
+        }.mkString(",\n    ")
+        val langs = TextOps.langDicts.map(_._1)
+        val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'")
+          .mkString("\n    ")
+        val stopHits = TextOps.enStopwords
+          .map(w => s"len(list_filter(ws, x -> x = '$w'))").mkString(" + ")
+        s"""WITH t AS (
+          |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+          |  FROM documents
+          |), sc AS (
+          |  SELECT doc_id, text, ws,
+          |    $scores
+          |  FROM t
+          |), b AS (
+          |  SELECT *, $best AS best FROM sc
+          |), lng AS (
+          |  SELECT doc_id, text, ws,
+          |    CASE
+          |    $pick
+          |    ELSE 'und' END AS pred_lang
+          |  FROM b
+          |), kept AS (
+          |  SELECT doc_id, text FROM lng
+          |  WHERE pred_lang = 'en'
+          |    AND floor((($stopHits)::DOUBLE / len(ws))*1000000 + 0.5)/1000000 >= 0.05
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+          |)
+          |SELECT k.doc_id,
+          |  len(regexp_extract_all(lower(k.text), '${TextOps.bpeishPattern}')) AS bpe_tokens
+          |FROM kept k JOIN keep USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
+      }),
+
     // --- content fingerprints: byte-exact md5 + canonical bag md5 ---
     // (winnowing rolling-hash fingerprint: TextOps.winnowingFingerprint,
     // spec-tested; not oracle-checked since DuckDB lacks xxhash64)
