@@ -136,6 +136,47 @@ object Dedup {
       .distinct() // distinct-shuffle: most candidates are discards
   }
 
+  /** Connected components over near-dup pairs: every doc gets the
+    * MINIMUM doc id reachable through pair edges as its cluster id —
+    * the transitive-closure grouping LSH dedup needs when near-dup
+    * is not an equivalence relation (a~b, b~c but not a~c).
+    *
+    * Iterative min-label propagation: each round, every node takes
+    * the min of its own label and its neighbors' labels; fixpoint in
+    * O(component diameter) rounds, detected by a changed-count that
+    * hits zero. Each round is one shuffle join + partial-agg min —
+    * nothing driver-side but the loop counter. (At billion-edge
+    * scale the same loop is run with the large-star/small-star edge
+    * rewriting [Kiveris et al., CC in MapReduce]; diameters of
+    * near-dup graphs are tiny, so plain propagation is the right
+    * default.) */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val idCol = ids.columns.head
+    val ab = pairs.toDF("a", "b")
+    // undirected: propagate both ways
+    val edges = graft.CacheScope.track(ab.union(ab.select(col("b"), col("a"))))
+    var labels = graft.CacheScope.track(
+      ids.select(col(idCol).as("id"), col(idCol).as("cluster")))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = labels.join(edges, col("id") === col("a"))
+        .groupBy(col("b")).agg(min("cluster").as("nbr_min"))
+      val next = graft.CacheScope.track(
+        labels.join(nbrMin, col("id") === col("b"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster")))
+      changed = next.join(labels.select(col("id"), col("cluster").as("old")), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as(idCol), col("cluster"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (label,
     * LSH bucket, …) so the self-join never goes quadratic in the
     * corpus — only within blocks. Cosine rounded to 6 dp before

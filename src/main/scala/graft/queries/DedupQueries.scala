@@ -104,6 +104,41 @@ object DedupQueries {
         |HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // --- transitive near-dup clusters: connected components over the
+    // MinHash-LSH pair graph (min reachable doc id = cluster id).
+    // Near-dup is not transitive, so keep-lists need the closure; the
+    // Spark side is iterative min-label propagation (one shuffle per
+    // round, O(diameter) rounds), the oracle a DuckDB RECURSIVE CTE
+    // over the exact-Jaccard pair graph — LSH dropping a true pair or
+    // the propagation under-converging both hash-fail. ---
+    "dedup_clusters" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+          .select("doc_a", "doc_b")
+        Dedup.connectedComponents(docs.select("doc_id"), pairs)
+          .orderBy("doc_id")
+      },
+      shingleCte.replaceFirst("WITH ws", "WITH RECURSIVE ws") +
+        """
+        |, pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |  HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
+        |), edges AS (
+        |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        |)
+        |SELECT id AS doc_id, min(lbl) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
     // --- 64-bit SimHash, 4×16-bit band join, Hamming <= 3 — rows-only ---
     "dedup_simhash" -> QueryDef.rowsOnly(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d),

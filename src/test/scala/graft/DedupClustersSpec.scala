@@ -1,0 +1,29 @@
+package graft
+
+import graft.dedup.Dedup
+
+/** Connected components over near-dup pairs — transitive closure
+  * clustering for non-transitive similarity (a~b, b~c, a!~c).
+  */
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains collapse to one cluster, isolates keep their own id") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // chain 1-2-3-4 (diameter 3, needs multiple rounds), pair 5-6, isolate 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("propagation reaches min through the far end of a chain") {
+    // min id at the END of the chain: label must travel the diameter
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(1L))
+  }
+}
