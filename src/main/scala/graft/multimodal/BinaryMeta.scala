@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * the engine as opaque `binary` columns with typed metadata
   * (SURVEY.md §2 "LLM-data-pipeline: multimodal").
   *
-  * The decode step itself is STUBBED — this container has no image/
-  * audio codecs — behind `fakeDecode`, a deterministic function of the
-  * bytes, so every piece of Spark-side plumbing (schema, encoders,
-  * batch iteration, partitioning) is real and tested while the codec
-  * is swappable.
+  * The IMAGE path is REAL: `decodeImageMeta`/`resizeImages` use the
+  * JDK's built-in ImageIO codecs (PNG/JPEG/BMP/GIF) — actual pixel
+  * decode and bilinear resize, no external library. Audio/video
+  * remain STUBBED behind `fakeDecode` (the JDK has no codecs for
+  * them), a deterministic function of the bytes, so their Spark-side
+  * plumbing (schema, encoders, batch iteration, partitioning) is
+  * real and tested while the codec is swappable.
   *
   * Scale: `decodeMeta` is a `mapPartitions` over the typed Dataset —
   * the batch-iterator shape a real decoder needs (amortized codec
@@ -55,6 +57,74 @@ object BinaryMeta {
       .mapPartitions { rows =>
         // real decoder would init its codec context here, once
         rows.map(r => fakeDecode(r.id, r.payload))
+      }
+  }
+
+  /** REAL image decode via the JDK's ImageIO — PNG/JPEG/BMP/GIF
+    * codecs ship WITH the JVM, so this path needs no external
+    * library: same mapPartitions batch contract as the stub decoder
+    * (which remains for audio/video, where the JDK has no codec).
+    * Unreadable payloads yield width/height −1 and format "unknown"
+    * instead of failing the task — at 100 TB a corrupt blob must
+    * never kill a 10k-partition job. */
+  def decodeImageMeta(df: DataFrame, idCol: String,
+      payloadCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: Exception => null }
+          if (img == null) MediaMeta(r.id, r.payload.length, -1, -1, "unknown")
+          else MediaMeta(r.id, r.payload.length, img.getWidth, img.getHeight,
+            sniffFormat(r.payload))
+        }
+      }
+  }
+
+  /** Container format from magic bytes (cheap, no decode). */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+
+  final case class ImageBytes(id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** REAL image resize: decode (ImageIO), scale (AWT, bilinear),
+    * re-encode as PNG — actual pixels out, not a size estimate. The
+    * flat (id, w, h, bytes) row is what a downstream vision-encoder
+    * batch consumes. Unreadable inputs are dropped (flatMap), with
+    * the same corrupt-blob tolerance as decodeImageMeta. */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): Dataset[ImageBytes] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(ImageBytes(r.id, targetW, targetH, bos.toByteArray))
+          }
+        }
       }
   }
 
