@@ -26,6 +26,48 @@ object MultimodalQueries {
         |  (octet_length(encode(text)) * 7) % 480 AS height,
         |  CASE (octet_length(encode(text)) % 3)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY id""".stripMargin),
+
+    // --- REAL image decode under the oracle gate: executors render a
+    // PNG per document (JDK ImageIO, dimensions a pure function of
+    // doc_id), the metadata extractor decodes the actual pixels back,
+    // and DuckDB predicts the dimensions arithmetically — so the
+    // whole distributed encode→decode loop (real codec both ways)
+    // must be faithful for the hash to match. No driver-side data
+    // motion anywhere: generation and decode are both mapPartitions. ---
+    "multimodal_decode" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).select(col("doc_id"))
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val w = (id % 31 + 1).toInt
+              val h = (id % 17 + 1).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var x = 0
+              while (x < w) {
+                var y = 0
+                while (y < h) {
+                  img.setRGB(x, y, ((x * 31 + y * 17 + id) & 0xffffff).toInt); y += 1
+                }
+                x += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              (id, bos.toByteArray)
+            }
+          }.toDF("doc_id", "payload")
+        BinaryMeta.decodeImageMeta(imgs, "doc_id", "payload")
+          .toDF()
+          .select(col("id"), col("width"), col("height"), col("format"))
+          .orderBy("id")
+      },
+      """SELECT doc_id AS id,
+        |  CAST(doc_id % 31 + 1 AS INT) AS width,
+        |  CAST(doc_id % 17 + 1 AS INT) AS height,
+        |  'png' AS format
         |FROM documents ORDER BY id""".stripMargin)
   )
 }
