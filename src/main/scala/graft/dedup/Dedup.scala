@@ -151,9 +151,41 @@ object Dedup {
     * near-dup graphs are tiny, so plain propagation is the right
     * default.) */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val idCol = ids.columns.head
-    val ab = pairs.toDF("a", "b")
+    val ab = graft.CacheScope.track(pairs.toDF("a", "b"))
+    // Small-graph fast path: a 0.8-threshold near-dup pair graph is
+    // typically orders of magnitude smaller than the corpus, so when
+    // the EDGE LIST (not the corpus) fits the driver, classic
+    // union-find + one broadcast join beats N propagation rounds.
+    // The corpus side stays distributed either way.
+    if (ab.count() <= driverEdgeLimit) {
+      val es = ab.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      }
+      // min id per component; only non-identity labels need shipping
+      val members = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val minOfRoot = members.groupBy(find).map { case (r, ms) => r -> ms.min }
+      val relabel = members.map(m => m -> minOfRoot(find(m)))
+        .filter { case (m, l) => m != l }
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val lm = relabel.toSeq.toDF("id", "__cc")
+      return ids.select(col(idCol).as("id"))
+        .join(broadcast(lm), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("__cc"), col("id")).as("cluster"))
+    }
     // undirected: propagate both ways
     val edges = graft.CacheScope.track(ab.union(ab.select(col("b"), col("a"))))
     var labels = graft.CacheScope.track(

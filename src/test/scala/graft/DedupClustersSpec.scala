@@ -26,4 +26,17 @@ class DedupClustersSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out.values.toSet == Set(1L))
   }
+
+  test("distributed propagation path matches the union-find fast path") {
+    val ids = (1L to 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L), (8L, 9L), (7L, 9L))
+      .toDF("a", "b")
+    val fast = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(ids, pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L))
+  }
 }
