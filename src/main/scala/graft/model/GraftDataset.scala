@@ -186,6 +186,17 @@ final class GraftDataset private (
     df.select(cols.toSeq: _*)
   }
 
+  /** Persist the dataset — scida save() (interface.py:273). Parquet
+    * is the 100 TB at-rest format (Spark-native distributed write);
+    * zarr mirrors scida's own save target via the executor-parallel
+    * ZarrSave (requires a contiguous 0-based row index column, e.g.
+    * the `row_id` every graft ingestion source emits). */
+  def save(path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def saveZarr(path: String, idCol: String, chunkRows: Int = 1 << 16): Unit =
+    graft.sources.zarr.ZarrSave.save(df, idCol, path, chunkRows)
+
   /** Schema + units + derived-field report — scida info(). */
   def info: String = {
     val phys = df.schema.fields.map { f =>

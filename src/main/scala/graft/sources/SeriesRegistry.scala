@@ -57,6 +57,13 @@ final class SeriesRegistry(val members: Seq[SeriesRegistry.Member]) {
 
   def nearest(key: String, value: Double): Member = nearest(Map(key -> value))
 
+  /** Member roster + metadata — scida DatasetSeries info(). */
+  def info: String =
+    (s"SeriesRegistry (${members.size} members)" +:
+      members.map(m => s"  ${m.name}: " +
+        m.meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")))
+      .mkString("\n")
+
   /** The chosen member's rows from a snapshot-partitioned table: the
     * equality filter on the partition column prunes at the source. */
   def load(spark: SparkSession, root: String, member: Member,

@@ -38,6 +38,12 @@ class SeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](reg.nearest("temperature", 1.0))
   }
 
+  test("info lists members with their metadata") {
+    val s = reg.info
+    assert(s.contains("3 members") && s.contains("snap1") &&
+      s.contains("redshift=1.0"))
+  }
+
   test("registry builds from snapshot headers (fromSnapshots)") {
     val dirs = Seq(3.0, 1.0).zipWithIndex.map { case (z, i) =>
       val dir = Files.createTempDirectory(s"graft_series_$i").toString

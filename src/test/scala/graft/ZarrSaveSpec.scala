@@ -39,6 +39,17 @@ class ZarrSaveSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("GraftDataset.save / saveZarr round-trip (interface.py:273)") {
+    val base = Files.createTempDirectory("graft_ds_save").toString
+    val df = spark.range(10).select(col("id"), (col("id") * 1.5).as("v"))
+    val ds = graft.model.GraftDataset(df)
+    ds.save(s"$base/pq")
+    assert(spark.read.parquet(s"$base/pq").count() == 10)
+    ds.saveZarr(s"$base/zarr", "id", chunkRows = 4)
+    val back = spark.read.format("graft-zarr").load(s"$base/zarr")
+    assert(back.agg(sum("v")).head().getDouble(0) == (0 until 10).map(_ * 1.5).sum)
+  }
+
   test("non-contiguous or duplicated row index fails loudly") {
     val dir = Files.createTempDirectory("graft_zsave_bad").toString + "/s"
     val gap = Seq((0L, 1.0), (2L, 2.0)).toDF("id", "v") // id 1 missing
