@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ann.{Ann, Ivf}
+import graft.ann.{Ann, Ivf, Pq}
 import graft.sources.Tables
 
 /** Similarity-search family over `embeddings` (SURVEY.md §2). The
@@ -46,6 +46,21 @@ object AnnQueries {
         val (indexed, centers) = Ivf.build(e.filter(col("vec_id") =!= 0),
           "embedding", nCells = 16)
         Ivf.topK(indexed, centers, "vec_id", "embedding", q, k = 10, nProbe = 4)
+      }),
+
+    // --- product quantization: 8x16 codebooks (32x compression), ADC
+    // code scan → refine-100 exact re-rank — rows-only; PqSpec pins
+    // the lossless regime exactly and recall on this corpus ---
+    "ann_pq" -> QueryDef.rowsOnly(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16)
+        val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+        Pq.topK(codes, corpus, cb, "vec_id", "embedding", q,
+          k = 10, refine = 100)
       }),
 
     // --- random-hyperplane LSH bucketed ANN — rows-only; spec
