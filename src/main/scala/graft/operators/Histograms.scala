@@ -35,4 +35,31 @@ object Histograms {
     df.groupBy(binId(c, width).as("bin"))
       .agg(count(lit(1)).as("n"), sum(weight).as("wsum"))
       .orderBy("bin")
+
+  /** Log-spaced 1D histogram — the astro staple (halo mass functions,
+    * luminosity functions bin in log10): bin = floor(log10(x)/decadeW).
+    * Non-positive values are excluded (no log), matching numpy/dask
+    * behavior with log-spaced edges. */
+  def hist1dLog(df: DataFrame, c: Column, decadeWidth: Double): DataFrame =
+    df.filter(c > 0)
+      .groupBy(floor(log10(c) / lit(decadeWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** Radial profile: mean (and count) of `quantity` in fixed-width
+    * radial shells around a center — scida's docs' profile recipe
+    * (bin particles by radius, average a field per shell). One
+    * map-side bin id + partial aggregation; the shuffle carries
+    * (shell, partial sums) only. Radius is the Euclidean distance of
+    * the (coordinate, center) pairs. */
+  def radialProfile(df: DataFrame, coords: Seq[(Column, Double)],
+      quantity: Column, shellWidth: Double): DataFrame = {
+    val r = sqrt(coords.map { case (c, ctr) =>
+      val d = c - lit(ctr); d * d
+    }.reduce(_ + _))
+    df.groupBy(floor(r / lit(shellWidth)).cast("long").as("shell"))
+      .agg(count(lit(1)).as("n"), sum(quantity).as("qsum"))
+      .withColumn("qmean", col("qsum") / col("n"))
+      .orderBy("shell")
+  }
 }

@@ -125,6 +125,44 @@ object ScidaQueries {
         |  floor(sum(l_quantity)*100 + 0.5)/100 AS wsum
         |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin),
 
+    // --- log-spaced 1D histogram (the astro mass/luminosity-function
+    // binning). Decade width 1 keeps the oracle engine-stable: bin
+    // boundaries sit at exact powers of 10, where BOTH engines'
+    // log10 returns the exact integer; elsewhere values (2-decimal
+    // prices) are >= 1e-2 from a boundary while cross-engine log10
+    // differs by <= 1 ulp. ---
+    "histogram_log" -> QueryDef.sql(
+      (s, d) => Histograms.hist1dLog(Tables.lineitem(s, d),
+        col("l_extendedprice"), decadeWidth = 1.0),
+      """SELECT CAST(floor(log10(l_extendedprice)) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_extendedprice > 0
+        |GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // --- radial profile (scida docs' recipe: bin particles into
+    // radial shells, average a field per shell). All shell-binning
+    // arithmetic is IEEE exact-rounded ops (+,*,/,sqrt,floor), so the
+    // bin ids are bit-identical across engines; only the per-shell
+    // mean needs the portable rounding. ---
+    "radial_profile" -> QueryDef.sql(
+      (s, d) => Histograms.radialProfile(Tables.part(s, d),
+        Seq((col("p_size").cast("double") / 25.0, 1.0),
+          (col("p_retailprice") / 950.0, 1.0)),
+        col("p_retailprice"), shellWidth = 0.05)
+        .select(col("shell"), col("n"),
+          (floor(col("qmean") * 1000000 + 0.5) / 1000000).as("qmean"))
+        .orderBy("shell"),
+      """SELECT shell, count(*) AS n,
+        |  floor((sum(p_retailprice) / count(*))*1000000 + 0.5)/1000000 AS qmean
+        |FROM (
+        |  SELECT p_retailprice,
+        |    CAST(floor(sqrt(
+        |        (p_size / 25.0 - 1.0) * (p_size / 25.0 - 1.0)
+        |      + (p_retailprice / 950.0 - 1.0) * (p_retailprice / 950.0 - 1.0)
+        |      ) / 0.05) AS BIGINT) AS shell
+        |  FROM part)
+        |GROUP BY shell ORDER BY shell""".stripMargin),
+
     // --- per-group offset table (arepo/dataset.py:555-663: lengths →
     // cumulative offsets, the layout scida's halo catalogs key on).
     // Two-phase parallel prefix sum (operators.PrefixSum): bucketed
