@@ -72,6 +72,18 @@ final class CatalogDataset(
   def selectSubhalos(ids: Seq[Any]): DataFrame =
     GroupCatalog.selectByIds(particles, requireSub, ids)
 
+  /** Particles of the `localIdx`-th subhalo (in subhalo-key order) of
+    * one group — scida return_data(haloID=…, localSubhaloID=…). The
+    * driver-side lookup touches ONE group's subhalo roster (tiny);
+    * the particle selection stays a pushed-down filter. */
+  def selectLocalSubhalo(groupId: Any, localIdx: Int): DataFrame = {
+    val roster = subhaloLengths.filter(col(groupKey) === groupId)
+      .orderBy(requireSub).select(requireSub).collect()
+    require(localIdx >= 0 && localIdx < roster.length,
+      s"group $groupId has ${roster.length} subhalos; asked for #$localIdx")
+    selectSubhalos(Seq(roster(localIdx).get(0)))
+  }
+
   private def requireSub: String = subKey.getOrElse(
     throw new IllegalStateException(
       "this catalog has no subhalo key; construct with subKey = Some(...)"))

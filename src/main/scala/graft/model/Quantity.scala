@@ -48,6 +48,14 @@ final case class Quantity(col: Column, unit: Units.Measure) {
     Quantity(if (f == 1.0) col else col * lit(f), t)
   }
 
+  /** Convert to SI base units (m/kg/s/K powers) — pint
+    * to_base_units(). */
+  def toBaseUnits: Quantity = {
+    val base = Units.baseMeasure(unit.dimension)
+    val f = Units.factor(unit, base)
+    Quantity(if (f == 1.0) col else col * lit(f), base)
+  }
+
   def as(name: String): Column = col.as(name)
 }
 

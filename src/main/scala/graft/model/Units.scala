@@ -57,9 +57,31 @@ object Units {
       "s" -> (1.0, d("time" -> 1)), "ms" -> (1e-3, d("time" -> 1)),
       "us" -> (1e-6, d("time" -> 1)), "ns" -> (1e-9, d("time" -> 1)),
       "hr" -> (3600.0, d("time" -> 1)), "Gyr" -> (3.15576e16, d("time" -> 1)),
+      // temperature (base K)
+      "K" -> (1.0, d("temperature" -> 1)),
+      // energy (derived: mass·length²·time⁻²)
+      "J" -> (1.0, d("mass" -> 1, "length" -> 2, "time" -> -2)),
+      "erg" -> (1e-7, d("mass" -> 1, "length" -> 2, "time" -> -2)),
+      "eV" -> (1.602176634e-19, d("mass" -> 1, "length" -> 2, "time" -> -2)),
+      // physical constants as units (pint exposes the same — docs use
+      // ureg("c") for E = m·c²): dimensionful scale factors
+      "c" -> (299792458.0, d("length" -> 1, "time" -> -1)),
+      "G" -> (6.6743e-11, d("length" -> 3, "mass" -> -1, "time" -> -2)),
       // dimensionless counting units
       "1" -> (1.0, d()), "dozen" -> (12.0, d()))
   }
+
+  /** SI base symbol per dimension (for to_base_units). */
+  private val baseSym = Map(
+    "length" -> "m", "mass" -> "kg", "time" -> "s", "temperature" -> "K")
+
+  /** The SI-base measure with this dimension — pint to_base_units'
+    * target: m^a·kg^b·s^c·K^d. */
+  def baseMeasure(dim: Dimension): Measure =
+    Measure(dim.exps.map { case (k, e) =>
+      baseSym.getOrElse(k,
+        throw new IllegalArgumentException(s"no base unit for dimension $k")) -> e
+    })
 
   /** A symbolic composite unit: registered symbols with integer
     * exponents. The SI factor and dimension are derived, so algebra

@@ -68,4 +68,20 @@ class CatalogDatasetSpec extends SparkSpec {
   test("subhalo methods require a subhalo key") {
     intercept[IllegalStateException](cat.subhaloLengths)
   }
+
+  test("selectLocalSubhalo picks the n-th subhalo of one group") {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val nested = new CatalogDataset(joined, "o_custkey", Some("l_orderkey"))
+    // pick a customer with >= 2 orders
+    val custRow = joined.groupBy("o_custkey").agg(countDistinct("l_orderkey").as("n"))
+      .filter(col("n") >= 2).orderBy("o_custkey").head()
+    val cust = custRow.getLong(0)
+    val orders = joined.filter(col("o_custkey") === cust)
+      .select("l_orderkey").distinct().as[Long].collect().sorted
+    val sel = nested.selectLocalSubhalo(cust, 1)
+    assert(sel.select("l_orderkey").distinct().as[Long].collect().toSeq ==
+      Seq(orders(1)))
+    intercept[IllegalArgumentException](nested.selectLocalSubhalo(cust, 9999))
+  }
 }

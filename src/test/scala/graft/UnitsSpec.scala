@@ -56,6 +56,22 @@ class UnitsSpec extends SparkSpec {
     intercept[IllegalArgumentException](mass + vol)
   }
 
+  test("to_base_units and physical-constant units (E = mc^2 -> erg)") {
+    val df = Seq(2.0).toDF("speed") // km/s
+    val v = Quantity(col("speed"), Units.parse("km/s"))
+    val base = v.toBaseUnits
+    assert(base.unit.toString == "m/s")
+    assert(df.select(base.as("b")).as[Double].head() == 2000.0)
+    // rest energy: mass [Msun] × c² expressed through the unit algebra
+    val e = Quantity(lit(1.0), Units.parse("Msun*c^2")).to("erg")
+    assert(e.unit.toString == "erg")
+    val Array(ergs) = Seq(1).toDF("x").select(e.as("e")).as[Double].collect()
+    val expect = 1.98892e30 * 299792458.0 * 299792458.0 * 1e7
+    assert(math.abs(ergs - expect) / expect < 1e-12)
+    // temperature has its own dimension
+    intercept[IllegalArgumentException](Units.factor("K", "s"))
+  }
+
   test("derived fields propagate computed units end-to-end") {
     val df = Seq((4.0, 2.0), (9.0, 3.0)).toDF("mass", "vol")
     val ds = GraftDataset(df)
