@@ -65,6 +65,18 @@ class FitsSpec extends SparkSpec {
       Seq(10L, 11L, 12L, 13L, 14L))
   }
 
+  test("files without a BINTABLE extension fail with a clear error") {
+    val p = Files.createTempDirectory("graft_fits_bad").toString + "/img.fits"
+    // primary HDU only (an image-less header), no extensions
+    val out = new java.io.FileOutputStream(p)
+    val cards = f"${"SIMPLE  = "}%-10sT${" "}%-69s" + f"${"BITPIX  = "}%-10s8${" "}%-69s" +
+      f"${"NAXIS   = "}%-10s0${" "}%-69s" + f"${"END"}%-80s"
+    val block = cards + " " * (2880 - cards.length % 2880)
+    out.write(block.getBytes("US-ASCII")); out.close()
+    val e = intercept[RuntimeException](FitsReader.binTable(p))
+    assert(e.getMessage.contains("BINTABLE"))
+  }
+
   test("Load detects FITS by magic and attaches header cosmology") {
     assert(Load.detect(file) == Load.Fits)
     val ds = Load.dataset(spark, file)

@@ -60,6 +60,17 @@ class ZarrSpec extends SparkSpec {
     assert((0 until 4).map(i => buf.getDouble(i * 8)) == Seq(1.0, 2.0, 0.0, 0.0))
   }
 
+  test("zarr v3 metadata is rejected with a clear message") {
+    val dir = tmp()
+    new File(s"$dir/a").mkdirs()
+    Files.writeString(new File(dir, ".zgroup").toPath, """{"zarr_format": 2}""")
+    Files.writeString(new File(s"$dir/a/.zarray").toPath,
+      """{"zarr_format": 3, "shape": [4], "chunks": [4], "dtype": "<f8",
+        | "compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ZarrStore.open(dir))
+    assert(e.getMessage.contains("v2"))
+  }
+
   test("unsupported blosc compressor fails fast with a clear message") {
     val dir = tmp()
     new File(s"$dir/a").mkdirs()
