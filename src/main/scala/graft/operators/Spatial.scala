@@ -39,6 +39,43 @@ object Spatial {
     sphereCut(boxed, coords.map { case (n, c) => (col(n), c) }, radius)
   }
 
+  /** Angular cross-match of two catalogs (the Zones algorithm — Gray,
+    * Nieto-Santisteban & Szalay, "The Zones Algorithm for Finding
+    * Points-Near-a-Point or Cross-Matching Spatial Datasets", MSR-TR
+    * 2006-52): every row gets a declination zone floor(dec/h) with
+    * h = radius; the left catalog replicates to its zone and both
+    * neighbors (bounded 3× duplication), candidates join on ZONE
+    * EQUALITY (one shuffle, no cross product) with a declination
+    * band pre-filter, and the exact haversine distance verifies only
+    * candidates. Degrees in, degrees out; the distance is rounded to
+    * `digits` before thresholding (trig is not IEEE exact-rounded, so
+    * cross-engine comparisons threshold the same rounded value —
+    * parity protocol). */
+  def crossMatch(a: DataFrame, aId: String, aRa: String, aDec: String,
+      b: DataFrame, bId: String, bRa: String, bDec: String,
+      radiusDeg: Double, digits: Int = 9): DataFrame = {
+    val h = radiusDeg
+    require(aId != bId, "catalogs must use distinct id column names")
+    // canonical internal names so the two catalogs may share column
+    // names without ambiguity
+    val zl = floor(col(aDec) / lit(h)).cast("long")
+    val left = a.select(col(aId), col(aRa).as("__ra_a"), col(aDec).as("__dec_a"),
+      explode(array(zl - 1, zl, zl + 1)).as("__zone"))
+    val right = b.select(col(bId), col(bRa).as("__ra_b"), col(bDec).as("__dec_b"),
+      floor(col(bDec) / lit(h)).cast("long").as("__zone"))
+    val d2r = lit(math.Pi / 180.0)
+    val da = col("__dec_a") * d2r; val db = col("__dec_b") * d2r
+    val dist = lit(2.0) * asin(sqrt(
+      pow(sin((db - da) / 2), 2) +
+        cos(da) * cos(db) *
+          pow(sin((col("__ra_b") * d2r - col("__ra_a") * d2r) / 2), 2))) / d2r
+    left.join(right, Seq("__zone"))
+      .filter(abs(col("__dec_b") - col("__dec_a")) <= lit(h)) // zone band pre-filter
+      .withColumn("dist_deg", graft.functions.VectorOps.roundAt(dist, digits))
+      .filter(col("dist_deg") <= lit(radiusDeg))
+      .select(col(aId), col(bId), col("dist_deg"))
+  }
+
   /** Periodic rectangular cutout — scida `rectangular_cutout_mask`
     * with pbc=True (reference: src/scida/misc.py:181, wired through
     * mixins/spatial.py:96): per-axis MINIMUM-IMAGE distance under

@@ -360,6 +360,45 @@ object ScidaQueries {
         |  ) < 0.35
         |ORDER BY p_partkey""".stripMargin),
 
+    // --- angular cross-match of two catalogs (Zones algorithm):
+    // synthetic sky positions derived from keys by exact integer
+    // arithmetic; the haversine distance (trig, not exact-rounded
+    // IEEE) is rounded to 9 dp before thresholding on BOTH engines.
+    // Customers play catalog A, suppliers catalog B. ---
+    "crossmatch_sky" -> QueryDef.sql(
+      (s, d) => {
+        val a = Tables.customer(s, d).select(col("c_custkey"),
+          ((col("c_custkey") * 7 % 360) + 0.25).as("ra_a"),
+          ((col("c_custkey") * 3 % 120) - 60.0 + 0.5).as("dec_a"))
+        val b = Tables.supplier(s, d).select(col("s_suppkey"),
+          ((col("s_suppkey") * 11 % 360) + 0.3).as("ra_b"),
+          ((col("s_suppkey") * 5 % 120) - 60.0 + 0.4).as("dec_b"))
+        graft.operators.Spatial.crossMatch(
+          a, "c_custkey", "ra_a", "dec_a",
+          b, "s_suppkey", "ra_b", "dec_b", radiusDeg = 1.2)
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      """WITH a AS (
+        |  SELECT c_custkey, (c_custkey * 7 % 360) + 0.25 AS ra_a,
+        |    (c_custkey * 3 % 120) - 60.0 + 0.5 AS dec_a FROM customer
+        |), b AS (
+        |  SELECT s_suppkey, (s_suppkey * 11 % 360) + 0.3 AS ra_b,
+        |    (s_suppkey * 5 % 120) - 60.0 + 0.4 AS dec_b FROM supplier
+        |)
+        |SELECT c_custkey, s_suppkey,
+        |  floor((2.0 * asin(sqrt(
+        |      pow(sin((dec_b * pi() / 180.0 - dec_a * pi() / 180.0) / 2), 2)
+        |    + cos(dec_a * pi() / 180.0) * cos(dec_b * pi() / 180.0)
+        |      * pow(sin((ra_b * pi() / 180.0 - ra_a * pi() / 180.0) / 2), 2)
+        |    )) / (pi() / 180.0))*1000000000 + 0.5)/1000000000 AS dist_deg
+        |FROM a JOIN b ON abs(dec_b - dec_a) <= 1.2
+        |WHERE floor((2.0 * asin(sqrt(
+        |      pow(sin((dec_b * pi() / 180.0 - dec_a * pi() / 180.0) / 2), 2)
+        |    + cos(dec_a * pi() / 180.0) * cos(dec_b * pi() / 180.0)
+        |      * pow(sin((ra_b * pi() / 180.0 - ra_a * pi() / 180.0) / 2), 2)
+        |    )) / (pi() / 180.0))*1000000000 + 0.5)/1000000000 <= 1.2
+        |ORDER BY c_custkey, s_suppkey""".stripMargin),
+
     // --- dataset series: union of members with a snapshot tag (series.py) ---
     "series_union" -> QueryDef.sql(
       (s, d) => {
