@@ -22,24 +22,31 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
 
-  private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  // Per-thread tracking: operators register persists while PLANNING
+  // on the caller's thread, so a thread-local queue scopes each
+  // session/query correctly even when several sessions plan
+  // concurrently in one JVM — one thread's releaseAll can never drop
+  // another's live caches.
+  private val tracked = ThreadLocal.withInitial(
+    () => new ConcurrentLinkedQueue[DataFrame]())
 
   /** Persist `df` (idempotent) and register it for release at the end
     * of the current query scope. */
   def track(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val c = df.persist(level)
-    tracked.add(c)
+    tracked.get().add(c)
     c
   }
 
-  /** Release every cache registered since the last call. Safe to call
-    * when nothing is tracked; safe to call twice. */
+  /** Release every cache registered on this thread since the last
+    * call. Safe to call when nothing is tracked; safe to call twice. */
   def releaseAll(): Unit = {
-    var d = tracked.poll()
+    val q = tracked.get()
+    var d = q.poll()
     while (d != null) {
       d.unpersist(blocking = false)
-      d = tracked.poll()
+      d = q.poll()
     }
   }
 

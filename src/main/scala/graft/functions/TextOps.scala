@@ -74,6 +74,23 @@ object TextOps {
       hits.cast("double") / size(ws)
     }), 1)
 
+  /** Gopher-style document quality gate (the public MassiveText
+    * filtering rules, Rae et al. 2021 — the subset expressible over
+    * whitespace words): word count within bounds, mean word length
+    * within bounds, and at least one stopword hit. All terms are
+    * exact integer-ratio arithmetic, so the boolean is engine-stable
+    * with no rounding. */
+  def gopherFilter(text: Column,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0): Column = {
+    val nw = wsTokenCount(text)
+    val meanLen = length(regexp_replace(text, " ", "")).cast("double") /
+      nw.cast("double")
+    nw >= minWords && nw <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      stopwordRatio(text) > 0.0
+  }
+
   /** Punctuation+digit character ratio. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^a-z ]", ""))).cast("double") /

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reusable skew-safe join (the technique the `salted_join` query
+  * demonstrates inline, packaged as an operator): detect hot keys on
+  * a seeded sample, salt ONLY the hot fact rows across `nSalt`
+  * buckets, replicate ONLY the hot build rows — uniform full-side
+  * replication is the 100 TB anti-pattern. The hot-key set is
+  * materialized ONCE (CacheScope persist + eager count) so both join
+  * branches provably share a single evaluation; correctness does not
+  * depend on WHICH keys are called hot — any set yields the same join
+  * output — only on both sides agreeing.
+  *
+  * (AQE's runtime skew-join split, on in GraftSession, handles
+  * transient skew; this is the explicit form for known/persistent
+  * skew, and composes with any post-join logic.)
+  */
+object Skew {
+
+  def saltedJoin(fact: DataFrame, factKey: String,
+      build: DataFrame, buildKey: String,
+      nSalt: Int = 8, hotThreshold: Long = 2,
+      sampleFraction: Double = 0.125, seed: Long = 42L): DataFrame = {
+    val hot = graft.CacheScope.track(
+      fact.sample(withReplacement = false, sampleFraction, seed)
+        .groupBy(factKey).agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= hotThreshold)
+        .select(col(factKey).as("__hotkey")))
+    hot.count() // the single evaluation both branches reuse
+    // the salt must VARY across rows of one hot key (a key-derived
+    // hash would put the whole hot key in one bucket); any per-row
+    // value works because the build side is replicated to every salt
+    val saltedFact = fact
+      .join(broadcast(hot), col(factKey) === col("__hotkey"), "left")
+      .withColumn("__salt", when(col("__hotkey").isNotNull,
+        pmod(monotonically_increasing_id(), lit(nSalt)).cast("int"))
+        .otherwise(lit(0)))
+      .drop("__hotkey")
+    val saltedBuild = build
+      .join(broadcast(hot), col(buildKey) === col("__hotkey"), "left")
+      .withColumn("__salt", explode(when(col("__hotkey").isNotNull,
+        sequence(lit(0), lit(nSalt - 1))).otherwise(array(lit(0)))))
+      .drop("__hotkey")
+    saltedFact.join(saltedBuild,
+      saltedFact(factKey) === saltedBuild(buildKey) &&
+        saltedFact("__salt") === saltedBuild("__salt"))
+      .drop("__salt")
+  }
+}

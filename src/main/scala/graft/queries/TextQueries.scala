@@ -84,6 +84,29 @@ object TextQueries {
         |  len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // --- Gopher-style quality gate (public MassiveText rules subset):
+    // per-doc boolean over word-count bounds, mean-word-length bounds,
+    // and stopword presence — pure integer-ratio arithmetic, engine-
+    // stable without rounding. ---
+    "quality_filter" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.gopherFilter(col("text")).as("passes"))
+        .orderBy("doc_id"),
+      {
+        val stopHits = TextOps.enStopwords
+          .map(w => s"len(list_filter(ws, x -> x = '$w'))").mkString(" + ")
+        s"""WITH t AS (
+          |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+          |  FROM documents)
+          |SELECT doc_id,
+          |  (len(ws) >= 5 AND len(ws) <= 100000
+          |   AND length(replace(text, ' ', ''))::DOUBLE / len(ws)::DOUBLE >= 2.0
+          |   AND length(replace(text, ' ', ''))::DOUBLE / len(ws)::DOUBLE <= 12.0
+          |   AND (($stopHits)::DOUBLE / len(ws)) > 0.0) AS passes
+          |FROM t ORDER BY doc_id""".stripMargin
+      }),
+
     // --- end-to-end cleaning pipeline (the composition a training-
     // data job actually runs): language filter → quality threshold →
     // exact-dedup keep (first doc per content hash) → token counts.

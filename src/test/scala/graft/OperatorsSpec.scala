@@ -128,6 +128,19 @@ class OperatorsSpec extends SparkSpec {
     assert(s == Set((1L, 1L, 2L, 2.0), (1L, 2L, 1L, 1.0), (2L, 1L, 1L, 5.0)))
   }
 
+  test("Skew.saltedJoin equals the plain join on skewed data") {
+    // key 1 is hot (200 rows), others are singletons
+    val fact = ((1 to 200).map(i => (1L, i.toDouble)) ++
+      (2L to 20L).map(k => (k, k.toDouble))).toDF("k", "v")
+    val build = (1L to 20L).map(k => (k, s"name$k")).toDF("bk", "name")
+    val salted = graft.operators.Skew.saltedJoin(fact, "k", build, "bk",
+      nSalt = 4, hotThreshold = 5, sampleFraction = 1.0)
+      .select("k", "v", "name")
+    val plain = fact.join(build, col("k") === col("bk")).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("crossMatch finds pairs within radius via zone equi-join (no cartesian)") {
     // known geometry: b1 is 0.5 deg from a1 in dec (match at r=1),
     // b2 is 2 deg away (no match), b3 matches a2 across a zone edge
