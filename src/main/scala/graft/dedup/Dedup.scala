@@ -136,6 +136,32 @@ object Dedup {
       .distinct() // distinct-shuffle: most candidates are discards
   }
 
+  /** C4-style boilerplate-line removal: a line occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (navigation,
+    * footers, cookie banners) and is dropped from EVERY document;
+    * surviving lines reassemble in original order. Distributed shape:
+    * explode to (doc, pos, line), count distinct docs per normalized
+    * line (partial-agg'd), anti-join the boilerplate set on the line
+    * key, regroup sorted by position — two shuffles total, both on
+    * line/doc keys, nothing driver-side. */
+  def stripBoilerplateLines(docs: DataFrame, id: String, text: String,
+      minDocs: Long, sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(id), posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
+      .toDF(id, "pos", "line")
+      .withColumn("__norm", lower(trim(col("line"))))
+    val boiler = lines
+      .filter(length(col("__norm")) > 0)
+      .groupBy("__norm").agg(countDistinct(col(id)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("__norm")
+    lines.join(boiler, Seq("__norm"), "left_anti")
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))
+      .select(col(id),
+        concat_ws(sep, transform(col("__ls"), s => s.getField("line"))).as(text))
+  }
+
   /** Connected components over near-dup pairs: every doc gets the
     * MINIMUM doc id reachable through pair edges as its cluster id —
     * the transitive-closure grouping LSH dedup needs when near-dup

@@ -15,6 +15,24 @@ object TextOps {
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 
+  /** Heuristic HTML → text extraction (the WARC→documents step): drop
+    * script/style/comment blocks, strip tags, decode the common
+    * entities, collapse whitespace. Pure codegen'd regexp_replace
+    * chain — scan-speed, no UDF. (Production pipelines may swap a
+    * boilerplate-aware extractor; this is the honest regex baseline,
+    * like C4's.) */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</\\1>|<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text))
 
