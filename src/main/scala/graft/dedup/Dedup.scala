@@ -136,6 +136,25 @@ object Dedup {
       .distinct() // distinct-shuffle: most candidates are discards
   }
 
+  /** Benchmark decontamination — the training-data step that removes
+    * documents overlapping an evaluation set (the public n-gram
+    * protocol: GPT-3 appendix C / PaLM-style 13-gram matching; k is a
+    * parameter). A document is contaminated when it shares ANY
+    * k-shingle with any eval document. The eval side is tiny by
+    * definition → its distinct shingles BROADCAST; contamination is
+    * one broadcast semi-join on the exploded corpus shingles (no
+    * shuffle of the corpus), and the result is the anti-set. */
+  def decontaminate(docs: DataFrame, id: String, text: String,
+      evalDocs: DataFrame, evalText: String, k: Int): DataFrame = {
+    val evalGrams = withShingles(evalDocs, evalDocs.columns.head, evalText, k)
+      .select(explode(col("sh")).as("__g")).distinct()
+    val contaminated = withShingles(docs, id, text, k)
+      .select(col(id), explode(col("sh")).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .select(id).distinct()
+    docs.join(contaminated, Seq(id), "left_anti")
+  }
+
   /** C4-style boilerplate-line removal: a line occurring in at least
     * `minDocs` DISTINCT documents is boilerplate (navigation,
     * footers, cookie banners) and is dropped from EVERY document;

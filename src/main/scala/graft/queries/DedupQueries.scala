@@ -104,6 +104,43 @@ object DedupQueries {
         |HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // --- benchmark decontamination (GPT-3-style n-gram overlap
+    // removal): docs sharing any 3-shingle with the "benchmark" set
+    // (doc_id < 10 stands in) are dropped; eval shingles broadcast,
+    // corpus never shuffles. Oracle replays the same set algebra over
+    // the shared shingle CTE. ---
+    "decontaminate" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text")),
+          "text", k = 3)
+          .select("doc_id").orderBy("doc_id")
+      },
+      shingleCte +
+        """
+        |, eval_g AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10
+        |), contaminated AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN eval_g e USING (shingle)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin),
+
+    // --- corpus n-gram statistics: global top-20 3-shingles by doc
+    // frequency (partial-agg'd counts + TakeOrdered) ---
+    "ngram_freq" -> QueryDef.sql(
+      (s, d) => Dedup.withShingles(Tables.documents(s, d), "doc_id", "text", 3)
+        .select(explode(col("sh")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20),
+      shingleCte +
+        """
+        |SELECT shingle, count(*) AS df FROM sh
+        |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin),
+
     // --- transitive near-dup clusters: connected components over the
     // MinHash-LSH pair graph (min reachable doc id = cluster id).
     // Near-dup is not transitive, so keep-lists need the closure; the
