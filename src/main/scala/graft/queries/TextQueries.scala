@@ -17,6 +17,23 @@ object TextQueries {
   private def dictHitsSql(dict: Seq[String]): String =
     dict.map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")
 
+  // distinct-3-gram count per doc, mirrored from Hashing.shingles
+  private val shingleBasedRepetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), x AS (
+      |  SELECT doc_id, len(w) AS nw,
+      |    CASE WHEN len(w) >= 3 THEN len(list_distinct(
+      |      list_transform(range(1, len(w) - 1),
+      |        i -> array_to_string(w[i:i+2], ' '))))
+      |    ELSE 0 END AS nd
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN nw - 2 > 0
+      |    THEN floor((1.0 - nd::DOUBLE / (nw - 2)::DOUBLE)*1000000 + 0.5)/1000000
+      |    ELSE 0.0 END AS rep_ratio
+      |FROM x ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     // --- heuristic dictionary language ID (TextOps.langId) ---
     "text_langid" -> QueryDef.sql(
@@ -83,6 +100,42 @@ object TextQueries {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // --- within-document repetition (a Gopher quality signal): the
+    // fraction of repeated 3-grams inside each doc, 1 − distinct/total
+    // (total 3-grams = n_words − 2; docs too short for a 3-gram report
+    // 0). Integer-ratio arithmetic + the portable rounding. ---
+    "text_repetition" -> QueryDef.sql(
+      (s, d) => {
+        val nw = TextOps.wsTokenCount(col("text"))
+        val total = greatest(nw - 2, lit(0))
+        val distinctSh = when(total > 0,
+          size(graft.functions.Hashing.shingles(col("text"), 3))).otherwise(lit(0))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(total > 0, floor((lit(1.0) - distinctSh.cast("double") / total.cast("double")) * 1000000 + 0.5) / 1000000)
+              .otherwise(lit(0.0)).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      shingleBasedRepetitionSql),
+
+    // --- tokenizer fertility by language: average BPE-ish tokens per
+    // whitespace word, per labeled language — the stat that tells you
+    // which languages your tokenizer fragments. ---
+    "token_fertility" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.bpeishTokenCount(col("text")).cast("double").as("bpe"),
+          TextOps.wsTokenCount(col("text")).cast("double").as("ws"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor((sum(col("bpe")) / sum(col("ws"))) * 1000000 + 0.5) / 1000000)
+            .as("fertility"))
+        .orderBy("lang"),
+      s"""SELECT lang, count(*) AS n_docs,
+        |  floor((sum(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}'))::DOUBLE)
+        |    / sum(len(string_split(text, ' '))::DOUBLE))*1000000 + 0.5)/1000000 AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
     // --- Gopher-style quality gate (public MassiveText rules subset):
     // per-doc boolean over word-count bounds, mean-word-length bounds,
