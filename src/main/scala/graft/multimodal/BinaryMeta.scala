@@ -93,6 +93,38 @@ object BinaryMeta {
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
     else "unknown"
 
+  final case class AudioMeta(id: Long, n_bytes: Int, sample_rate: Float,
+      channels: Int, bits: Int, n_frames: Long, duration_s: Double)
+
+  /** REAL audio (WAV/AIFF/AU) metadata decode via the JDK's
+    * javax.sound.sampled — like the image path, no external codec
+    * needed for the JVM-native container formats. Unreadable payloads
+    * degrade to sentinel values, never fail the task. */
+  def decodeAudioMeta(df: DataFrame, idCol: String,
+      payloadCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val f = in.getFormat
+            val frames = in.getFrameLength
+            val dur = if (f.getFrameRate > 0) frames / f.getFrameRate.toDouble else -1.0
+            in.close()
+            AudioMeta(r.id, r.payload.length, f.getSampleRate, f.getChannels,
+              f.getSampleSizeInBits, frames, dur)
+          } catch {
+            case _: Exception =>
+              AudioMeta(r.id, r.payload.length, -1f, -1, -1, -1L, -1.0)
+          }
+        }
+      }
+  }
+
   final case class ImageBytes(id: Long, width: Int, height: Int, payload: Array[Byte])
 
   /** REAL image resize: decode (ImageIO), scale (AWT, bilinear),

@@ -68,6 +68,48 @@ object MultimodalQueries {
         |  CAST(doc_id % 31 + 1 AS INT) AS width,
         |  CAST(doc_id % 17 + 1 AS INT) AS height,
         |  'png' AS format
+        |FROM documents ORDER BY id""".stripMargin),
+
+    // --- REAL audio decode under the oracle gate, same shape as
+    // multimodal_decode: executors synthesize a PCM WAV per document
+    // (javax.sound.sampled, rate/channels/frames pure functions of
+    // doc_id), decodeAudioMeta parses the actual RIFF headers back,
+    // and DuckDB predicts every field arithmetically. duration is an
+    // exact-integer double division, so it is bit-identical across
+    // engines. ---
+    "multimodal_audio" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val wavs = Tables.documents(s, d).select(col("doc_id"))
+          .as[Long]
+          .mapPartitions { ids =>
+            import javax.sound.sampled._
+            ids.map { id =>
+              val rate = 8000f * (1 + (id % 3)).toInt
+              val channels = 1 + (id % 2).toInt
+              val frames = 1600 + (id % 7).toInt * 800
+              val fmt = new AudioFormat(rate, 16, channels, true, false)
+              val pcm = new Array[Byte](frames * fmt.getFrameSize)
+              val ais = new AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+              (id, bos.toByteArray)
+            }
+          }.toDF("doc_id", "payload")
+        BinaryMeta.decodeAudioMeta(wavs, "doc_id", "payload")
+          .toDF()
+          .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+            col("channels"), col("bits"), col("n_frames"), col("duration_s"))
+          .orderBy("id")
+      },
+      """SELECT doc_id AS id,
+        |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(1600 + (doc_id % 7) * 800 AS BIGINT) AS n_frames,
+        |  CAST(1600 + (doc_id % 7) * 800 AS DOUBLE)
+        |    / (8000 * (1 + doc_id % 3)) AS duration_s
         |FROM documents ORDER BY id""".stripMargin)
   )
 }

@@ -41,6 +41,28 @@ class ImageDecodeSpec extends SparkSpec {
     assert(metas(4L).width == -1 && metas(4L).format == "unknown")
   }
 
+  test("decodeAudioMeta reads real WAV headers via javax.sound") {
+    import javax.sound.sampled._
+    def wav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, wav(16000f, 1, 32000)), (2L, wav(44100f, 2, 4410)),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("id", "payload")
+    val metas = BinaryMeta.decodeAudioMeta(df, "id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas(1L).sample_rate == 16000f && metas(1L).channels == 1 &&
+      metas(1L).n_frames == 32000L && math.abs(metas(1L).duration_s - 2.0) < 1e-9)
+    assert(metas(2L).sample_rate == 44100f && metas(2L).channels == 2 &&
+      math.abs(metas(2L).duration_s - 0.1) < 1e-9)
+    assert(metas(3L).channels == -1) // corrupt degrades, never throws
+  }
+
   test("resizeImages produces decodable PNGs at the target size") {
     val df = Seq((1L, png(64, 48, 3)), (2L, "junk".getBytes("UTF-8")))
       .toDF("id", "payload")
