@@ -65,6 +65,12 @@ def main():
         "- Ingestion queries (hdf5_load, cosmo_physical, zarr_roundtrip) are",
         "  baselined on the ORIGINAL parquet (their oracles' form); the graft",
         "  side additionally pays the chunked write+read of the fixture.",
+        "- Synthesize-and-predict queries (multimodal_decode/_audio,",
+        "  pii_redact, url_normalize, sample_mix) have oracles that PREDICT",
+        "  the operator's output arithmetically instead of performing the",
+        "  work (codec round-trip, regex scrub, md5 sampling), so their",
+        "  ratios compare real work against a constant-folding stand-in and",
+        "  overstate the gap by design.",
         "",
         f"**Baseline total ({len(times)} queries): {total:.2f} s**",
         "",

@@ -17,7 +17,7 @@ object SparkEntry {
     RelationalQueries.defs ++ ScidaQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
       MultimodalQueries.defs ++ Hdf5Queries.defs ++ ZarrQueries.defs ++
-      FitsQueries.defs
+      FitsQueries.defs ++ CorpusQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -181,6 +181,26 @@ object Dedup {
         concat_ws(sep, transform(col("__ls"), s => s.getField("line"))).as(text))
   }
 
+  /** Corpus-wide paragraph-level exact dedup (the sub-document
+    * variant of exact dedup used before training: a paragraph kept
+    * only in the FIRST document containing it — lowest id — and
+    * dropped everywhere else). Distributed shape: explode to
+    * (doc, pos, para), key each paragraph by md5 so the shuffle
+    * carries a 16-byte key instead of arbitrary-length text for the
+    * window partitioning, min(doc) per key decides the keeper — one
+    * hash shuffle total, constant per-key state.
+    *
+    * Returns (id, pos, para, keep) so callers can either reassemble
+    * kept paragraphs in order or aggregate retention stats. */
+  def paragraphDedup(docs: DataFrame, id: String, text: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = docs
+      .select(col(id), posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
+      .toDF(id, "pos", "para")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("para")))
+    paras.withColumn("keep", col(id) === min(col(id)).over(w))
+  }
+
   /** Connected components over near-dup pairs: every doc gets the
     * MINIMUM doc id reachable through pair edges as its cluster id —
     * the transitive-closure grouping LSH dedup needs when near-dup

@@ -123,6 +123,46 @@ object TextOps {
   /** Raw text hash for byte-exact dedup. */
   def exactHash(text: Column): Column = md5(text)
 
+  /** PII patterns (emails, NANP-style phone fragments, dotted-quad
+    * IPs) — the standard pre-training scrub list. Simple
+    * class/quantifier regexes that Java regex and RE2 read
+    * identically. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Count occurrences of each PII class (pre-redaction audit). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(emailPattern)),
+      regexp_count(text, lit(phonePattern)),
+      regexp_count(text, lit(ipPattern)))
+
+  /** Redact PII in place with typed placeholders. Email first (it can
+    * embed digit runs), then IPs (dotted digits), then phones — each a
+    * codegen'd regexp_replace, map-side at scan speed. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipPattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Canonical URL form for URL-level dedup (the common-crawl recipe):
+    * lowercase, drop the scheme, drop a leading www., drop query
+    * string + fragment (tracking params), drop a trailing slash. */
+  def normalizeUrl(url: Column): Column = {
+    val lower0 = lower(url)
+    val noScheme = regexp_replace(lower0, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = regexp_replace(noWww, "[?#].*$", "")
+    regexp_replace(noQuery, "/$", "")
+  }
+
+  /** Registrable-host part of a normalized URL (everything before the
+    * first slash). */
+  def urlDomain(normalizedUrl: Column): Column =
+    regexp_extract(normalizedUrl, "^[^/]+", 0)
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): k-gram rolling hashes, then the min hash of each
     * sliding window of `w` consecutive k-gram hashes; the distinct

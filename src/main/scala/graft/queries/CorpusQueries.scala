@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.TextOps
+import graft.operators.Sampling
+import graft.sources.Tables
+
+/** Corpus-hygiene operators of the LLM-data-pipeline surface
+  * (SURVEY.md §2): PII redaction, URL canonicalization, sub-document
+  * (paragraph) dedup, and deterministic stratified sampling for data
+  * mixing.
+  *
+  * The synthetic documents table carries none of these artifacts
+  * (no digits, no URLs, no paragraph breaks — verified invariant), so
+  * each query injects them deterministically as pure functions of
+  * doc_id — identically expressible on both engines — and the oracle
+  * predicts the operator's full output arithmetically, without using
+  * the operator itself. Same pattern as multimodal_decode: the
+  * operator under test (regex scrub, URL rules, the dedup shuffle,
+  * the hash sampler) must be faithful for the hash to match.
+  */
+object CorpusQueries {
+
+  /** Per-language keep fractions for the data-mixing sample. */
+  private val mixRates = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
+
+  private def mixCaseSql: String =
+    mixRates.map { case (l, r) =>
+      f"WHEN '$l' THEN '${math.floor(r * 256).toInt}%02x'"
+    }.mkString("CASE lang ", " ", " ELSE 'zz' END")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // --- PII scrub: inject a deterministic email / phone / IP per
+    // doc, count each class pre-redaction, redact with typed
+    // placeholders. Oracle predicts counts and the redacted string
+    // without any regex. ---
+    "pii_redact" -> QueryDef.sql(
+      (s, d) => {
+        val did = col("doc_id")
+        val email = concat(lit("user"), did.cast("string"),
+          lit("@mail"), (did % 10).cast("string"), lit(".com"))
+        val phone = concat(lit("555-"), lpad((did % 10000).cast("string"), 4, "0"))
+        val ip = concat((did % 256).cast("string"), lit("."),
+          ((did * 7) % 256).cast("string"), lit("."),
+          ((did * 13) % 256).cast("string"), lit("."),
+          ((did * 29) % 256).cast("string"))
+        val aug = concat(col("text"),
+          lit(" contact "), when(did % 2 === 0, email).otherwise(lit("")),
+          lit(" call "), when(did % 3 === 0, phone).otherwise(lit("")),
+          lit(" ip "), ip)
+        val (ne, np, ni) = TextOps.piiCounts(aug)
+        Tables.documents(s, d).select(did,
+          ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"),
+          TextOps.redactPii(aug).as("redacted"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_emails,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_phones,
+        |  CAST(1 AS INT) AS n_ips,
+        |  text || ' contact '
+        |    || CASE WHEN doc_id % 2 = 0 THEN '<EMAIL>' ELSE '' END
+        |    || ' call '
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<PHONE>' ELSE '' END
+        |    || ' ip <IP>' AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // --- URL canonicalization + per-domain rollup: scheme/case/www/
+    // tracking-param/fragment stripping, then group by extracted
+    // domain. Oracle constructs the canonical form directly. ---
+    "url_normalize" -> QueryDef.sql(
+      (s, d) => {
+        val did = col("doc_id")
+        val raw = concat(lit("https://WWW.Host"), (did % 7).cast("string"),
+          lit(".Example.COM/p/"), did.cast("string"),
+          when(did % 2 === 0,
+            concat(lit("?utm_source=feed&sid="), did.cast("string")))
+            .otherwise(lit("")),
+          when(did % 5 === 0, lit("#sec")).otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(did, raw.as("raw"), TextOps.normalizeUrl(raw).as("norm"))
+          .groupBy(TextOps.urlDomain(col("norm")).as("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("raw").contains("?"), 1L).otherwise(0L)).as("n_tracked"),
+            sum(length(col("norm")).cast("bigint")).as("sum_len"))
+          .orderBy("domain")
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'host' || (doc_id % 7) || '.example.com' AS domain,
+        |    'host' || (doc_id % 7) || '.example.com/p/' || doc_id AS norm,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS tracked
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(sum(tracked) AS BIGINT) AS n_tracked,
+        |  CAST(sum(length(norm)) AS BIGINT) AS sum_len
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin),
+
+    // --- paragraph-level exact dedup: each doc gets a unique intro
+    // paragraph, a boilerplate paragraph shared by every 40th doc,
+    // and its (usually unique) body; a paragraph survives only in the
+    // lowest-id document containing it. Oracle replays the same
+    // min-per-paragraph rule in SQL windows. ---
+    "dedup_paragraph" -> QueryDef.sql(
+      (s, d) => {
+        val did = col("doc_id")
+        val aug = concat_ws("\n\n",
+          concat(lit("intro "), did.cast("string")),
+          concat(lit("shared boilerplate "), (did % 40).cast("string")),
+          col("text"))
+        val withAug = Tables.documents(s, d).select(did, aug.as("aug"))
+        Dedup.paragraphDedup(withAug, "doc_id", "aug")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), length(col("para")).cast("bigint"))
+              .otherwise(0L)).as("kept_len"))
+          .orderBy("doc_id")
+      },
+      """WITH aug AS (
+        |  SELECT doc_id, 'intro ' || doc_id || chr(10) || chr(10)
+        |    || 'shared boilerplate ' || (doc_id % 40) || chr(10) || chr(10)
+        |    || text AS aug
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, unnest(string_split(aug, chr(10) || chr(10))) AS para
+        |  FROM aug),
+        |kp AS (
+        |  SELECT doc_id, para, min(doc_id) OVER (PARTITION BY para) AS keeper
+        |  FROM paras)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id = keeper THEN length(para) ELSE 0 END) AS BIGINT) AS kept_len
+        |FROM kp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // --- deterministic stratified sample (data mixing): per-language
+    // keep fractions, membership a pure function of doc_id (hash
+    // threshold) — reproducible across retries, partitionings, and
+    // corpus growth. Oracle applies the identical md5-prefix rule. ---
+    "sample_mix" -> QueryDef.sql(
+      (s, d) => Sampling.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "lang", mixRates)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < $mixCaseSql
+         |ORDER BY doc_id""".stripMargin)
+  )
+}
