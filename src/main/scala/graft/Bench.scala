@@ -46,8 +46,11 @@ object Bench {
     // two passes, keep the min: single runs carry up to ±25% noise
     // from codegen compilation and machine load; the min approximates
     // steady-state per-query capability
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .map(n => n -> math.min(exec(n), exec(n)))
+    // optional args = subset of query names (local iteration aid; the
+    // driver passes none and gets the full set)
+    val names = if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> math.min(exec(n), exec(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

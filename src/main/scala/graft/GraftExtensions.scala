@@ -38,6 +38,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
       binary("graft_cosine", CosineSimilarity.apply) _),
+    (FunctionIdentifier("graft_topk_rows"),
+      info("graft_topk_rows",
+        "graft_topk_rows(struct, k) - k smallest struct values per group, ascending (algebraic per-group top-k)"),
+      binary("graft_topk_rows", (a: Expression, b: Expression) =>
+        graft.functions.expressions.TopKRows(a, b)
+          .toAggregateExpression()) _),
     (FunctionIdentifier("graft_band_index"),
       info("graft_band_index",
         "graft_band_index(v, lows, highs) - binary-search index of the sorted half-open interval containing v"),

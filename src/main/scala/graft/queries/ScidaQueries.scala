@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Histograms, PrefixSum, RangeAssign, Spatial}
+import graft.operators.{GroupTopK, Histograms, PrefixSum, RangeAssign, Spatial}
 import graft.sources.Tables
 
 /** Queries that re-express scida's own capability surface
@@ -292,17 +292,26 @@ object ScidaQueries {
         |  round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
-    // --- per-group top-k members (window) ---
+    // --- per-group top-k members. NOT a bare window: that shuffles
+    // the whole table into one reducer per group (6 tasks forever).
+    // graft_topk_rows (native TypedImperativeAggregate) keeps a
+    // bounded k-row buffer that PARTIALLY aggregates map-side, so the
+    // exchange carries O(tasks × groups × k) rows; descending sort is
+    // expressed by negating the price inside the ascending struct. ---
     "group_topk" -> QueryDef.sql(
       (s, d) => {
-        val w = Window.partitionBy("l_returnflag", "l_linestatus")
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        val sortStruct = struct(
+          (-col("l_extendedprice")).as("np"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
         Tables.lineitem(s, d)
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("l_returnflag"), col("l_linestatus"), col("rk"),
-            col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice"), 2).as("price"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(call_function("graft_topk_rows", sortStruct, lit(3)).as("top"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            posexplode(col("top")))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            (col("pos") + 1).cast("int").as("rk"),
+            col("col.ok").as("l_orderkey"), col("col.ln").as("l_linenumber"),
+            round(-col("col.np"), 2).as("price"))
           .orderBy("l_returnflag", "l_linestatus", "rk")
       },
       """SELECT l_returnflag, l_linestatus, rk, l_orderkey, l_linenumber, price
