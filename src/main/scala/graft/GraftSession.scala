@@ -19,7 +19,11 @@ object GraftSession {
   def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
     .withExtensions(new GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
+    // operator knob: AQE is right at cluster scale (runtime re-plan,
+    // skew splitting); SPARK_GRAFT_AQE=false lets a perf harness
+    // measure without per-stage re-planning overhead
+    .config("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
