@@ -50,5 +50,14 @@ object GraftExtensions {
       { args: Seq[Expression] =>
         require(args.length == 3, s"graft_band_index expects 3 arguments, got ${args.length}")
         BandIndex(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(text, k) - distinct k-word shingles in first-occurrence order; k must be a literal"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"graft_shingles expects 2 arguments, got ${args.length}")
+        require(args(1).foldable, "graft_shingles k must be a literal")
+        graft.functions.expressions.ShingleArray(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
       }))
 }

@@ -74,22 +74,48 @@ object Dedup {
   def ngramJaccardPairsFromShingles(sh: DataFrame, id: String, minJ: Double): DataFrame = {
     val ex = sh.select(col(id), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    // prefix = rarest floor((1-t)*n)+1 tokens of each doc
+    // prefix = rarest floor((1-t)*n)+1 tokens of each doc, under the
+    // global (df, s) total order. One hash aggregate per doc (collect
+    // + in-memory sort + slice) — the window/row_number formulation
+    // pays the same shuffle plus a full partition sort, and as a
+    // two-sided self-join input it evaluated this whole subtree twice.
+    val prefixLen = (col("n") - ceil(col("n") * lit(minJ)) + 1).cast("int")
     val ranked = ex.join(dfreq, Seq("s"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(id))
-          .orderBy(col("df"), col("s"))))
-      .filter(col("rk") <= (col("n") - ceil(col("n") * lit(minJ)) + 1))
-      .select(col(id), col("s"))
-    val a = ranked.toDF("doc_a", "s")
-    val b = ranked.toDF("doc_b", "s")
-    val cand = a.join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy(col(id), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("o"))
+      .select(col(id), col("n"), explode(slice(col("o"), lit(1), prefixLen)).as("p"))
+      .select(col(id), col("n"), col("p.s").as("s"))
+    // candidate pairs: group prefix postings by shingle and expand the
+    // per-shingle doc list map-side — one shuffle where the a/b
+    // self-join shuffled the (re-evaluated) prefix stream twice. The
+    // per-key fan-out bound is unchanged: prefixes hold the rarest
+    // tokens, so posting lists stay short (that IS the PPJoin filter).
+    // The length filter (J >= t ⇒ min(n)/max(n) >= t) prunes
+    // size-incompatible pairs before they ever reach the verify join;
+    // the 1e-6 slack keeps pairs whose 6-dp ROUNDED J lands on t.
+    val cand = ranked.groupBy("s")
+      .agg(collect_list(struct(col(id), col("n"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col(s"a.$id") < col(s"b.$id") &&
+        least(col("a.n"), col("b.n")) >=
+          (lit(minJ) - lit(1e-6)) * greatest(col("a.n"), col("b.n")))
+      .select(col(s"a.$id").as("doc_a"), col("a.n").as("na"),
+        col(s"b.$id").as("doc_b"), col("b.n").as("nb"))
+      .distinct()
     val sa = sh.toDF("doc_a", "sh_a")
     val sb = sh.toDF("doc_b", "sh_b")
+    // The explode(array(...)) wrapper is a Generate barrier: without
+    // it, CollapseProject + filter pushdown inline the intersection
+    // into every consumer and the (hash-set-building) array_intersect
+    // runs ~4x per candidate; behind the barrier it runs once.
     cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .withColumn("j", VectorOps.roundAt(Hashing.jaccard(col("sh_a"), col("sh_b")), 6))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        explode(array(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double"))).as("inter"))
+      .withColumn("j", VectorOps.roundAt(
+        col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("j") >= minJ)
       .select("doc_a", "doc_b", "j")
   }

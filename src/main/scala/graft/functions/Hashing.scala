@@ -20,20 +20,12 @@ object Hashing {
     * space, deduplicated. Docs shorter than k words yield their whole
     * text as the single shingle.
     *
-    * Formulated as an element-wise zip of k shifted slices rather than
-    * `transform(sequence(...), i => slice(ws, i, k))`: in the latter,
-    * interpreted HOF evaluation re-runs the whole `split` subtree for
-    * every window (O(words²) per row); here each slice is evaluated
-    * once per row and the zip lambda is O(1) per element. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = split(text, " ")
-    val n = size(ws)
-    val win = greatest(n - (k - 1), lit(0)) // k-window count when n >= k
-    val joined = (2 to k).foldLeft(slice(ws, lit(1), win)) { (acc, j) =>
-      zip_with(acc, slice(ws, lit(j), win), (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(when(n >= k, joined).otherwise(array(text)))
-  }
+    * Delegates to the native `graft_shingles` expression (one
+    * codegen'd byte-scan pass per row); the earlier zip-of-shifted-
+    * slices formulation paid five interpreted array passes per row
+    * and never entered whole-stage codegen. */
+  def shingles(text: Column, k: Int = 3): Column =
+    call_function("graft_shingles", text, lit(k))
 
   /** MinHash signature of a shingle-array column: element i is
     * min over shingles of xxhash64(i, shingle).
