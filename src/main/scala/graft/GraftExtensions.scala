@@ -51,6 +51,11 @@ object GraftExtensions {
         require(args.length == 3, s"graft_band_index expects 3 arguments, got ${args.length}")
         BandIndex(args(0), args(1), args(2))
       }),
+    (FunctionIdentifier("graft_nearest_centroid"),
+      info("graft_nearest_centroid",
+        "graft_nearest_centroid(vec, centroids) - index of the squared-L2 nearest centroid"),
+      binary("graft_nearest_centroid",
+        graft.functions.expressions.NearestCentroid.apply) _),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "graft_shingles(text, k) - distinct k-word shingles in first-occurrence order; k must be a literal"),

@@ -1,7 +1,5 @@
 package graft.ann
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -9,26 +7,38 @@ import org.apache.spark.sql.functions._
   * quantizer assigns every vector to its nearest centroid; a query
   * probes only the `nProbe` closest cells and exact-ranks inside them.
   *
-  * Scale posture: training runs on a bounded sample; the centroid
-  * table (k × dims doubles) broadcasts to every executor, assignment
-  * is one map-side pass, and at rest the corpus is partitioned (or
-  * clustered) by cell so a probe is a partition-pruned scan of
-  * nProbe/k of the data. The seed is fixed — the index is
-  * reproducible run to run.
+  * Scale posture: training runs DRIVER-SIDE on a bounded sample (the
+  * quantizer is k × dims doubles — a 256-cell × 1k-dim quantizer fits
+  * in kilobytes, and a bounded sample trains it as well as the full
+  * corpus); the centroid table rides the plan as one literal
+  * (broadcast with the task binary), and assignment is a single
+  * codegen'd map-side pass (`graft_nearest_centroid`) over the whole
+  * corpus — no iterative distributed jobs in the query path, which is
+  * what an ML-pipeline trainer would cost (10 scheduler round-trips
+  * per build). At rest the corpus is partitioned (or clustered) by
+  * cell so a probe is a partition-pruned scan of nProbe/k of the
+  * data. The seed is fixed — the index is reproducible run to run.
   */
 object Ivf {
 
   /** Train the quantizer and assign every vector its cell.
+    *
+    * `sampleFraction` bounds what the driver collects for training —
+    * at corpus scale pass a fraction that yields O(100k) vectors (a
+    * coarse quantizer needs no more); the full corpus is never
+    * collected, only sampled training vectors.
     * @return (indexed frame = input + `cell` column, centroids) */
   def build(embs: DataFrame, vec: String, nCells: Int,
-      seed: Long = 42L, sampleFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
-    val feat = embs.withColumn("__f", array_to_vector(col(vec).cast("array<double>")))
-    val train = if (sampleFraction < 1.0) feat.sample(withReplacement = false, sampleFraction, seed) else feat
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__f").setPredictionCol("cell")
-      .fit(train)
-    (model.transform(feat).drop("__f"), model.clusterCenters.map(_.toArray))
+      seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 10): (DataFrame, Array[Array[Double]]) = {
+    val trainDf = if (sampleFraction < 1.0)
+      embs.sample(withReplacement = false, sampleFraction, seed) else embs
+    val sample = trainDf.select(col(vec).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = lloyd(sample, nCells, seed, maxIter)
+    val centLit = typedLit(centers.map(_.toSeq).toSeq)
+    (embs.withColumn("cell",
+      call_function("graft_nearest_centroid", col(vec), centLit)), centers)
   }
 
   /** Probe the `nProbe` nearest cells (by L2 to centroid, the k-means
@@ -44,5 +54,92 @@ object Ivf {
     Ann.bruteForceTopK(
       indexed.filter(col("cell").isin(probes.map(Integer.valueOf): _*)),
       id, vec, qCol, k, digits)
+  }
+
+  private def sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+    s
+  }
+
+  /** Deterministic Lloyd's k-means with k-means++ seeding and
+    * farthest-point reseeding of emptied clusters. Runs on the
+    * driver over the (bounded) training sample. */
+  private def lloyd(xs: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    val n = xs.length
+    require(n >= k, s"need at least $k training vectors, got $n")
+    val dims = xs(0).length
+    val rnd = new scala.util.Random(seed)
+    // k-means++ init: each next center sampled ∝ distance² to the set
+    val centers = new Array[Array[Double]](k)
+    centers(0) = xs(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      var sum = 0.0
+      while (i < n) {
+        val dd = sq(xs(i), centers(c - 1))
+        if (dd < d2(i)) d2(i) = dd
+        sum += d2(i)
+        i += 1
+      }
+      var r = rnd.nextDouble() * sum
+      var idx = 0
+      while (idx < n - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+      centers(c) = xs(idx).clone()
+      c += 1
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](n)
+    val counts = new Array[Int](k)
+    val sums = Array.ofDim[Double](k, dims)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val dd = sq(xs(i), centers(j))
+          if (dd < bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        counts(best) += 1
+        var t = 0
+        while (t < dims) { sums(best)(t) += xs(i)(t); t += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) == 0) {
+          // reseed an empty cluster to the point farthest from its center
+          var far = 0
+          var farD = -1.0
+          var i2 = 0
+          while (i2 < n) {
+            val dd = sq(xs(i2), centers(assign(i2)))
+            if (dd > farD) { farD = dd; far = i2 }
+            i2 += 1
+          }
+          centers(j) = xs(far).clone()
+          moved = true
+        } else {
+          var t = 0
+          while (t < dims) { centers(j)(t) = sums(j)(t) / counts(j); t += 1 }
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    centers
   }
 }

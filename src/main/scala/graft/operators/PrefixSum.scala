@@ -31,9 +31,12 @@ object PrefixSum {
     val df = graft.CacheScope.track(dfIn)
     // quantile boundaries: a tiny driver-side array (same role as
     // RangePartitioner's sample), deterministic given the data
+    // relative error 0.02: boundaries only balance bucket LOAD (the
+    // sum is exact regardless), and a loose t-digest pass is
+    // measurably cheaper than a tight one
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds = df.stat
-      .approxQuantile(key, probs, 0.001).distinct.sorted
+      .approxQuantile(key, probs, 0.02).distinct.sorted
     val bucketed =
       if (bounds.isEmpty) df.withColumn("__b", lit(0))
       else {

@@ -212,10 +212,17 @@ object RelationalQueries {
     // count (HyperLogLog++) and quantiles (constant-size state, one
     // pass, map-side mergeable) — rows-only (sketch algorithms differ
     // across engines); accuracy pinned vs exact in SketchSpec ---
+    // DataSketches HLL (lgK=14 ≈ 0.8% error), not approx_count_distinct
+    // at rsd=0.01: Spark's HLL++ flattens its 2^14 registers into
+    // ~2,700 Long BUFFER COLUMNS per sketch, which blows past codegen
+    // limits and runs ~10x slower; the DataSketches aggregate keeps
+    // one binary buffer per sketch (ObjectHashAggregate), stays
+    // mergeable map-side, and its serialized state is reusable
+    // (union-able across partitions/days).
     "sketch_distinct" -> QueryDef.rowsOnly(
       (s, d) => Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"))),
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14))).as("n_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), lit(14))).as("n_supps"))),
     "sketch_percentiles" -> QueryDef.rowsOnly(
       (s, d) => Tables.lineitem(s, d)
         .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))
@@ -259,7 +266,11 @@ object RelationalQueries {
             .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
             .filter(col("cnt") >= 2)
             .select(col("l_orderkey").as("hotkey")))
-        hot.count() // forces the single evaluation both branches reuse
+        // no eager count needed: the persist means whichever broadcast
+        // build runs first materializes the cache (cache loading is
+        // locked per partition), so both branches observe ONE
+        // evaluation of the sample — an extra driver action here just
+        // paid a whole serial job for the same guarantee
         val l = Tables.lineitem(s, d)
           .join(broadcast(hot), col("l_orderkey") === col("hotkey"), "left")
           .withColumn("salt", when(col("hotkey").isNotNull,

@@ -8,10 +8,10 @@ import graft.sources.Tables
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_count_distinct within 2% of exact at rsd=0.01") {
+  test("DataSketches HLL (lgK=14) within 2% of exact") {
     val li = Tables.lineitem(spark, sfDir)
     val (approx, exact) = li.agg(
-      approx_count_distinct(col("l_partkey"), rsd = 0.01),
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14))),
       countDistinct(col("l_partkey"))).as[(Long, Long)].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.02,
       s"approx=$approx exact=$exact")
