@@ -146,6 +146,46 @@ object CorpusQueries {
         .orderBy("doc_id"),
       s"""SELECT doc_id, lang FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < $mixCaseSql
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // --- sequence packing (training-batch assembly): docs are
+    // concatenated in doc_id order into one token stream and cut into
+    // fixed 512-token context windows — the concat-and-chop packing
+    // GPT-style pipelines use. Per doc: its start offset in the
+    // stream (exclusive prefix sum via the scalable PrefixSum
+    // primitive — bucketed two-phase scan, no global single-task
+    // window), the window it lands in, its offset there, and how many
+    // window boundaries it crosses. Integer arithmetic only (div/mod
+    // on BIGINT), so both engines agree bit-exactly. ---
+    "pack_sequences" -> QueryDef.sql(
+      (s, d) => {
+        val ctx = 512
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.PrefixSum.exclusive(toks, "doc_id", col("n_tokens"),
+            buckets = 32, outCol = "start_tok")
+          .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+            expr(s"start_tok div $ctx").as("seq_id"),
+            (col("start_tok") % ctx).as("seq_off"),
+            when(col("n_tokens") === 0, lit(0L)).otherwise(
+              expr(s"(start_tok + n_tokens - 1) div $ctx - start_tok div $ctx"))
+              .as("n_splits"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, start_tok,
+         |  start_tok // 512 AS seq_id,
+         |  start_tok % 512 AS seq_off,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 END AS n_splits
+         |FROM cum ORDER BY doc_id""".stripMargin)
   )
 }
