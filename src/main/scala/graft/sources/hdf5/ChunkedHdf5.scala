@@ -52,15 +52,28 @@ object ChunkedHdf5 {
     * its loader cache file (io/_base.py ChunkedHDF5Loader): planning a
     * scan of an N-chunk snapshot must open each file ONCE, not once
     * per (schema, rowCount, attrs) consumer. Keyed by
-    * (canonical path, mtime, size) so rewritten fixtures re-parse. */
+    * (canonical path, mtime, size) so rewritten fixtures re-parse.
+    * Misses consult the on-disk MetadataCache sidecar before parsing
+    * the file (scida io/_base.py:366 `load_metadata` cache-file
+    * semantics) — a FRESH driver planning a cold N-chunk snapshot
+    * reads N small sidecars instead of walking N HDF5 headers. */
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Hdf5Reader.H5File]()
 
   def metadata(file: String): Hdf5Reader.H5File = {
     val f = new File(file)
     val key = (f.getCanonicalPath, f.lastModified(), f.length())
-    metaCache.computeIfAbsent(key, _ => Hdf5Reader.open(file))
+    metaCache.computeIfAbsent(key, _ =>
+      MetadataCache.load(f).getOrElse {
+        val parsed = Hdf5Reader.open(file)
+        MetadataCache.store(f, parsed)
+        parsed
+      })
   }
+
+  /** Test hook: drop the in-JVM memo so the on-disk cache path is
+    * observable. */
+  private[graft] def clearMemo(): Unit = metaCache.clear()
 
   /** Row count of `group` in one chunk, from dataspace metadata only. */
   def rowCount(file: String, group: String): Long = {
