@@ -131,4 +131,46 @@ class PlanAuditSpec extends SparkSpec {
     // codegen'd stages print as "*(n) Operator" in the plan string
     assert(p.contains("*(") , p.take(800))
   }
+
+  test("dedup_ngram_jaccard: no window sort; native shingles; one Generate verify barrier") {
+    val p = plan("dedup_ngram_jaccard")
+    // prefix ranking is a hash aggregate, not a per-doc window sort
+    assert(!p.contains("Window"), "prefix ranking must not plan a window")
+    // shingling is the codegen'd native expression, not interpreted HOFs
+    assert(p.contains("graft_shingles"), p.take(800))
+    assert(!p.contains("zip_with"), "no interpreted HOF shingling in the hot path")
+    // the verify intersection is computed once behind a Generate
+    // barrier — exactly one array_intersect in the whole plan
+    val n = "array_intersect".r.findAllIn(p).length
+    assert(n <= 2, s"intersection must not be re-inlined per consumer (found $n)")
+  }
+
+  test("sketch_distinct: single-binary-buffer sketch aggregate (no register-column blowup)") {
+    val p = plan("sketch_distinct")
+    // DataSketches HLL state is one binary object per sketch →
+    // ObjectHashAggregate; HLL++ at rsd=0.01 would plan a
+    // HashAggregate over ~2,700 Long buffer columns per sketch
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("hllsketchagg") || p.contains("hll_sketch_agg"), p.take(800))
+  }
+
+  test("ann_ivf: assignment is one map-side pass (no iterative ML stages, no join)") {
+    val p = plan("ann_ivf")
+    assert(p.contains("graft_nearest_centroid"), p.take(800))
+    assert(!p.contains("Join"), "cell assignment must not plan a join")
+    assert(p.contains("TakeOrderedAndProject"), "probe top-k must be a k-heap")
+  }
+
+  test("pack_sequences: stream offsets via bucketed prefix sum, windows stay partitioned") {
+    val p = plan("pack_sequences")
+    // the only window is the in-bucket cumsum — partitioned by the
+    // range bucket; a global Window.orderBy(doc_id) would serialize
+    // the whole corpus into one task
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p.take(800))
+    windows.foreach(w =>
+      assert(!w.contains("No Partition") && w.contains("__b"),
+        s"window must partition on the range bucket: $w"))
+    assert(p.contains("graft_band_index"), "bucketing must be the native band lookup")
+  }
 }
