@@ -68,8 +68,12 @@ object Cosmology {
   /** Gadget-style parameter lookup with scida's alias order
     * (cosmology.py:160 `get_cosmology_from_rawmetadata`): each of
     * h/Ω₀/Ω_b is searched under /Parameters then /Header, first
-    * matching alias wins. Returns None when no Hubble parameter is
-    * found anywhere (scida likewise returns no cosmology object). */
+    * matching alias wins; rockstar catalogs fall back to root-level
+    * `cosmology:*` attributes (cosmology.py:186-192), and
+    * FLAMINGO-style SWIFT headers that record Ω_m = -1 recompute it
+    * as Ω_cdm + Ω_b from /Parameters (cosmology.py:194-205). Returns
+    * None when no Hubble parameter is found anywhere (scida likewise
+    * returns no cosmology object). */
   def fromAttrs(attrs: Map[String, Map[String, Any]]): Option[Cosmology] = {
     def find(aliases: Seq[String]): Option[Double] =
       (for {
@@ -77,14 +81,27 @@ object Cosmology {
         name <- aliases.iterator
         v <- attr(attrs, grp, name).iterator
       } yield v).nextOption()
+    // rockstar: scalar attrs live on the ROOT object under colon names
+    def rockstar(name: String): Option[Double] =
+      attr(attrs, "/", s"cosmology:$name")
+    val ob0 = find(Seq("OmegaBaryon", "Cosmology:Omega_b"))
+      .orElse(rockstar("omega_baryon"))
+    val om0raw = find(Seq("Omega0", "Cosmology:Omega_m"))
+      .orElse(rockstar("omega_matter"))
+    // flamingo-swift: Omega_m is sometimes written as -1.0; then the
+    // matter density is Omega_cdm + Omega_b
+    val om0 = om0raw match {
+      case Some(m) if m <= 0.0 =>
+        (attr(attrs, "/Parameters", "Cosmology:Omega_cdm"), ob0) match {
+          case (Some(cdm), Some(b)) => Some(cdm + b)
+          case _ => om0raw
+        }
+      case other => other
+    }
     for {
-      h <- find(Seq("HubbleParam", "Cosmology:h"))
+      h <- find(Seq("HubbleParam", "Cosmology:h")).orElse(rockstar("hubble"))
       z <- redshiftFromAttrs(attrs)
-    } yield Cosmology(
-      h = h,
-      omega0 = find(Seq("Omega0", "Cosmology:Omega_m")),
-      omegaBaryon = find(Seq("OmegaBaryon", "Cosmology:Omega_b")),
-      redshift = z)
+    } yield Cosmology(h = h, omega0 = om0, omegaBaryon = ob0, redshift = z)
   }
 
   /** Is this snapshot a cosmological (comoving) run? — the

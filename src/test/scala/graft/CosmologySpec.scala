@@ -64,6 +64,35 @@ class CosmologySpec extends SparkSpec {
     assert(Cosmology.redshiftFromAttrs(attrs).contains(1.0))
   }
 
+  test("rockstar-style root-level cosmology:* attrs are the last fallback") {
+    // reference: cosmology.py:186-192 — rockstar catalogs carry
+    // cosmology as root-object attributes under colon names
+    val dir = Files.createTempDirectory("graft_cosmo_rs").toString
+    val root = Hdf5Writer.Group(
+      attrs = Seq("cosmology:hubble" -> 0.7, "cosmology:omega_matter" -> 0.3,
+        "cosmology:omega_baryon" -> 0.05),
+      children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq("Redshift" -> 0.5)),
+        "PartType0" -> Hdf5Writer.Group(children = Seq(
+          "Masses" -> Hdf5Writer.F64(Array(1.0))))))
+    Hdf5Writer.write(s"$dir/cat.0.hdf5", root)
+    val c = Cosmology.fromAttrs(ChunkedHdf5.attrs(dir)).get
+    assert(c.h == 0.7 && c.omega0.contains(0.3) && c.omegaBaryon.contains(0.05))
+  }
+
+  test("FLAMINGO/SWIFT Omega_m = -1 recomputes as Omega_cdm + Omega_b") {
+    // reference: cosmology.py:194-205
+    val dir = snapshotWith(Seq("Redshift" -> 1.0),
+      extra = Seq("Parameters" -> Hdf5Writer.Group(attrs = Seq(
+        "Cosmology:h" -> 0.681,
+        "Cosmology:Omega_m" -> -1.0,
+        "Cosmology:Omega_cdm" -> 0.256,
+        "Cosmology:Omega_b" -> 0.0486))))
+    val c = Cosmology.fromAttrs(ChunkedHdf5.attrs(dir)).get
+    assert(c.h == 0.681)
+    assert(c.omega0.exists(v => math.abs(v - (0.256 + 0.0486)) < 1e-12))
+  }
+
   test("GraftDataset carries cosmology through transforms and into info") {
     val dir = snapshotWith(gadgetHeader)
     val c = Cosmology.fromAttrs(ChunkedHdf5.attrs(dir)).get
