@@ -99,6 +99,47 @@ object Load {
     }
   }
 
+  /** Simulation-family detection from metadata markers — scida's
+    * per-class `validate_path` votes re-expressed as one inspection
+    * (reference: src/scida/customs/swift/dataset.py:55 `/Code
+    * Code` contains "SWIFT"; gizmo/dataset.py:84 `/Header
+    * GIZMO_version`; arepo/dataset.py:230-239 `/Header Git_commit`
+    * without `Compactify_Version`; rockstar/dataset.py:59 a
+    * `/cosmology:omega_dm` dataset). Family only (scida
+    * `Specificity.FAMILY`): graft needs no per-simulation subclass
+    * because the cosmology/unit mixins are data-driven — the flavor
+    * is informational (logging, unit-default selection by callers). */
+  def flavor(path: String): String = {
+    def classify(header: Map[String, Any], code: String,
+        hasRockstarDs: Boolean): String =
+      if (code.contains("SWIFT")) "swift"
+      else if (hasRockstarDs) "rockstar"
+      else if (header.contains("GIZMO_version")) "gizmo"
+      else if (header.contains("Git_commit") &&
+        !header.contains("Compactify_Version")) "arepo"
+      else "generic"
+    detect(path) match {
+      case Hdf5 =>
+        val f = ChunkedHdf5.metadata(ChunkedHdf5.discoverChunks(path).head)
+        val code = f.attrs.getOrElse("/Code", Map.empty).get("Code") match {
+          case Some(s: String) => s
+          case _ => ""
+        }
+        classify(f.attrs.getOrElse("/Header", Map.empty), code,
+          f.datasets.exists(_.path == "/cosmology:omega_dm"))
+      case Zarr =>
+        val st = graft.sources.zarr.ZarrStore.open(path)
+        val code = st.attrs.getOrElse("/Code", st.attrs.getOrElse("/", Map.empty))
+          .get("Code") match {
+          case Some(s: String) => s
+          case _ => ""
+        }
+        classify(st.attrs.getOrElse("/Header", Map.empty), code,
+          st.arrays.exists(_.name == "cosmology:omega_dm"))
+      case _ => "generic"
+    }
+  }
+
   /** Load as a GraftDataset with metadata mixins attached — the full
     * scida `load()` contract: cosmology derives from /Header attrs
     * (HDF5 chunk 0, or a zarr root/.zattrs carrying header keys) when

@@ -53,6 +53,36 @@ class LoadSpec extends SparkSpec {
     assert(z.select("Masses").as[Double].collect().sorted.toSeq == Seq(3.0, 4.0))
   }
 
+  test("flavor: family markers vote as in scida's per-class validate_path") {
+    def snap(header: Seq[(String, Any)],
+        extra: Seq[(String, Hdf5Writer.Node)] = Nil): String = {
+      val dir = Files.createTempDirectory("graft_flavor").toString
+      Hdf5Writer.write(s"$dir/s.0.hdf5", Hdf5Writer.Group(children =
+        Seq("Header" -> Hdf5Writer.Group(attrs = header)) ++ extra ++
+          Seq("PartType0" -> Hdf5Writer.Group(children = Seq(
+            "Masses" -> Hdf5Writer.F64(Array(1.0)))))))
+      dir
+    }
+    // swift: /Code Code contains SWIFT (swift/dataset.py:55)
+    assert(Load.flavor(snap(Seq("Redshift" -> 0.0),
+      extra = Seq("Code" -> Hdf5Writer.Group(attrs = Seq(
+        "Code" -> "SWIFT v0.9"))))) == "swift")
+    // gizmo: GIZMO_version in /Header (gizmo/dataset.py:84)
+    assert(Load.flavor(snap(Seq("GIZMO_version" -> 2022L))) == "gizmo")
+    // arepo: Git_commit without Compactify_Version (arepo/dataset.py:230)
+    assert(Load.flavor(snap(Seq("Git_commit" -> "abc123"))) == "arepo")
+    assert(Load.flavor(snap(Seq("Git_commit" -> "abc123",
+      "Compactify_Version" -> 1L))) == "generic")
+    // rockstar: a root-level /cosmology:omega_dm dataset
+    // (rockstar/dataset.py:59)
+    assert(Load.flavor(snap(Seq("Redshift" -> 0.0),
+      extra = Seq("cosmology:omega_dm" ->
+        Hdf5Writer.F64(Array(0.26))))) == "rockstar")
+    // plain header: generic
+    assert(Load.flavor(hdf5Dir) == "generic")
+    assert(Load.flavor(parquetDir) == "generic")
+  }
+
   test("dataset attaches the cosmology mixin from snapshot metadata") {
     val dsH5 = Load.dataset(spark, hdf5Dir)
     assert(dsH5.cosmology.map(_.redshift).contains(1.0))
