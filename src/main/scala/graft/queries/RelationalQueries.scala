@@ -223,6 +223,18 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d).agg(
         hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14))).as("n_parts"),
         hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), lit(14))).as("n_supps"))),
+    // sketch MERGEABILITY — the reason sketches win at 100 TB: build
+    // one HLL per group (per day / per partition / per shard in
+    // production), persist those tiny binaries, and answer the global
+    // question later by UNIONING them — no re-scan of the raw data.
+    // Estimates are exact-algebra on the sketch state, so
+    // union-of-groups equals the single-pass sketch.
+    "sketch_union" -> QueryDef.rowsOnly(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_parts_union"),
+          count(lit(1)).as("n_groups"))),
     "sketch_percentiles" -> QueryDef.rowsOnly(
       (s, d) => Tables.lineitem(s, d)
         .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))

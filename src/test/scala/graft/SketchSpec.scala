@@ -17,6 +17,23 @@ class SketchSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("HLL union of per-group sketches equals the single-pass sketch") {
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14))))
+      .as[Long].head()
+    val unioned = li.groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .as[Long].head()
+    val exact = li.agg(countDistinct(col("l_partkey"))).as[Long].head()
+    // merge must not lose accuracy: same error envelope as direct
+    assert(math.abs(unioned - exact).toDouble / exact < 0.02,
+      s"unioned=$unioned exact=$exact")
+    assert(math.abs(unioned - direct).toDouble / math.max(direct, 1) < 0.02,
+      s"unioned=$unioned direct=$direct")
+  }
+
   test("approx_percentile within 1% of exact") {
     val li = Tables.lineitem(spark, sfDir)
     val (approx, exact) = li.agg(
