@@ -40,6 +40,12 @@ final case class Quantity(col: Column, unit: Units.Measure) {
     Quantity(if (n > 0) c else lit(1.0) / c, unit.pow(n))
   }
 
+  /** Square root with unit exponents halved — pint sqrt(quantity)
+    * (velocity dispersions, rms field amplitudes); errors when any
+    * exponent is odd, as pint does on fractional dimensions. */
+  def sqrt: Quantity =
+    Quantity(org.apache.spark.sql.functions.sqrt(col), unit.root(2))
+
   /** Convert to `target` (composite expressions allowed): one literal
     * multiply, dimension-checked — pint's `.to()`. */
   def to(target: String): Quantity = {

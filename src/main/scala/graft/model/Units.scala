@@ -93,6 +93,17 @@ object Units {
     def pow(n: Int): Measure = Measure(syms.map { case (k, e) => k -> e * n }
       .filter(_._2 != 0))
 
+    /** n-th root — every exponent must divide evenly (pint raises on
+      * fractional dimensions the same way). */
+    def root(n: Int): Measure = {
+      require(n > 0, "root index must be positive")
+      syms.collectFirst { case (k, e) if e % n != 0 => k -> e }.foreach {
+        case (k, e) => sys.error(
+          s"cannot take ${n}th root of $this: exponent $e of '$k' not divisible")
+      }
+      Measure(syms.map { case (k, e) => k -> e / n }.filter(_._2 != 0))
+    }
+
     def dimension: Dimension = syms.foldLeft(Dimension(Map.empty)) {
       case (acc, (sym, e)) => acc * registry(sym)._2.pow(e)
     }

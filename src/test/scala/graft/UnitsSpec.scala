@@ -72,6 +72,19 @@ class UnitsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Units.factor("K", "s"))
   }
 
+  test("sqrt halves unit exponents; odd exponents error (pint fractional-dim rule)") {
+    val df = Seq(4.0, 9.0).toDF("v2")
+    val ds = GraftDataset(df).withUnit("v2", "km^2/s^2")
+    val disp = ds.q("v2").sqrt
+    assert(disp.unit.toString == "km/s")
+    val vals = df.select(disp.as("v")).as[Double].collect().sorted
+    assert(vals.toSeq == Seq(2.0, 3.0))
+    // km^3 has no exact square root
+    val bad = GraftDataset(df).withUnit("v2", "km^3/s^2")
+    val e = intercept[RuntimeException](bad.q("v2").sqrt)
+    assert(e.getMessage.contains("root"))
+  }
+
   test("derived fields propagate computed units end-to-end") {
     val df = Seq((4.0, 2.0), (9.0, 3.0)).toDF("mass", "vol")
     val ds = GraftDataset(df)
