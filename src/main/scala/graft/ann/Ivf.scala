@@ -23,17 +23,20 @@ object Ivf {
 
   /** Train the quantizer and assign every vector its cell.
     *
-    * `sampleFraction` bounds what the driver collects for training —
-    * at corpus scale pass a fraction that yields O(100k) vectors (a
-    * coarse quantizer needs no more); the full corpus is never
-    * collected, only sampled training vectors.
+    * The driver collects at most `maxTrain` training vectors, chosen
+    * DETERMINISTICALLY (id-ordered TakeOrdered after the optional
+    * `sampleFraction` thinning) — a coarse quantizer needs no more,
+    * the full corpus is never collected, and the index is identical
+    * across partitionings/cluster sizes. At corpus scale pass a
+    * `sampleFraction` so the TakeOrdered scans a thinned stream.
     * @return (indexed frame = input + `cell` column, centroids) */
-  def build(embs: DataFrame, vec: String, nCells: Int,
+  def build(embs: DataFrame, id: String, vec: String, nCells: Int,
       seed: Long = 42L, sampleFraction: Double = 1.0,
-      maxIter: Int = 10): (DataFrame, Array[Array[Double]]) = {
+      maxTrain: Int = 65536, maxIter: Int = 10): (DataFrame, Array[Array[Double]]) = {
     val trainDf = if (sampleFraction < 1.0)
       embs.sample(withReplacement = false, sampleFraction, seed) else embs
-    val sample = trainDf.select(col(vec).cast("array<double>"))
+    val sample = trainDf.orderBy(id).limit(maxTrain)
+      .select(col(vec).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     val centers = lloyd(sample, nCells, seed, maxIter)
     val centLit = typedLit(centers.map(_.toSeq).toSeq)
@@ -119,18 +122,27 @@ object Ivf {
         i += 1
       }
       var j = 0
+      val reseeded = new java.util.HashSet[Int]()
       while (j < k) {
         if (counts(j) == 0) {
-          // reseed an empty cluster to the point farthest from its center
-          var far = 0
+          // reseed an empty cluster to the farthest point not already
+          // used as a reseed this iteration — two clusters emptying
+          // together must not land on the SAME point (duplicate
+          // centroids would then persist to convergence)
+          var far = -1
           var farD = -1.0
           var i2 = 0
           while (i2 < n) {
-            val dd = sq(xs(i2), centers(assign(i2)))
-            if (dd > farD) { farD = dd; far = i2 }
+            if (!reseeded.contains(i2)) {
+              val dd = sq(xs(i2), centers(assign(i2)))
+              if (dd > farD) { farD = dd; far = i2 }
+            }
             i2 += 1
           }
-          centers(j) = xs(far).clone()
+          if (far >= 0) {
+            reseeded.add(far)
+            centers(j) = xs(far).clone()
+          }
           moved = true
         } else {
           var t = 0

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * demonstrates inline, packaged as an operator): detect hot keys on
   * a seeded sample, salt ONLY the hot fact rows across `nSalt`
   * buckets, replicate ONLY the hot build rows — uniform full-side
-  * replication is the 100 TB anti-pattern. The hot-key set is
-  * materialized ONCE (CacheScope persist + eager count) so both join
-  * branches provably share a single evaluation; correctness does not
-  * depend on WHICH keys are called hot — any set yields the same join
-  * output — only on both sides agreeing.
+  * replication is the 100 TB anti-pattern. Both join branches read
+  * the hot-key set through ONE shared persisted plan (the same
+  * InMemoryRelation) computed from a FIXED sample seed, so they
+  * cannot disagree on the set; correctness does not depend on WHICH
+  * keys are called hot — any set yields the same join output — only
+  * on both sides agreeing. No eager count is needed for that
+  * guarantee, and one would cost a whole serial job per invocation.
   *
   * (AQE's runtime skew-join split, on in GraftSession, handles
   * transient skew; this is the explicit form for known/persistent
@@ -28,7 +30,6 @@ object Skew {
         .groupBy(factKey).agg(count(lit(1)).as("__cnt"))
         .filter(col("__cnt") >= hotThreshold)
         .select(col(factKey).as("__hotkey")))
-    hot.count() // the single evaluation both branches reuse
     // the salt must VARY across rows of one hot key (a key-derived
     // hash would put the whole hot key in one bucket); any per-row
     // value works because the build side is replicated to every salt

@@ -44,7 +44,7 @@ object AnnQueries {
         val q = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0).map(_.toDouble)
         val (indexed, centers) = Ivf.build(e.filter(col("vec_id") =!= 0),
-          "embedding", nCells = 16)
+          "vec_id", "embedding", nCells = 16)
         Ivf.topK(indexed, centers, "vec_id", "embedding", q, k = 10, nProbe = 4)
       }),
 

@@ -266,23 +266,19 @@ object RelationalQueries {
         // detection runs on a seeded 1/8 sample (the result does not
         // depend on WHICH keys are called hot — any hot set yields the
         // same join output — so sampled detection is safe and 8x
-        // cheaper than an exact count). The hot set is MATERIALIZED
-        // ONCE (persist + eager count) before wiring into both join
-        // branches: correctness requires both sides to agree on the
-        // set, and two independent re-executions of a sample could
-        // diverge if the scans ever split differently (AQE, file
-        // listing) — a key hot on only the fact side would get salts
-        // with no build-side match and its rows silently dropped.
+        // cheaper than an exact count). Correctness requires both join
+        // branches to agree on the set — a key hot on only the fact
+        // side would get salts with no build-side match and its rows
+        // silently dropped. The guarantee: both branches reference
+        // this ONE persisted plan (the same InMemoryRelation, blocks
+        // computed once) built from a FIXED sample seed — no eager
+        // count needed; an extra driver action would pay a whole
+        // serial job for the same guarantee.
         val hot = graft.CacheScope.track(
           Tables.lineitem(s, d).sample(withReplacement = false, 0.125, 42L)
             .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
             .filter(col("cnt") >= 2)
             .select(col("l_orderkey").as("hotkey")))
-        // no eager count needed: the persist means whichever broadcast
-        // build runs first materializes the cache (cache loading is
-        // locked per partition), so both branches observe ONE
-        // evaluation of the sample — an extra driver action here just
-        // paid a whole serial job for the same guarantee
         val l = Tables.lineitem(s, d)
           .join(broadcast(hot), col("l_orderkey") === col("hotkey"), "left")
           .withColumn("salt", when(col("hotkey").isNotNull,

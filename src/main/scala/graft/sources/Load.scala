@@ -128,13 +128,16 @@ object Load {
         classify(f.attrs.getOrElse("/Header", Map.empty), code,
           f.datasets.exists(_.path == "/cosmology:omega_dm"))
       case Zarr =>
+        // zarr stores carry header metadata on the ROOT group (the
+        // same convention attrsOf/dataset() use) — ZarrStore keys
+        // attrs by "/" and per-array paths only, never "/Header"
         val st = graft.sources.zarr.ZarrStore.open(path)
-        val code = st.attrs.getOrElse("/Code", st.attrs.getOrElse("/", Map.empty))
-          .get("Code") match {
+        val root = st.attrs.getOrElse("/", Map.empty)
+        val code = root.get("Code") match {
           case Some(s: String) => s
           case _ => ""
         }
-        classify(st.attrs.getOrElse("/Header", Map.empty), code,
+        classify(root, code,
           st.arrays.exists(_.name == "cosmology:omega_dm"))
       case _ => "generic"
     }

@@ -66,7 +66,9 @@ object ChunkedHdf5 {
     metaCache.computeIfAbsent(key, _ =>
       MetadataCache.load(f).getOrElse {
         val parsed = Hdf5Reader.open(file)
-        MetadataCache.store(f, parsed)
+        // stamp with the PRE-parse (mtime, size) from the memo key: a
+        // rewrite landing mid-parse must invalidate, not get blessed
+        MetadataCache.store(f, key._2, key._3, parsed)
         parsed
       })
   }

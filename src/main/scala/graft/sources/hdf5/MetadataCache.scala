@@ -71,23 +71,40 @@ object MetadataCache {
     } catch { case _: Exception => None }
   }
 
-  /** Best-effort store; never throws. */
-  def store(file: File, meta: Hdf5Reader.H5File): Unit = {
+  /** Best-effort store; never throws. `mtime`/`size` MUST be the
+    * values observed BEFORE the parse began: stamping a post-parse
+    * re-read would let a file rewritten mid-parse bind its NEW
+    * (mtime, size) to the OLD metadata — a permanently-valid stale
+    * entry serving wrong shapes/chunk addresses. */
+  def store(file: File, mtime: Long, size: Long,
+      meta: Hdf5Reader.H5File): Unit = {
     if (!enabled) return
     try {
       val canonical = file.getCanonicalPath
       val entry = entryFile(canonical)
       entry.getParentFile.mkdirs()
+      sweep(entry.getParentFile)
       val tmp = File.createTempFile(entry.getName, ".tmp", entry.getParentFile)
       val out = new ObjectOutputStream(new FileOutputStream(tmp))
       try {
         out.writeInt(FormatVersion)
         out.writeUTF(canonical)
-        out.writeLong(file.lastModified())
-        out.writeLong(file.length())
+        out.writeLong(mtime)
+        out.writeLong(size)
         out.writeObject(meta)
       } finally out.close()
       if (!tmp.renameTo(entry)) tmp.delete()
     } catch { case _: Exception => () }
+  }
+
+  /** Bound the cache: entries for deleted temp fixtures are never hit
+    * again, so above `MaxEntries` the oldest half is reaped. */
+  private val MaxEntries = 1024
+  private def sweep(dir: File): Unit = {
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".h5meta"))
+    if (entries.length >= MaxEntries)
+      entries.sortBy(_.lastModified()).take(entries.length - MaxEntries / 2)
+        .foreach(_.delete())
   }
 }

@@ -65,7 +65,7 @@ class DedupAnnSpec extends SparkSpec {
     val rest = embs.filter(col("vec_id") =!= 0)
     val brute = Ann.bruteForceTopK(rest, "vec_id", "embedding", qCol, 10)
       .select("vec_id").as[Long].collect().toSeq
-    val (indexed, centers) = graft.ann.Ivf.build(rest, "embedding", nCells = 8)
+    val (indexed, centers) = graft.ann.Ivf.build(rest, "vec_id", "embedding", nCells = 8)
     // probing every cell is exhaustive → identical to brute force
     val full = graft.ann.Ivf.topK(indexed, centers, "vec_id", "embedding",
       q, 10, nProbe = 8).select("vec_id").as[Long].collect().toSeq

@@ -78,6 +78,11 @@ class LoadSpec extends SparkSpec {
     assert(Load.flavor(snap(Seq("Redshift" -> 0.0),
       extra = Seq("cosmology:omega_dm" ->
         Hdf5Writer.F64(Array(0.26))))) == "rockstar")
+    // zarr stores carry the markers on the ROOT group attrs
+    val zg = Files.createTempDirectory("graft_flavor_z").toString
+    ZarrWriter.write(zg, Seq("Masses" -> ZarrWriter.F64(Array(1.0))),
+      attrs = Map("/" -> Map("GIZMO_version" -> 2022L, "Redshift" -> 0.0)))
+    assert(Load.flavor(zg) == "gizmo")
     // plain header: generic
     assert(Load.flavor(hdf5Dir) == "generic")
     assert(Load.flavor(parquetDir) == "generic")
