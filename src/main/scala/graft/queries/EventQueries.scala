@@ -90,6 +90,58 @@ object EventQueries {
         |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
         |           WHERE event_type = 'view') b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin),
+
+    // --- as-of with a tolerance bound (pandas merge_asof tolerance):
+    // matches further than 48 hours in the past are nulled; output
+    // keeps only within-tolerance matches. Same single key shuffle. ---
+    "asof_tolerance" -> QueryDef.sql(
+      (s, d) => {
+        val tolUs = 172800000000L // 48 h in micros (~median gap is 35 h)
+        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
+        AsOfJoin.asofTolerance(clicks, views, "user_id", "ts_us",
+            Seq("view_value"), tolUs)
+          .filter(col("view_value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            roundAt(col("view_value"), 2).as("view_value"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, a.user_id,
+        |  floor(b.view_value*100 + 0.5)/100 AS view_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
+        |           WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |WHERE epoch_us(a.ts) - epoch_us(b.ts) <= 172800000000
+        |ORDER BY a.event_id""".stripMargin),
+
+    // --- forward as-of: the EARLIEST view at-or-after each click
+    // (lead-time attribution). Same composition on negated time. ---
+    "asof_forward" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
+        AsOfJoin.asofForward(clicks, views, "user_id", "ts_us", Seq("view_value"))
+          .filter(col("view_value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            roundAt(col("view_value"), 2).as("view_value"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, a.user_id,
+        |  floor(b.view_value*100 + 0.5)/100 AS view_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
+        |           WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND b.ts >= a.ts
         |ORDER BY a.event_id""".stripMargin)
   )
 }
