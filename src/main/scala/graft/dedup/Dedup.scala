@@ -26,6 +26,22 @@ object Dedup {
   def withShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
     docs.select(col(id), Hashing.shingles(col(text), k).as("sh"))
 
+  /** Incremental exact dedup — the corpus-maintenance pattern: a new
+    * batch arrives against an already-deduped base. An incoming doc
+    * survives iff its content hash matches NO base doc (anti-join on
+    * the hash — shuffle- or broadcast-sided by AQE depending on base
+    * size; the base is only ever touched as its hash column) AND it
+    * is the first (min-id) holder of its hash within the increment.
+    * At 100 TB the base hash set is a persisted table maintained
+    * across increments; nothing here rescans base text. */
+  def incrementalKeep(base: DataFrame, incoming: DataFrame,
+      id: String, text: String): DataFrame = {
+    val bh = base.select(TextOps.exactHash(col(text)).as("h")).distinct()
+    val ih = incoming.select(col(id), TextOps.exactHash(col(text)).as("h"))
+    ih.join(bh, Seq("h"), "left_anti")
+      .groupBy("h").agg(min(col(id)).as(id))
+  }
+
   /** All pairs with shingle-set Jaccard >= minJ (rounded to 6 dp for
     * engine-stable thresholding).
     *

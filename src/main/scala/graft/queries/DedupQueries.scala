@@ -58,6 +58,30 @@ object DedupQueries {
     // near-dup pair (first-wins policy, the standard LSH-dedup keep
     // rule; no iterative connected components needed). Pair generation
     // uses MinHash-LSH — the generator you'd run at 100 TB — whose
+    // --- incremental exact dedup: a new batch (doc_id % 3 == 0)
+    // arrives against the already-deduped rest of the corpus; an
+    // incoming doc survives iff no base doc shares its hash AND it is
+    // the min-id holder within the increment. The corpus-maintenance
+    // pattern — at scale the base is a persisted hash table, and each
+    // increment is one anti-join + one group-by over the BATCH only. ---
+    "dedup_incremental" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalKeep(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text")
+          .orderBy("h")
+      },
+      """WITH base AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+        |), inc AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT h, min(doc_id) AS doc_id FROM inc
+        |WHERE h NOT IN (SELECT h FROM base)
+        |GROUP BY h ORDER BY h""".stripMargin),
+
     // output is spec-proven identical to the exact-Jaccard join here
     // (and the DuckDB oracle is the exact join, so any divergence
     // hash-fails) ---
