@@ -216,6 +216,19 @@ object GraftDataset {
   def apply(df: DataFrame): GraftDataset =
     new GraftDataset(df, Map.empty, Map.empty, "")
 
+  /** Rebuild a dataset from a frame whose columns carry stamped
+    * "unit" metadata — the persistence round-trip: `select` stamps
+    * units into column metadata, parquet preserves it, and this
+    * re-attaches it on read (scida round-trips units through store
+    * attrs the same way, interface.py:273 save + units mixin
+    * re-attach). Columns without the stamp stay unitless. */
+  def fromStamped(df: DataFrame): GraftDataset =
+    df.schema.fields.foldLeft(apply(df)) { (g, f) =>
+      if (f.metadata.contains("unit"))
+        g.withUnit(f.name.replace(NsSep, "/"), f.metadata.getString("unit"))
+      else g
+    }
+
   /** Build from per-namespace frames: columns get `ns__` prefixes and
     * frames are column-concatenated via an index-free crossJoin-safe
     * union — caller guarantees row alignment is NOT required (each

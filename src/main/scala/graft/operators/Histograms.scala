@@ -36,6 +36,15 @@ object Histograms {
       .agg(count(lit(1)).as("n"), sum(weight).as("wsum"))
       .orderBy("bin")
 
+  /** Weighted 2D histogram — the phase-space diagram (e.g. ρ–T binned
+    * with mass weights, the scida-docs staple): per-cell count and
+    * weight sum, map-side bin ids, O(cells) shuffle. */
+  def hist2dWeighted(df: DataFrame, cx: Column, wx: Double,
+      cy: Column, wy: Double, weight: Column): DataFrame =
+    df.groupBy(binId(cx, wx).as("bin_x"), binId(cy, wy).as("bin_y"))
+      .agg(count(lit(1)).as("n"), sum(weight).as("wsum"))
+      .orderBy("bin_x", "bin_y")
+
   /** Log-spaced 1D histogram — the astro staple (halo mass functions,
     * luminosity functions bin in log10): bin = floor(log10(x)/decadeW).
     * Non-positive values are excluded (no log), matching numpy/dask

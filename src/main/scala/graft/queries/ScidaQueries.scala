@@ -125,6 +125,22 @@ object ScidaQueries {
         |  floor(sum(l_quantity)*100 + 0.5)/100 AS wsum
         |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin),
 
+    // --- weighted 2D histogram: the phase-space diagram (ρ–T binned
+    // with mass weights in astro terms; quantity×price weighted by
+    // discount volume here) — per-cell count + weight sum ---
+    "histogram2d_weighted" -> QueryDef.sql(
+      (s, d) => Histograms.hist2dWeighted(Tables.lineitem(s, d),
+        col("l_quantity"), 10.0, col("l_extendedprice"), 10000.0,
+        col("l_discount"))
+        .select(col("bin_x"), col("bin_y"), col("n"),
+          (floor(col("wsum") * 100 + 0.5) / 100).as("wsum"))
+        .orderBy("bin_x", "bin_y"),
+      """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_x,
+        |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_y,
+        |  count(*) AS n,
+        |  floor(sum(l_discount)*100 + 0.5)/100 AS wsum
+        |FROM lineitem GROUP BY bin_x, bin_y ORDER BY bin_x, bin_y""".stripMargin),
+
     // --- log-spaced 1D histogram (the astro mass/luminosity-function
     // binning). Decade width 1 keeps the oracle engine-stable: bin
     // boundaries sit at exact powers of 10, where BOTH engines'

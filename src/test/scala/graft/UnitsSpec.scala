@@ -72,6 +72,18 @@ class UnitsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Units.factor("K", "s"))
   }
 
+  test("units round-trip through parquet column metadata (fromStamped)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_unit_rt").toString + "/t"
+    val ds = GraftDataset(Seq((1.0, 2.0)).toDF("mass", "x"))
+      .withUnit("mass", "Msun").withUnit("x", "kpc")
+    ds.select("mass", "x").write.parquet(dir)
+    val back = GraftDataset.fromStamped(spark.read.parquet(dir))
+    assert(back.unitOf("mass").contains("Msun"))
+    assert(back.unitOf("x").contains("kpc"))
+    // restored units re-enter the algebra
+    assert((back.q("mass") / back.q("x").pow(3)).unit.toString == "Msun/kpc^3")
+  }
+
   test("sqrt halves unit exponents; odd exponents error (pint fractional-dim rule)") {
     val df = Seq(4.0, 9.0).toDF("v2")
     val ds = GraftDataset(df).withUnit("v2", "km^2/s^2")
