@@ -26,19 +26,25 @@ object Dedup {
   def withShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
     docs.select(col(id), Hashing.shingles(col(text), k).as("sh"))
 
+  /** Distinct content hashes of a corpus — the persisted artifact an
+    * incremental pipeline maintains across batches (recompute it only
+    * when bootstrapping; afterwards, append each batch's kept hashes). */
+  def baseHashes(docs: DataFrame, text: String): DataFrame =
+    docs.select(TextOps.exactHash(col(text)).as("h")).distinct()
+
   /** Incremental exact dedup — the corpus-maintenance pattern: a new
-    * batch arrives against an already-deduped base. An incoming doc
-    * survives iff its content hash matches NO base doc (anti-join on
-    * the hash — shuffle- or broadcast-sided by AQE depending on base
-    * size; the base is only ever touched as its hash column) AND it
-    * is the first (min-id) holder of its hash within the increment.
-    * At 100 TB the base hash set is a persisted table maintained
-    * across increments; nothing here rescans base text. */
-  def incrementalKeep(base: DataFrame, incoming: DataFrame,
+    * batch arrives against an already-deduped base, represented ONLY
+    * by its persisted hash set (`baseHash`, single column `h` — see
+    * `baseHashes`). An incoming doc survives iff its content hash
+    * matches no base hash (anti-join — shuffle- or broadcast-sided by
+    * AQE depending on base size) AND it is the first (min-id) holder
+    * of its hash within the increment. Base TEXT is never touched:
+    * each increment costs one scan of the batch plus the hash-set
+    * join. */
+  def incrementalKeep(baseHash: DataFrame, incoming: DataFrame,
       id: String, text: String): DataFrame = {
-    val bh = base.select(TextOps.exactHash(col(text)).as("h")).distinct()
     val ih = incoming.select(col(id), TextOps.exactHash(col(text)).as("h"))
-    ih.join(bh, Seq("h"), "left_anti")
+    ih.join(baseHash.select(col(baseHash.columns.head).as("h")), Seq("h"), "left_anti")
       .groupBy("h").agg(min(col(id)).as(id))
   }
 

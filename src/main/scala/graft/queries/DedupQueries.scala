@@ -54,21 +54,19 @@ object DedupQueries {
         |HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
-    // --- keep-list materialization: drop the higher-id side of every
-    // near-dup pair (first-wins policy, the standard LSH-dedup keep
-    // rule; no iterative connected components needed). Pair generation
-    // uses MinHash-LSH — the generator you'd run at 100 TB — whose
     // --- incremental exact dedup: a new batch (doc_id % 3 == 0)
     // arrives against the already-deduped rest of the corpus; an
     // incoming doc survives iff no base doc shares its hash AND it is
     // the min-id holder within the increment. The corpus-maintenance
     // pattern — at scale the base is a persisted hash table, and each
-    // increment is one anti-join + one group-by over the BATCH only. ---
+    // increment is one anti-join + one group-by over the BATCH only
+    // (the query derives the base hash set inline because the fixture
+    // has no persisted one). ---
     "dedup_incremental" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.incrementalKeep(
-          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          Dedup.baseHashes(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "text"),
           docs.filter(pmod(col("doc_id"), lit(3)) === 0),
           "doc_id", "text")
           .orderBy("h")
@@ -82,6 +80,10 @@ object DedupQueries {
         |WHERE h NOT IN (SELECT h FROM base)
         |GROUP BY h ORDER BY h""".stripMargin),
 
+    // --- keep-list materialization: drop the higher-id side of every
+    // near-dup pair (first-wins policy, the standard LSH-dedup keep
+    // rule; no iterative connected components needed). Pair generation
+    // uses MinHash-LSH — the generator you'd run at 100 TB — whose
     // output is spec-proven identical to the exact-Jaccard join here
     // (and the DuckDB oracle is the exact join, so any divergence
     // hash-fails) ---

@@ -19,6 +19,10 @@ object EventQueries {
 
   private val HourNs = 3600L * 1000 * 1000 * 1000
   private val GapUs = 1800L * 1000 * 1000 // 30 min session gap, micros
+  // as-of staleness bound: 48 h in micros (~median click-view gap is
+  // 35 h, so the bound genuinely splits rows). ONE constant feeds
+  // both the Spark build and the oracle SQL — the sides cannot drift.
+  private val TolUs = 172800000000L
 
   def defs: Map[String, QueryDef] = Map(
     // --- tumbling-window aggregation (batch equiv of streaming agg) ---
@@ -97,28 +101,27 @@ object EventQueries {
     // keeps only within-tolerance matches. Same single key shuffle. ---
     "asof_tolerance" -> QueryDef.sql(
       (s, d) => {
-        val tolUs = 172800000000L // 48 h in micros (~median gap is 35 h)
         val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
         val clicks = e.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts_us")
         val views = e.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
         AsOfJoin.asofTolerance(clicks, views, "user_id", "ts_us",
-            Seq("view_value"), tolUs)
+            Seq("view_value"), TolUs)
           .filter(col("view_value").isNotNull)
           .select(col("event_id"), col("user_id"),
             roundAt(col("view_value"), 2).as("view_value"))
           .orderBy("event_id")
       },
-      """SELECT a.event_id, a.user_id,
-        |  floor(b.view_value*100 + 0.5)/100 AS view_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click') a
-        |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
-        |           WHERE event_type = 'view') b
-        |  ON a.user_id = b.user_id AND b.ts <= a.ts
-        |WHERE epoch_us(a.ts) - epoch_us(b.ts) <= 172800000000
-        |ORDER BY a.event_id""".stripMargin),
+      s"""SELECT a.event_id, a.user_id,
+         |  floor(b.view_value*100 + 0.5)/100 AS view_value
+         |FROM (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_type = 'click') a
+         |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
+         |           WHERE event_type = 'view') b
+         |  ON a.user_id = b.user_id AND b.ts <= a.ts
+         |WHERE epoch_us(a.ts) - epoch_us(b.ts) <= $TolUs
+         |ORDER BY a.event_id""".stripMargin),
 
     // --- forward as-of: the EARLIEST view at-or-after each click
     // (lead-time attribution). Same composition on negated time. ---
