@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.CorpusStreams
+
+/** Streaming corpus-hygiene pipeline: the same declarative cleaning
+  * plan as the batch `pipeline_clean`, run incrementally — stateless
+  * gate stages, watermark-bounded dedup state, and batch/stream
+  * EQUIVALENCE on identical input (the property that makes one
+  * implementation serve both sides). */
+class CorpusStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  // (doc_id, ts, text): ids 1-3 good English (3 == 1's exact dup),
+  // 4 junk (no stopwords), 5 German, 6 too short
+  private val docs = Seq(
+    (1L, ts(0), "the quick brown fox jumps over a lazy dog"),
+    (2L, ts(1), "a different document with the usual words and things"),
+    (3L, ts(2), "the quick brown fox jumps over a lazy dog"),
+    (4L, ts(3), "zzz qqq www rrr ttt yyy uuu iii"),
+    (5L, ts(4), "der hund und die katze laufen durch das haus heute"),
+    (6L, ts(5), "too short"))
+
+  test("streaming clean-ingest: gate drops junk, dedup keeps first occurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val sdf = in.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStreams.cleanIngest(sdf)
+      .select("doc_id", "ws_tokens", "bpe_tokens")
+      .writeStream.format("memory").queryName("cleaned")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(3))
+      q.processAllAvailable()
+      in.addData(docs.drop(3))
+      q.processAllAvailable()
+      val kept = spark.table("cleaned").select("doc_id").as[Long].collect().sorted
+      // 3 dropped as in-horizon dup of 1; 4 fails stopword gate; 5 is
+      // German; 6 fails min word count
+      assert(kept.toSeq == Seq(1L, 2L))
+      val toks = spark.table("cleaned").filter(col("doc_id") === 1L)
+        .select("ws_tokens").as[Int].head()
+      assert(toks == 9)
+    } finally q.stop()
+  }
+
+  test("batch/stream equivalence: the same plan on the same rows keeps the same docs") {
+    val batch = CorpusStreams.cleanIngest(
+      docs.toDF("doc_id", "ts", "text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(batch.toSeq == Seq(1L, 2L))
+  }
+
+  test("dedup state is per content hash, not per id: changed text passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val sdf = in.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStreams.cleanIngest(sdf)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("rehash")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        (10L, ts(0), "the quick brown fox jumps over a lazy dog"),
+        (10L, ts(1), "the slow brown fox walks under a lazy dog")))
+      q.processAllAvailable()
+      // same id, different content → both kept
+      assert(spark.table("rehash").count() == 2)
+    } finally q.stop()
+  }
+}
