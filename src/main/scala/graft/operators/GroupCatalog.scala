@@ -46,6 +46,21 @@ object GroupCatalog {
       .drop("__goff")
   }
 
+  /** Per-particle-type subhalo offsets — scida's
+    * `get_subhalolengths(parttype)` / `get_subhalooffsets(parttype)`
+    * (reference: src/scida/customs/arepo/dataset.py:603,625): arepo
+    * catalogs store per-subhalo length VECTORS (`SubhaloLenType`, one
+    * component per particle type, particles of each type laid out
+    * independently), so a type's offset table is exactly the scalar
+    * machinery applied to that component — the reference likewise
+    * slices column `pnum` and reruns its cumsum. Lengths come in as
+    * array columns; `pType` selects the component (0-based). */
+  def subhaloOffsetsByType(groups: DataFrame, groupKey: String,
+      groupLenType: Column, subhalos: DataFrame, subKey: String,
+      subLenType: Column, pType: Int, buckets: Int = 32): DataFrame =
+    subhaloOffsets(groups, groupKey, element_at(groupLenType, pType + 1),
+      subhalos, subKey, element_at(subLenType, pType + 1), buckets)
+
   /** Membership selection by a driver-known object-id list — scida
     * `select_group` re-expressed distributed. The reference slices
     * positionally by (offset, length); on a cluster the same rows are

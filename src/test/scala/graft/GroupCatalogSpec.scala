@@ -34,6 +34,36 @@ class GroupCatalogSpec extends SparkSpec {
       "d" -> ((0L, 15L)), "e" -> ((1L, 16L))))
   }
 
+  test("per-type offsets: each SubhaloLenType component gets its own layout") {
+    // arepo stores each particle TYPE independently: group/subhalo
+    // lengths are per-type vectors and each type has its own offset
+    // table (get_subhalooffsets(parttype), dataset.py:625). Type 0
+    // reproduces the scalar fixture; type 1 has different lengths and
+    // different fuzz.
+    val groupsT = Seq(
+      (1L, Seq(10L, 4L)), (2L, Seq(5L, 3L)), (3L, Seq(4L, 2L)))
+      .toDF("grp", "glent")
+    val subsT = Seq(
+      (1L, "a", Seq(3L, 1L)), (1L, "b", Seq(4L, 2L)),
+      (2L, "c", Seq(5L, 3L)), (3L, "d", Seq(1L, 0L)), (3L, "e", Seq(2L, 2L)))
+      .toDF("grp", "sub", "slent")
+    def run(t: Int) = GroupCatalog.subhaloOffsetsByType(
+      groupsT, "grp", col("glent"), subsT, "sub", col("slent"),
+      pType = t, buckets = 2)
+      .select("sub", "local_offset", "offset").as[(String, Long, Long)]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    // type 0 == the scalar fixture
+    assert(run(0) == Map(
+      "a" -> ((0L, 0L)), "b" -> ((3L, 3L)),
+      "c" -> ((0L, 10L)),
+      "d" -> ((0L, 15L)), "e" -> ((1L, 16L))))
+    // type 1: group offsets g1=0, g2=4, g3=7; g1 fuzz=1, d empty
+    assert(run(1) == Map(
+      "a" -> ((0L, 0L)), "b" -> ((1L, 1L)),
+      "c" -> ((0L, 4L)),
+      "d" -> ((0L, 7L)), "e" -> ((0L, 7L))))
+  }
+
   test("positional (offset,length) slice == membership selection") {
     // particles laid out per the contract: g1 [a a a b b b b fuzz*3]
     // g2 [c*5] g3 [d e e fuzz]
