@@ -128,6 +128,7 @@ object ZarrSave {
         }
         flush()
       }
+    ZarrStore.consolidate(storePath) // .zmetadata: one-read open
   }
 
   private[zarr] def deflate(bytes: Array[Byte]): Array[Byte] = {

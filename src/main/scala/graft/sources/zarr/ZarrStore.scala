@@ -54,6 +54,41 @@ object ZarrStore {
     require(root.isDirectory, s"no such zarr store: $path")
     require(new File(root, ".zgroup").exists() || new File(root, ".zarray").exists(),
       s"$path is not a zarr store (no .zgroup/.zarray)")
+    // consolidated metadata (.zmetadata, the zarr v2 convention zarr's
+    // consolidate_metadata() writes): ONE file read instead of a
+    // directory walk + one JSON read per array — the difference
+    // between O(1) and O(arrays) metadata I/O when planning over
+    // object storage. Falls back to the walk on any parse problem;
+    // per the convention, a present .zmetadata is authoritative
+    // (graft's writers reconsolidate on every write).
+    openConsolidated(root, path).getOrElse(openWalk(root, path))
+  }
+
+  private def openConsolidated(root: File, path: String): Option[Store] = {
+    val zm = new File(root, ".zmetadata")
+    if (!zm.isFile) return None
+    try {
+      val j = MiniJson.parse(Files.readString(zm.toPath))
+        .asInstanceOf[Map[String, Any]]
+      require(j("zarr_consolidated_format").asInstanceOf[Double].toInt == 1)
+      val meta = j("metadata").asInstanceOf[Map[String, Any]]
+      // sorted keys == the walk's DFS-with-sorted-children order
+      // ('/' sorts before alphanumerics), so column order is identical
+      val arrays = meta.keys.filter(_.endsWith("/.zarray")).toSeq.sorted.map { k =>
+        val name = k.stripSuffix("/.zarray")
+        parseArrayMetaJson(name, new File(root, name).getPath,
+          meta(k).asInstanceOf[Map[String, Any]])
+      }
+      val attrs = meta.collect {
+        case (".zattrs", v) => "/" -> v.asInstanceOf[Map[String, Any]]
+        case (k, v) if k.endsWith("/.zattrs") =>
+          s"/${k.stripSuffix("/.zattrs")}" -> v.asInstanceOf[Map[String, Any]]
+      }
+      Some(Store(path, arrays, attrs))
+    } catch { case _: Exception => None }
+  }
+
+  private def openWalk(root: File, path: String): Store = {
     def walk(dir: File, rel: String): Seq[(String, File)] = {
       val self = if (new File(dir, ".zarray").exists()) Seq(rel -> dir) else Nil
       self ++ dir.listFiles().filter(_.isDirectory).sortBy(_.getName)
@@ -73,9 +108,32 @@ object ZarrStore {
     Store(path, arrays, attrs)
   }
 
-  private def parseArrayMeta(name: String, dir: File): ArrayMeta = {
-    val j = MiniJson.parse(Files.readString(new File(dir, ".zarray").toPath))
-      .asInstanceOf[Map[String, Any]]
+  /** Write `.zmetadata` for a store by embedding every metadata file
+    * verbatim — zarr.consolidate_metadata() for this store layout.
+    * Call after any metadata-changing write (graft's writers do). */
+  def consolidate(path: String): Unit = {
+    val root = new File(path)
+    def collect(dir: File, rel: String): Seq[(String, File)] =
+      Seq(".zgroup", ".zarray", ".zattrs").flatMap { n =>
+        val f = new File(dir, n)
+        if (f.isFile) Some((if (rel.isEmpty) n else s"$rel/$n") -> f) else None
+      } ++ dir.listFiles().filter(_.isDirectory).sortBy(_.getName)
+        .flatMap(d => collect(d, if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
+    val entries = collect(root, "").map { case (k, f) =>
+      "\"" + k + "\": " + Files.readString(f.toPath)
+    }
+    Files.writeString(new File(root, ".zmetadata").toPath,
+      entries.mkString(
+        "{\"zarr_consolidated_format\": 1, \"metadata\": {", ", ", "}}"))
+  }
+
+  private def parseArrayMeta(name: String, dir: File): ArrayMeta =
+    parseArrayMetaJson(name, dir.getPath,
+      MiniJson.parse(Files.readString(new File(dir, ".zarray").toPath))
+        .asInstanceOf[Map[String, Any]])
+
+  private def parseArrayMetaJson(name: String, dirPath: String,
+      j: Map[String, Any]): ArrayMeta = {
     require(j("zarr_format").asInstanceOf[Double].toInt == 2,
       s"$name: only zarr v2 stores are supported")
     require(j.getOrElse("order", "C") == "C",
@@ -109,7 +167,7 @@ object ZarrStore {
       case d: Double => d
       case _ => 0.0
     }
-    ArrayMeta(name, dir.getPath, shape, chunks, dtype, comp, lvl, fill)
+    ArrayMeta(name, dirPath, shape, chunks, dtype, comp, lvl, fill)
   }
 
   /** Read rows [rowStart, rowStart+nRows) of an array into a single

@@ -60,6 +60,7 @@ object ZarrWriter {
         Files.writeString(new File(dir, ".zattrs").toPath, jsonObj(a)))
       writeChunks(dir, arr, cr, compress)
     }
+    ZarrStore.consolidate(path) // .zmetadata: one-read open
   }
 
   private def writeChunks(dir: File, arr: Arr, chunkRows: Int,

@@ -50,6 +50,39 @@ class ZarrSpec extends SparkSpec {
     assert(st.attrs("/x")("unit") == "Msun")
   }
 
+  test("consolidated metadata: one-file open identical to the walk, stale-safe fallback") {
+    val dir = tmp()
+    ZarrWriter.write(dir, Seq(
+      "a" -> ZarrWriter.F64(Array(1.0, 2.0, 3.0)),
+      "b" -> ZarrWriter.I64(Array(4L, 5L, 6L))),
+      attrs = Map("/" -> Map("Redshift" -> 1.5), "/a" -> Map("units" -> "Msun")),
+      chunkRows = 2)
+    assert(new java.io.File(dir, ".zmetadata").isFile,
+      "writer must consolidate")
+    val walked = {
+      // force the walk path by hiding .zmetadata
+      val zm = new java.io.File(dir, ".zmetadata")
+      val hidden = new java.io.File(dir, "zm.bak")
+      zm.renameTo(hidden)
+      try ZarrStore.open(dir) finally hidden.renameTo(zm)
+    }
+    val consolidated = ZarrStore.open(dir)
+    // identical arrays (incl. ORDER — the DataSource schema), attrs
+    assert(consolidated.arrays.map(_.name) == walked.arrays.map(_.name))
+    assert(consolidated.arrays.map(a => (a.shape, a.chunks, a.dtypeStr,
+      a.compressor, a.fillValue)) == walked.arrays.map(a => (a.shape,
+      a.chunks, a.dtypeStr, a.compressor, a.fillValue)))
+    assert(consolidated.attrs == walked.attrs)
+    // data reads work off consolidated metadata
+    val a = consolidated.arrays.find(_.name == "a").get
+    val buf = ZarrStore.readRows(a, 0, 3)
+    assert((0 until 3).map(i => buf.getDouble(i * 8)) == Seq(1.0, 2.0, 3.0))
+    // corrupt .zmetadata → open falls back to the walk
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, ".zmetadata").toPath, "{not json")
+    assert(ZarrStore.open(dir).arrays.map(_.name) == walked.arrays.map(_.name))
+  }
+
   test("missing chunk files materialize as fill_value") {
     val dir = tmp()
     ZarrWriter.write(dir, Seq("v" -> ZarrWriter.F64(Array(1.0, 2.0, 3.0, 4.0))),
