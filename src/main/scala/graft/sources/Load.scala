@@ -169,6 +169,13 @@ object Load {
       case Zarr =>
         val st = graft.sources.zarr.ZarrStore.open(path)
         name => st.attrs.get(s"/$name")
+      case Fits =>
+        // TUNITn column units — the FITS standard's per-column unit
+        // keyword, the same role HDF5 dataset attrs play
+        val t = graft.sources.fits.FitsReader.binTable(firstFits(path))
+        val m: Map[String, Map[String, Any]] = t.cols.flatMap(c =>
+          c.unit.map(u => c.name -> Map("units" -> (u: Any)))).toMap
+        name => m.get(name)
       case _ => _ => None
     }
     df.columns.filter(_ != "row_id").foreach { colName =>

@@ -33,8 +33,11 @@ object FitsReader {
   }
 
   /** One BINTABLE column: FITS type char, repeat count, byte offset
-    * within the row record. */
-  final case class ColDef(name: String, tchar: Char, repeat: Int, offset: Int) {
+    * within the row record; `unit` is the TUNITn physical-unit
+    * keyword when present (the FITS standard's column unit — feeds
+    * graft's unit mixin like HDF5 dataset attrs do). */
+  final case class ColDef(name: String, tchar: Char, repeat: Int, offset: Int,
+      unit: Option[String] = None) {
     def elemSize: Int = FitsReader.elemSize(tchar)
   }
 
@@ -125,7 +128,7 @@ object FitsReader {
       val (digits, rest) = tform.span(_.isDigit)
       val repeat = if (digits.isEmpty) 1 else digits.toInt
       val tchar = rest.headOption.getOrElse(sys.error(s"$path: empty TFORM$i"))
-      val c = ColDef(name, tchar, repeat, offset)
+      val c = ColDef(name, tchar, repeat, offset, h.str(s"TUNIT$i"))
       offset += repeat * elemSize(tchar)
       c
     }

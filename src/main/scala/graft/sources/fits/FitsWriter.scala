@@ -34,7 +34,8 @@ object FitsWriter {
   }
 
   def write(path: String, cols: Seq[Col],
-      primaryCards: Seq[(String, String)] = Nil): Unit = {
+      primaryCards: Seq[(String, String)] = Nil,
+      units: Map[String, String] = Map.empty): Unit = {
     require(cols.nonEmpty && cols.map(_.rows).distinct.size == 1,
       "columns must be non-empty and agree on row count")
     val rows = cols.head.rows
@@ -51,7 +52,8 @@ object FitsWriter {
         "NAXIS1" -> rowBytes.toString, "NAXIS2" -> rows.toString,
         "PCOUNT" -> "0", "GCOUNT" -> "1", "TFIELDS" -> cols.size.toString) ++
         cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(s"TTYPE${i + 1}" -> s"'${c.name}'", s"TFORM${i + 1}" -> s"'${c.tform}'")
+          Seq(s"TTYPE${i + 1}" -> s"'${c.name}'", s"TFORM${i + 1}" -> s"'${c.tform}'") ++
+            units.get(c.name).map(u => s"TUNIT${i + 1}" -> s"'$u'")
         }
       writeHeader(out, tableCards)
       // data: big-endian row-major records, 2880-padded

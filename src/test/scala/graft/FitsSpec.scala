@@ -77,6 +77,24 @@ class FitsSpec extends SparkSpec {
     assert(e.getMessage.contains("BINTABLE"))
   }
 
+  test("TUNIT column units surface on ColDef and attach through Load.dataset") {
+    val p = Files.createTempDirectory("graft_fits_u").toString + "/cat.fits"
+    FitsWriter.write(p, Seq(
+      FitsWriter.D("mass", Array(1.0, 2.0)),
+      FitsWriter.D("x", Array(3.0, 4.0)),
+      FitsWriter.J("n", Array(1, 2))),
+      units = Map("mass" -> "Msun", "x" -> "kpc"))
+    val t = FitsReader.binTable(p)
+    assert(t.cols.find(_.name == "mass").get.unit.contains("Msun"))
+    assert(t.cols.find(_.name == "x").get.unit.contains("kpc"))
+    assert(t.cols.find(_.name == "n").get.unit.isEmpty)
+    val ds = Load.dataset(spark, p)
+    assert(ds.unitOf("mass").contains("Msun"))
+    assert(ds.unitOf("x").contains("kpc"))
+    // restored units enter the algebra like any other source's
+    assert((ds.q("mass") / ds.q("x").pow(3)).unit.toString == "Msun/kpc^3")
+  }
+
   test("Load detects FITS by magic and attaches header cosmology") {
     assert(Load.detect(file) == Load.Fits)
     val ds = Load.dataset(spark, file)
