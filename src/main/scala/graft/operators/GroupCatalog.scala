@@ -57,9 +57,19 @@ object GroupCatalog {
     * array columns; `pType` selects the component (0-based). */
   def subhaloOffsetsByType(groups: DataFrame, groupKey: String,
       groupLenType: Column, subhalos: DataFrame, subKey: String,
-      subLenType: Column, pType: Int, buckets: Int = 32): DataFrame =
-    subhaloOffsets(groups, groupKey, element_at(groupLenType, pType + 1),
-      subhalos, subKey, element_at(subLenType, pType + 1), buckets)
+      subLenType: Column, pType: Int, buckets: Int = 32): DataFrame = {
+    require(pType >= 0, s"particle type must be >= 0, got $pType")
+    // out-of-range element_at returns null in non-ANSI mode and nulls
+    // would silently propagate through every prefix sum — fail loudly
+    def at(arr: Column) = {
+      val e = element_at(arr, pType + 1)
+      when(e.isNull, raise_error(concat(
+        lit(s"particle type $pType out of range for length vector "),
+        arr.cast("string")))).otherwise(e)
+    }
+    subhaloOffsets(groups, groupKey, at(groupLenType),
+      subhalos, subKey, at(subLenType), buckets)
+  }
 
   /** Membership selection by a driver-known object-id list — scida
     * `select_group` re-expressed distributed. The reference slices

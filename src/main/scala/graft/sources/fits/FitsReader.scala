@@ -52,8 +52,22 @@ object FitsReader {
     case other => sys.error(s"unsupported FITS column type '$other'")
   }
 
+  /** Per-JVM memo keyed by (path, mtime, size) — Load.dataset reads
+    * headers for the primary-HDU metadata AND the BINTABLE geometry,
+    * and the DataSource parses again at scan planning; header blocks
+    * are pure metadata, so parse each file version once. */
+  private val headerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[Header]]()
+
   /** Parse all headers (HDU map) without reading data. */
   def headers(path: String): Seq[Header] = {
+    val f = new java.io.File(path)
+    headerMemo.computeIfAbsent(
+      (f.getCanonicalPath, f.lastModified(), f.length()),
+      _ => parseHeaders(path))
+  }
+
+  private def parseHeaders(path: String): Seq[Header] = {
     val size = Files.size(Paths.get(path))
     val in = new RandomAccessFile(path, "r")
     try {
@@ -84,12 +98,28 @@ object FitsReader {
         val key = card.substring(0, 8).trim
         if (key == "END") ended = true
         else if (key.nonEmpty && card.length > 10 && card.charAt(8) == '=') {
-          // value: up to '/', strip quotes for strings
-          val raw = card.substring(10).split('/').head.trim
+          // FITS 4.0 card value: for QUOTED strings the comment begins
+          // only after the closing quote ('' escapes an apostrophe),
+          // so '/' inside quotes is DATA — km/s, Msun/yr, erg/s are
+          // routine TUNIT values; for unquoted values '/' starts the
+          // comment
+          val body = card.substring(10)
+          val trimmed = body.dropWhile(_ == ' ')
           val v =
-            if (raw.startsWith("'"))
-              raw.stripPrefix("'").split('\'').headOption.getOrElse("").trim
-            else raw
+            if (trimmed.startsWith("'")) {
+              val sb = new StringBuilder
+              var j = 1
+              var closed = false
+              while (j < trimmed.length && !closed) {
+                val ch = trimmed.charAt(j)
+                if (ch == '\'') {
+                  if (j + 1 < trimmed.length && trimmed.charAt(j + 1) == '\'') {
+                    sb.append('\''); j += 2 // '' escape
+                  } else { closed = true; j += 1 }
+                } else { sb.append(ch); j += 1 }
+              }
+              sb.result().trim
+            } else trimmed.split('/').head.trim
           cards += key -> v
         }
         i += CardSize

@@ -53,7 +53,14 @@ object FitsWriter {
         "PCOUNT" -> "0", "GCOUNT" -> "1", "TFIELDS" -> cols.size.toString) ++
         cols.zipWithIndex.flatMap { case (c, i) =>
           Seq(s"TTYPE${i + 1}" -> s"'${c.name}'", s"TFORM${i + 1}" -> s"'${c.tform}'") ++
-            units.get(c.name).map(u => s"TUNIT${i + 1}" -> s"'$u'")
+            units.get(c.name).map { u =>
+              // FITS string cards: '' escapes an apostrophe; the value
+              // must fit the fixed 80-byte card (key+'= ' leave 68)
+              val esc = u.replace("'", "''")
+              require(esc.length <= 68,
+                s"TUNIT for '${c.name}' too long for a FITS card: $u")
+              s"TUNIT${i + 1}" -> s"'$esc'"
+            }
         }
       writeHeader(out, tableCards)
       // data: big-endian row-major records, 2880-padded

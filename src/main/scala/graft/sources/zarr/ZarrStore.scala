@@ -72,11 +72,19 @@ object ZarrStore {
         .asInstanceOf[Map[String, Any]]
       require(j("zarr_consolidated_format").asInstanceOf[Double].toInt == 1)
       val meta = j("metadata").asInstanceOf[Map[String, Any]]
-      // sorted keys == the walk's DFS-with-sorted-children order
-      // ('/' sorts before alphanumerics), so column order is identical
-      val arrays = meta.keys.filter(_.endsWith("/.zarray")).toSeq.sorted.map { k =>
-        val name = k.stripSuffix("/.zarray")
-        parseArrayMetaJson(name, new File(root, name).getPath,
+      // order by path SEGMENTS — exactly the walk's DFS with sorted
+      // children (a flat string sort would misplace names containing
+      // characters below '/', e.g. "flux-err" vs "flux"); a root-level
+      // array appears under the bare ".zarray" key
+      import scala.math.Ordering.Implicits.seqOrdering
+      val arrayKeys = meta.keys
+        .filter(k => k == ".zarray" || k.endsWith("/.zarray")).toSeq
+        .sortBy(_.stripSuffix(".zarray").stripSuffix("/").split('/').toIndexedSeq)
+      val arrays = arrayKeys.map { k =>
+        val rel = k.stripSuffix(".zarray").stripSuffix("/")
+        val name = if (rel.isEmpty) root.getName else rel
+        val dir = if (rel.isEmpty) root else new File(root, rel)
+        parseArrayMetaJson(name, dir.getPath,
           meta(k).asInstanceOf[Map[String, Any]])
       }
       val attrs = meta.collect {
@@ -120,11 +128,17 @@ object ZarrStore {
       } ++ dir.listFiles().filter(_.isDirectory).sortBy(_.getName)
         .flatMap(d => collect(d, if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
     val entries = collect(root, "").map { case (k, f) =>
-      "\"" + k + "\": " + Files.readString(f.toPath)
+      // escape the key (array names are arbitrary directory names)
+      "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\": " +
+        Files.readString(f.toPath)
     }
-    Files.writeString(new File(root, ".zmetadata").toPath,
+    // atomic: a crash mid-write must not leave a torn .zmetadata that
+    // silently disables the one-read open for every future reader
+    val tmp = File.createTempFile(".zmetadata", ".tmp", root)
+    Files.writeString(tmp.toPath,
       entries.mkString(
         "{\"zarr_consolidated_format\": 1, \"metadata\": {", ", ", "}}"))
+    if (!tmp.renameTo(new File(root, ".zmetadata"))) tmp.delete()
   }
 
   private def parseArrayMeta(name: String, dir: File): ArrayMeta =

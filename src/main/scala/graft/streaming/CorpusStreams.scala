@@ -42,14 +42,18 @@ object CorpusStreams {
     * what the batch/stream equivalence spec pins. Adds the hash
     * column so downstream stages can reuse it without re-hashing. */
   def contentDedup(docs: DataFrame, textCol: String = "text",
-      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame = {
+      tsCol: String = "ts", watermarkDelay: String = "1 hour",
+      idCol: String = "doc_id"): DataFrame = {
     val hashed = docs.withColumn("content_hash", TextOps.exactHash(col(textCol)))
     if (hashed.isStreaming)
       hashed.withWatermark(tsCol, watermarkDelay)
         .dropDuplicatesWithinWatermark("content_hash")
     else {
+      // tie-break by id: two same-hash rows at the SAME timestamp must
+      // resolve identically across runs/partitionings — orderBy(ts)
+      // alone leaves the winner to shuffle order
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("content_hash").orderBy(col(tsCol))
+        .partitionBy("content_hash").orderBy(col(tsCol), col(idCol))
       hashed.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }

@@ -95,6 +95,24 @@ class FitsSpec extends SparkSpec {
     assert((ds.q("mass") / ds.q("x").pow(3)).unit.toString == "Msun/kpc^3")
   }
 
+  test("slash and apostrophe units survive the card round-trip (km/s, comments)") {
+    // '/' inside a quoted FITS string is DATA, not a comment marker;
+    // '' escapes an apostrophe — the canonical velocity/rate units
+    // exercise exactly the parse the old split-on-'/' got wrong
+    val p = Files.createTempDirectory("graft_fits_kms").toString + "/v.fits"
+    FitsWriter.write(p, Seq(
+      FitsWriter.D("vel", Array(1.0)),
+      FitsWriter.D("sfr", Array(2.0)),
+      FitsWriter.D("odd", Array(3.0))),
+      units = Map("vel" -> "km/s", "sfr" -> "Msun/yr", "odd" -> "it's"))
+    val t = FitsReader.binTable(p)
+    assert(t.cols.find(_.name == "vel").get.unit.contains("km/s"))
+    assert(t.cols.find(_.name == "sfr").get.unit.contains("Msun/yr"))
+    assert(t.cols.find(_.name == "odd").get.unit.contains("it's"))
+    val ds = Load.dataset(spark, p)
+    assert(ds.unitOf("vel").contains("km/s"))
+  }
+
   test("Load detects FITS by magic and attaches header cosmology") {
     assert(Load.detect(file) == Load.Fits)
     val ds = Load.dataset(spark, file)

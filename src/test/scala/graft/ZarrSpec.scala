@@ -83,6 +83,43 @@ class ZarrSpec extends SparkSpec {
     assert(ZarrStore.open(dir).arrays.map(_.name) == walked.arrays.map(_.name))
   }
 
+  test("consolidated order matches the walk for names sorting around '/'") {
+    // "flux-err" vs "flux": '-' < '/' so a flat string sort of
+    // metadata keys would flip them relative to the walk's
+    // per-directory sort; segment-wise ordering must not
+    val dir = tmp()
+    ZarrWriter.write(dir, Seq(
+      "flux" -> ZarrWriter.F64(Array(1.0)),
+      "flux-err" -> ZarrWriter.F64(Array(0.1))))
+    val consolidated = ZarrStore.open(dir)
+    val zm = new java.io.File(dir, ".zmetadata")
+    val hidden = new java.io.File(dir, "zm.bak")
+    zm.renameTo(hidden)
+    val walked = try ZarrStore.open(dir) finally hidden.renameTo(zm)
+    assert(consolidated.arrays.map(_.name) == walked.arrays.map(_.name))
+  }
+
+  test("a root-level array store consolidates and opens") {
+    // zarr v2 allows the store root itself to be the array — the
+    // consolidated key is the bare ".zarray"
+    val dir = tmp()
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(root, ".zarray").toPath,
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+        | "compressor": null, "fill_value": 0, "order": "C",
+        | "filters": null}""".stripMargin)
+    val buf = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.5, 2.5, 3.5).foreach(buf.putDouble)
+    java.nio.file.Files.write(new java.io.File(root, "0").toPath, buf.array())
+    ZarrStore.consolidate(dir)
+    val st = ZarrStore.open(dir)
+    assert(st.arrays.size == 1 && st.arrays.head.rows == 3)
+    val b = ZarrStore.readRows(st.arrays.head, 0, 3)
+    assert((0 until 3).map(i => b.getDouble(i * 8)) == Seq(1.5, 2.5, 3.5))
+  }
+
   test("missing chunk files materialize as fill_value") {
     val dir = tmp()
     ZarrWriter.write(dir, Seq("v" -> ZarrWriter.F64(Array(1.0, 2.0, 3.0, 4.0))),
