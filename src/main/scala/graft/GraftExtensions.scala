@@ -56,6 +56,22 @@ object GraftExtensions {
         "graft_nearest_centroid(vec, centroids) - index of the squared-L2 nearest centroid"),
       binary("graft_nearest_centroid",
         graft.functions.expressions.NearestCentroid.apply) _),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(shingles, k) - k-entry MinHash signature (one map-side pass; xxhash64-seeded, bit-identical to the explode+min-agg form); k must be a literal"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"graft_minhash expects 2 arguments, got ${args.length}")
+        require(args(1).foldable, "graft_minhash k must be a literal")
+        graft.functions.expressions.MinHashSig(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(words) - 64-bit SimHash (one map-side pass; xxhash64 per word, bit-identical to the explode+bitsum form)"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"graft_simhash expects 1 argument, got ${args.length}")
+        graft.functions.expressions.SimHashSig(args(0))
+      }),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "graft_shingles(text, k) - distinct k-word shingles in first-occurrence order; k must be a literal"),

@@ -39,20 +39,21 @@ object Hashing {
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
 
-  /** MinHash signatures, scalable form: explode shingles and take k
-    * seeded-hash MIN aggregates — a codegen'd hash aggregate with
-    * map-side partial min, so each shingle is hashed exactly k times
-    * in one streaming pass and the shuffle carries only (id, k mins).
-    * Input: (idCol, shingleCol array). Output: (idCol, sig array<long>).
-    */
+  /** MinHash signatures, scalable form: the native `graft_minhash`
+    * expression finishes each doc's k-entry signature INSIDE the scan
+    * stage — one tight loop per row, whole-stage codegen, zero
+    * shuffle (the earlier explode + k-min-aggregates formulation
+    * expanded O(docs x shingles) rows into a hash aggregate with k
+    * buffers and shuffled partial mins). Signatures are bit-identical
+    * to that form: entry i = min over shingles of xxhash64(lit(i), s).
+    * Docs with empty shingle arrays are dropped, as explode dropped
+    * them. Input: (idCol, shingleCol array). Output: (idCol, sig
+    * array<long>). */
   def minhashSignatures(df: DataFrame, idCol: String, shingleCol: String,
-      k: Int = 64): DataFrame = {
-    val ex = df.select(col(idCol), explode(col(shingleCol)).as("__s"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("__s"))).as(s"__h$i"))
-    ex.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
-  }
+      k: Int = 64): DataFrame =
+    df.select(col(idCol),
+        call_function("graft_minhash", col(shingleCol), lit(k)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH band keys for a minhash signature: hash of each band of
     * `rowsPerBand` consecutive signature entries, tagged with the band
@@ -79,21 +80,18 @@ object Hashing {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash, scalable form: explode words, hash each once, take 64
-    * ±1 bit-sum aggregates (codegen'd, map-side partial), assemble the
-    * sign bits into one int64. Shuffle carries (id, 64 ints).
-    * Input: (idCol, wordsCol array). Output: (idCol, sim long). */
-  def simhashes(df: DataFrame, idCol: String, wordsCol: String): DataFrame = {
-    val ex = df.select(col(idCol), explode(col(wordsCol)).as("__w"))
-      .select(col(idCol), xxhash64(col("__w")).as("__h"))
-    val sums = (0 until 64).map(b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b"))
-    val bits = (0 until 64).map(b =>
-      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-    ex.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol), bits.reduce(_ bitwiseOR _).as("sim"))
-  }
+  /** SimHash, scalable form: the native `graft_simhash` expression
+    * finishes each doc's 64-bit SimHash inside the scan stage (one
+    * xxhash64 per word + 64 register bit-sums per row, whole-stage
+    * codegen, zero shuffle — the earlier explode + 64 bit-sum
+    * aggregates shuffled partial sums per doc). Bit-identical to that
+    * form; docs with empty word arrays are dropped, as explode
+    * dropped them. Input: (idCol, wordsCol array). Output: (idCol,
+    * sim long). */
+  def simhashes(df: DataFrame, idCol: String, wordsCol: String): DataFrame =
+    df.select(col(idCol),
+        call_function("graft_simhash", col(wordsCol)).as("sim"))
+      .filter(col("sim").isNotNull)
 
   /** Hamming distance between two int64 columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -54,6 +54,39 @@ class TextHashingSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sims(0) ^ sims(2)) > 10)
   }
 
+  test("native graft_minhash is bit-identical to the seeded-xxhash64 column form") {
+    val df = Seq(("d1", "the quick brown fox jumps over the lazy dog"),
+      ("d2", "pack my box with five dozen liquor jugs"),
+      ("d3", "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.shingles(col("text"), 3).as("sh"))
+    val native = Hashing.minhashSignatures(df, "doc_id", "sh", 32)
+      .as[(String, Seq[Long])].collect().toMap
+    val columnForm = df.select(col("doc_id"),
+        Hashing.minhashSignature(col("sh"), 32).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(native == columnForm)
+  }
+
+  test("native graft_minhash drops empty-shingle docs, as explode did") {
+    val df = Seq(("d1", Seq("a b c")), ("d2", Seq.empty[String]))
+      .toDF("doc_id", "sh")
+    val ids = Hashing.minhashSignatures(df, "doc_id", "sh", 8)
+      .select("doc_id").as[String].collect()
+    assert(ids.toSeq == Seq("d1"))
+  }
+
+  test("native graft_simhash is bit-identical to the column form") {
+    val df = Seq(("d1", "spark catalyst plan optimizer engine"),
+      ("d2", "completely different words entirely here"),
+      ("d3", "x")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val native = Hashing.simhashes(df, "doc_id", "w")
+      .as[(String, Long)].collect().toMap
+    val columnForm = df.select(col("doc_id"), Hashing.simhash(col("w")))
+      .as[(String, Long)].collect().toMap
+    assert(native == columnForm)
+  }
+
   test("langid picks dictionary language") {
     val df = Seq("the cat and the dog", "der hund und die katze",
       "qqq www eee").toDF("text")
