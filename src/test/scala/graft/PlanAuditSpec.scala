@@ -84,11 +84,15 @@ class PlanAuditSpec extends SparkSpec {
     windows.foreach(w =>
       assert(!w.contains("No Partition") && w.contains("__b"),
         s"window must partition on the range bucket: $w"))
-    // bucket prefixes come back as a literal-array element_at lookup
-    // (driver-side exclusive scan over <= `buckets` totals) — the plan
-    // must contain NO join for them at all
-    assert(p.contains("element_at"), p.take(1200))
-    assert(!p.contains("Join"), "bucket prefix must not join:\n" + p.take(1200))
+    // buckets are Spark's own range partitioning (its sample job runs
+    // inside the consuming action — no separate driver quantile pass)
+    assert(p.contains("rangepartitioning"), p.take(1200))
+    // bucket prefixes (exclusive scan over <= `buckets` totals rows)
+    // come back as a BROADCAST join inside the same plan — never a
+    // shuffled join of the catalog, and no extra driver action
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "bucket prefix must broadcast, not shuffle:\n" + p.take(1200))
   }
 
   test("subhalo_offsets: every window partitioned (no one-task catalog scan)") {
@@ -171,6 +175,7 @@ class PlanAuditSpec extends SparkSpec {
     windows.foreach(w =>
       assert(!w.contains("No Partition") && w.contains("__b"),
         s"window must partition on the range bucket: $w"))
-    assert(p.contains("graft_band_index"), "bucketing must be the native band lookup")
+    assert(p.contains("rangepartitioning"),
+      "bucketing must be a range exchange (sampled inside the action)")
   }
 }
