@@ -74,6 +74,10 @@ object BinaryMeta {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[BinRow]
       .mapPartitions { rows =>
+        // the default ImageIO stream cache spools through a temp FILE
+        // per decode; in-memory is strictly better for byte-array
+        // payloads (static JVM-wide flag, idempotent per task)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -96,6 +100,38 @@ object BinaryMeta {
   final case class AudioMeta(id: Long, n_bytes: Int, sample_rate: Float,
       channels: Int, bits: Int, n_frames: Long, duration_s: Double)
 
+  /** The JDK's audio file readers, resolved ONCE per task via the
+    * public SPI. `AudioSystem.getAudioInputStream` re-runs the
+    * provider registry scan under a class-level lock on EVERY call,
+    * which serializes a 32-task decode loop; iterating the same
+    * providers directly is the identical codec path minus the global
+    * lock (readers signal "not mine" with
+    * UnsupportedAudioFileException, exactly as AudioSystem iterates
+    * them). */
+  def audioReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  private def openAudio(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < readers.length) {
+      try return readers(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      i += 1
+    }
+    // registry empty or nobody claimed it — AudioSystem is the
+    // authoritative fallback (and throws the same way on junk)
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+  }
+
   /** REAL audio (WAV/AIFF/AU) metadata decode via the JDK's
     * javax.sound.sampled — like the image path, no external codec
     * needed for the JVM-native container formats. Unreadable payloads
@@ -107,10 +143,10 @@ object BinaryMeta {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[BinRow]
       .mapPartitions { rows =>
+        val readers = audioReaders()
         rows.map { r =>
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
+            val in = openAudio(readers, r.payload)
             val f = in.getFormat
             val frames = in.getFrameLength
             val dur = if (f.getFrameRate > 0) frames / f.getFrameRate.toDouble else -1.0
@@ -139,6 +175,7 @@ object BinaryMeta {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[BinRow]
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
         rows.flatMap { r =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))

@@ -12,6 +12,14 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  // QueryDef.spread: the codec loops must not inherit the scan's
+  // (possibly single-task) split; QueryDef.sortBarrier: their ORDER
+  // BY must not re-run the encode+decode for range sampling. Worth it
+  // HERE because per-row codec work dwarfs the guards' fixed shuffle+
+  // cache cost — the cheap map-side text queries measured faster
+  // without the guards at bench scale, so they don't carry them.
+  private val spread = QueryDef.spread _
+
   def defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> QueryDef.sql(
       (s, d) => BinaryMeta.decodeMeta(
@@ -38,9 +46,14 @@ object MultimodalQueries {
     "multimodal_decode" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
-        val imgs = Tables.documents(s, d).select(col("doc_id"))
+        val imgs = spread(Tables.documents(s, d).select(col("doc_id")))
           .as[Long]
           .mapPartitions { ids =>
+            // PNG encode hits ImageIO's createImageOutputStream path,
+            // which spools through a temp FILE per image unless the
+            // in-memory cache is selected — a per-image disk
+            // round-trip that dwarfs the encode itself
+            javax.imageio.ImageIO.setUseCache(false)
             ids.map { id =>
               val w = (id % 31 + 1).toInt
               val h = (id % 17 + 1).toInt
@@ -59,9 +72,17 @@ object MultimodalQueries {
               (id, bos.toByteArray)
             }
           }.toDF("doc_id", "payload")
-        BinaryMeta.decodeImageMeta(imgs, "doc_id", "payload")
-          .toDF()
-          .select(col("id"), col("width"), col("height"), col("format"))
+        // orderBy = range exchange, whose boundary-sampling job
+        // re-executes the child; this child is MAP-ONLY (scan →
+        // encode → decode — no shuffle files to reuse), so without a
+        // materialization barrier every PNG is encoded and decoded
+        // TWICE. The decoded meta frame is tiny (4 scalars/doc) —
+        // cache it and let both the sample and the sort read the
+        // cache. CacheScope releases it at query end.
+        QueryDef.sortBarrier(
+          BinaryMeta.decodeImageMeta(imgs, "doc_id", "payload")
+            .toDF()
+            .select(col("id"), col("width"), col("height"), col("format")))
           .orderBy("id")
       },
       """SELECT doc_id AS id,
@@ -80,10 +101,18 @@ object MultimodalQueries {
     "multimodal_audio" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
-        val wavs = Tables.documents(s, d).select(col("doc_id"))
+        val wavs = spread(Tables.documents(s, d).select(col("doc_id")))
           .as[Long]
           .mapPartitions { ids =>
             import javax.sound.sampled._
+            // writer resolved once per task: AudioSystem.write re-scans
+            // the provider registry under a class-level lock per call,
+            // serializing parallel tasks (same hoist as
+            // BinaryMeta.audioReaders on the decode side)
+            val wIt = java.util.ServiceLoader
+              .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+            var writers = List.empty[javax.sound.sampled.spi.AudioFileWriter]
+            while (wIt.hasNext) writers ::= wIt.next()
             ids.map { id =>
               val rate = 8000f * (1 + (id % 3)).toInt
               val channels = 1 + (id % 2).toInt
@@ -93,14 +122,23 @@ object MultimodalQueries {
               val ais = new AudioInputStream(
                 new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
               val bos = new java.io.ByteArrayOutputStream()
-              AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+              // per-stream support check (the type-only overload can
+              // accept streams a given provider then rejects at write)
+              writers.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+                case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+                case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+              }
               (id, bos.toByteArray)
             }
           }.toDF("doc_id", "payload")
-        BinaryMeta.decodeAudioMeta(wavs, "doc_id", "payload")
-          .toDF()
-          .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
-            col("channels"), col("bits"), col("n_frames"), col("duration_s"))
+        // same map-only-child barrier as multimodal_decode: without
+        // it the orderBy's sampling job synthesizes+parses every WAV
+        // a second time
+        QueryDef.sortBarrier(
+          BinaryMeta.decodeAudioMeta(wavs, "doc_id", "payload")
+            .toDF()
+            .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+              col("channels"), col("bits"), col("n_frames"), col("duration_s")))
           .orderBy("id")
       },
       """SELECT doc_id AS id,

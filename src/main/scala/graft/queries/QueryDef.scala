@@ -17,4 +17,25 @@ object QueryDef {
     QueryDef(b, Some(o))
   def rowsOnly(b: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(b, None)
+
+  /** Full-parallelism guard for compute-heavy map stages: the driver's
+    * test parquet is ONE row group, so an expensive per-row stage fed
+    * straight from the scan runs in a single task regardless of
+    * cluster size — shuffle the (cheap) raw rows first. The same
+    * guard an under-split or skewed source needs at 100 TB. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Materialization barrier for the deterministic ORDER BY on a
+    * MAP-ONLY result: orderBy is a range exchange whose
+    * boundary-sampling job re-executes the child, and a map-only
+    * child has no shuffle files to reuse — so an expensive per-row
+    * stage (regex chain, codec, dictionary scan) would run TWICE.
+    * Caching the (small) result lets the sample and the sort share
+    * one execution; CacheScope releases it when the query's action
+    * completes. Aggregated/joined children don't need this — their
+    * own exchange is the reusable barrier. */
+  def sortBarrier(df: DataFrame): DataFrame =
+    graft.CacheScope.track(df)
 }
