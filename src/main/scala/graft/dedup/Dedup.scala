@@ -94,7 +94,18 @@ object Dedup {
     * shared by the threshold join and keep-list materialization so the
     * expensive shingling runs once. */
   def ngramJaccardPairsFromShingles(sh: DataFrame, id: String, minJ: Double): DataFrame = {
-    val ex = sh.select(col(id), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    // Candidate generation runs on 8-byte xxhash64 token ids, not the
+    // shingle strings: every downstream shuffle/sort/aggregate keys on
+    // fixed-width longs (the strings average tens of bytes). The
+    // prefix-filter guarantee holds under ANY consistent total order
+    // of any token relabeling: a genuinely shared shingle always maps
+    // to a shared hash id, and a (astronomically rare, ~V²/2⁶⁴) hash
+    // collision can only MERGE two tokens — adding candidates, never
+    // hiding a true pair — while exactness of the OUTPUT is owned by
+    // the verify join below, which intersects the real string arrays.
+    val ex = sh.select(col(id), size(col("sh")).as("n"),
+      explode(col("sh")).as("s0"))
+      .select(col(id), col("n"), xxhash64(col("s0")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix = rarest floor((1-t)*n)+1 tokens of each doc, under the
     // global (df, s) total order. One hash aggregate per doc (collect
