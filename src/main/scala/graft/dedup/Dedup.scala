@@ -333,6 +333,57 @@ object Dedup {
     labels.select(col("id").as(idCol), col("cluster"))
   }
 
+  /** Substring-level exact dedup: the MAXIMAL word-token spans of
+    * length >= k that occur in at least two distinct documents — the
+    * span-granular operator behind "deduplicating training data"
+    * pipelines (duplicated passages inside otherwise-unique docs,
+    * which doc- and paragraph-level dedup both miss).
+    *
+    * Distributed formulation (no suffix array needed for fixed
+    * minimum length k): positional k-shingle hashes are computed
+    * MAP-SIDE per doc; one shuffle keyed by shingle hash marks each
+    * occurrence as cross-doc-duplicated (min-doc != max-doc over the
+    * hash group — a window, so occurrences keep their positions and
+    * no join-back is paid); one shuffle keyed by doc merges runs of
+    * consecutive duplicated positions into maximal spans
+    * (gaps-and-islands: pos - row_number is constant within a run,
+    * and the run [p, p+m] of duplicated k-shingles is exactly the
+    * maximal duplicated span [p, p+m+k-1] of words). The final
+    * per-(doc, island) aggregate reuses the doc partitioning — no
+    * third exchange. Within-doc-only repeats are NOT spans (cross-doc
+    * semantics); hash granularity means a 2^-64 collision could merge
+    * tokens, caught by the oracle gate if it ever fired.
+    *
+    * Output: (id, span_start, span_end, span_words) — word indices,
+    * end inclusive. */
+  def substringSpans(docs: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"minimum span length must be >= 2 words, got $k")
+    val w = split(col(text), " ")
+    // positional shingle hashes, map-side; docs shorter than k words
+    // contribute nothing (sequence() would go DESCENDING for negative
+    // spans — the guard is load-bearing, not cosmetic)
+    val hashes = when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
+      .otherwise(array())
+    val occ = docs.select(col(id), posexplode(hashes).as(Seq("pos", "h")))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val dup = occ
+      .withColumn("__dup",
+        min(col(id)).over(byHash) =!= max(col(id)).over(byHash))
+      .filter(col("__dup"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy("pos")
+    dup
+      .withColumn("__isl", col("pos") - row_number().over(byDoc))
+      .groupBy(col(id), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k) - 1).as("span_end"),
+        (max("pos") - min("pos") + lit(k)).as("span_words"))
+      .drop("__isl")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (label,
     * LSH bucket, …) so the self-join never goes quadratic in the
     * corpus — only within blocks. Cosine rounded to 6 dp before

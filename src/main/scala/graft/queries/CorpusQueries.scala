@@ -135,6 +135,39 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN doc_id = keeper THEN length(para) ELSE 0 END) AS BIGINT) AS kept_len
         |FROM kp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // --- substring-level (span) exact dedup: maximal word spans of
+    // length >= 8 occurring in >= 2 distinct docs — the passage-level
+    // duplication that doc/paragraph dedup miss (the synthetic corpus
+    // genuinely contains repeated passages; nothing is injected).
+    // Oracle replays positional-shingle + min/max-window + islands in
+    // SQL; engines use different shingle hashes (xxhash64 vs md5),
+    // which agree exactly because only collision-free equality
+    // matters. ---
+    "dedup_substring" -> QueryDef.sql(
+      (s, d) => Dedup.substringSpans(Tables.documents(s, d),
+        "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start"),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(ws)-8+2, 1)),
+        |        i -> struct_pack(pos := i-1,
+        |               h := md5(array_to_string(ws[i:i+8-1], ' '))))) AS u
+        |      FROM t),
+        |o AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM s),
+        |d AS (SELECT doc_id, pos,
+        |        min(doc_id) OVER (PARTITION BY h)
+        |          <> max(doc_id) OVER (PARTITION BY h) AS dup
+        |      FROM o),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |      FROM d WHERE dup)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) + 8 - 1 AS INT) AS span_end,
+        |  CAST(max(pos) - min(pos) + 8 AS INT) AS span_words
+        |FROM i GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin),
+
     // --- deterministic stratified sample (data mixing): per-language
     // keep fractions, membership a pure function of doc_id (hash
     // threshold) — reproducible across retries, partitionings, and

@@ -78,4 +78,35 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(col("id") < 4096).select("id").as[Long].collect().sorted
     assert(keptGrown.toSeq == kept1.toSeq)
   }
+
+  test("substringSpans finds maximal cross-doc spans, ignores within-doc repeats") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = "c0 c1 c2 c3 c4" // 5 shared words; k=3 => span [.,.] of 5
+    val docs = Seq(
+      (1L, s"${words("a", 4)} $shared ${words("b", 3)}"),      // span at words 4..8
+      (2L, s"$shared ${words("d", 6)}"),                       // span at words 0..4
+      (3L, s"${words("e", 2)} x y z x y z ${words("f", 2)}"),  // within-doc repeat only
+      (4L, "too short"),                                       // < k words
+      (5L, words("g", 12)))                                    // nothing shared
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(spans == Seq((1L, 4, 8, 5), (2L, 0, 4, 5)))
+  }
+
+  test("substringSpans merges overlapping duplicated shingles into one maximal span") {
+    // doc 1 embeds a 7-word passage from doc 2: k=4 gives 4 duplicated
+    // positional shingles that must merge into ONE maximal span of 7
+    val passage = "p0 p1 p2 p3 p4 p5 p6"
+    val docs = Seq(
+      (10L, s"u0 u1 $passage u2"),
+      (20L, s"$passage v0 v1 v2"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(spans == Seq((10L, 2, 8, 7), (20L, 0, 6, 7)))
+  }
 }
