@@ -210,8 +210,12 @@ object DedupQueries {
 
     // --- embedding-cosine near-dup pairs, label-blocked ---
     "dedup_embcos" -> QueryDef.sql(
-      (s, d) => Dedup.embCosPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", "label", minCos = 0.4)
+      // sortBarrier: the blocked self-join broadcasts at test scale
+      // (no shuffle files) — the ORDER BY's sampling would re-run
+      // every pairwise dot product without the barrier
+      (s, d) => QueryDef.sortBarrier(
+        Dedup.embCosPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", minCos = 0.4))
         .orderBy("id_a", "id_b"),
       """WITH p AS (
         |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,

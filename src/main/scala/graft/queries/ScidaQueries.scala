@@ -268,6 +268,9 @@ object ScidaQueries {
       (s, d) => {
         val l = Tables.lineitem(s, d)
         val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        // no sortBarrier here: caching the full 600k-row joined fact
+        // output measured no cheaper than letting the ORDER BY's
+        // sampling replay the (broadcast, map-side) join
         l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_linenumber"),
             round(col("o_totalprice"), 2).as("group_totalprice"))
@@ -398,9 +401,12 @@ object ScidaQueries {
         val b = Tables.supplier(s, d).select(col("s_suppkey"),
           ((col("s_suppkey") * 11 % 360) + 0.3).as("ra_b"),
           ((col("s_suppkey") * 5 % 120) - 60.0 + 0.4).as("dec_b"))
-        graft.operators.Spatial.crossMatch(
+        // sortBarrier: the zone join is broadcast (no shuffle files),
+        // so the ORDER BY's range sampling would re-run the whole
+        // join + haversine without a materialization barrier
+        QueryDef.sortBarrier(graft.operators.Spatial.crossMatch(
           a, "c_custkey", "ra_a", "dec_a",
-          b, "s_suppkey", "ra_b", "dec_b", radiusDeg = 1.2)
+          b, "s_suppkey", "ra_b", "dec_b", radiusDeg = 1.2))
           .orderBy("c_custkey", "s_suppkey")
       },
       """WITH a AS (
