@@ -48,6 +48,34 @@ object Dedup {
       .groupBy("h").agg(min(col(id)).as(id))
   }
 
+  /** Bloom-prefiltered incremental dedup — `incrementalKeep` with the
+    * 100 TB refinement: the base hash set is summarized as a Bloom
+    * filter (built once per maintenance cycle with one treeAggregate
+    * pass — `expectedItems` sizes it without a count action; a
+    * persisted base knows its cardinality from metadata) and shipped
+    * to every task. Incoming docs whose hash the filter rejects are
+    * PROVABLY absent from the base (no false negatives) and skip the
+    * anti-join entirely; only the ~fpp false-positive sliver plus the
+    * true duplicates pay the join. On a mostly-novel batch this drops
+    * the anti-join's probe side by ~(1-fpp) — the shuffle that
+    * dominates when the base is billions of hashes. Output is
+    * bit-identical to `incrementalKeep` (the exact join resolves every
+    * maybe), so both share one oracle. */
+  def incrementalKeepBloom(baseHash: DataFrame, incoming: DataFrame,
+      id: String, text: String, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val hcol = baseHash.columns.head
+    val bloom = baseHash.stat.bloomFilter(hcol, math.max(expectedItems, 1L), fpp)
+    val b = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => h != null && b.value.mightContainString(h))
+    val ih = incoming.select(col(id), TextOps.exactHash(col(text)).as("h"))
+    val definitelyNew = ih.filter(!might(col("h")))
+    val maybe = ih.filter(might(col("h")))
+      .join(baseHash.select(col(hcol).as("h")), Seq("h"), "left_anti")
+    definitelyNew.unionByName(maybe)
+      .groupBy("h").agg(min(col(id)).as(id))
+  }
+
   /** All pairs with shingle-set Jaccard >= minJ (rounded to 6 dp for
     * engine-stable thresholding).
     *

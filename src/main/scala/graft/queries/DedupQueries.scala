@@ -80,6 +80,30 @@ object DedupQueries {
         |WHERE h NOT IN (SELECT h FROM base)
         |GROUP BY h ORDER BY h""".stripMargin),
 
+    // --- bloom-prefiltered incremental dedup: same semantics (and
+    // oracle) as dedup_incremental, but the base hash set rides as a
+    // Bloom filter so only true duplicates + the fpp sliver pay the
+    // anti-join — the scale path when the base is billions of hashes
+    // and each batch is mostly novel. Bit-identical output (no false
+    // negatives; the exact join resolves every maybe). ---
+    "dedup_incremental_bloom" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalKeepBloom(
+          Dedup.baseHashes(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "text"),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", expectedItems = 8192)
+          .orderBy("h")
+      },
+      """WITH base AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+        |), inc AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT h, min(doc_id) AS doc_id FROM inc
+        |WHERE h NOT IN (SELECT h FROM base)
+        |GROUP BY h ORDER BY h""".stripMargin),
+
     // --- keep-list materialization: drop the higher-id side of every
     // near-dup pair (first-wins policy, the standard LSH-dedup keep
     // rule; no iterative connected components needed). Pair generation

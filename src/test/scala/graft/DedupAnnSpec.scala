@@ -98,4 +98,29 @@ class DedupAnnSpec extends SparkSpec {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("n_docs")).as[Long].head() == docs.count())
   }
+
+  test("bloom-prefiltered incremental dedup is bit-identical to the plain form") {
+    val base = Dedup.baseHashes(docs.filter(col("doc_id") % 3 =!= 0), "text")
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+    val plain = Dedup.incrementalKeep(base, inc, "doc_id", "text")
+      .as[(String, Long)].collect().sorted.toSeq
+    val bloomed = Dedup.incrementalKeepBloom(base, inc, "doc_id", "text",
+      expectedItems = 4096)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(plain == bloomed && plain.nonEmpty)
+  }
+
+  test("bloom prefilter prunes a mostly-novel batch before the anti-join") {
+    import spark.implicits._
+    val base = Seq("b1", "b2", "b3").toDF("t")
+      .select(graft.functions.TextOps.exactHash(col("t")).as("h")).distinct()
+    val inc = (1L to 1000L).map(i => (i, s"novel doc $i")).toDF("doc_id", "text")
+    val bloom = base.stat.bloomFilter("h", 3, 0.01)
+    val survivors = inc
+      .select(graft.functions.TextOps.exactHash(col("text")).as("h"))
+      .collect().count(r => bloom.mightContainString(r.getString(0)))
+    // no base hash is in the batch: everything past the filter is a
+    // false positive, bounded well under the 1% design point x slack
+    assert(survivors <= 50, s"bloom should prune novel hashes, kept $survivors")
+  }
 }
