@@ -63,6 +63,22 @@ object AnnQueries {
           k = 10, refine = 100)
       }),
 
+    // --- IVF-PQ composite (IVFADC): coarse cells prune the scan,
+    // residual-PQ codes compress it, exact re-rank on refine
+    // survivors — rows-only; PqSpec pins exhaustive==bruteforce and
+    // recall at bounded probe ---
+    "ann_ivfpq" -> QueryDef.rowsOnly(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val (codes, index) = graft.ann.IvfPq.build(corpus,
+          "vec_id", "embedding", nCells = 16, m = 8, k = 16)
+        graft.ann.IvfPq.topK(codes, index, corpus, "vec_id", "embedding",
+          q, kTop = 10, nProbe = 4, refine = 100)
+      }),
+
     // --- random-hyperplane LSH bucketed ANN — rows-only; spec
     // measures recall vs brute force and candidate-set pruning ---
     "ann_lsh" -> QueryDef.rowsOnly(

@@ -44,4 +44,47 @@ class PqSpec extends SparkSpec {
     codes.unpersist()
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
+
+  test("IVF-PQ: exhaustive probe + full refine == brute force") {
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") =!= 0)
+    val n = embs.count().toInt
+    val (codes, index) = graft.ann.IvfPq.build(embs, "vec_id", "embedding",
+      nCells = 8, m = 8, k = 16)
+    val query = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val got = graft.ann.IvfPq.topK(codes, index, embs, "vec_id", "embedding",
+      query, kTop = 10, nProbe = 8, refine = n)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = Ann.bruteForceTopK(embs, "vec_id", "embedding",
+      array(query.map(lit): _*), 10).select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("IVF-PQ: bounded probe + bounded refine keeps recall and prunes the scan") {
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") =!= 0)
+    val (codes, index) = graft.ann.IvfPq.build(embs, "vec_id", "embedding",
+      nCells = 8, m = 8, k = 16)
+    val cached = codes.cache()
+    val query = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Ann.bruteForceTopK(embs, "vec_id", "embedding",
+      array(query.map(lit): _*), 10).select("vec_id").as[Long].collect().toSet
+    val approx = graft.ann.IvfPq.topK(cached, index, embs, "vec_id", "embedding",
+      query, kTop = 10, nProbe = 4, refine = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size / 10.0
+    // the scan half: probing 4 of 8 cells must touch well under the corpus
+    def l2(c: Array[Double]): Double =
+      math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probes = index.centers.zipWithIndex
+      .sortBy { case (c, i) => (l2(c), i) }.take(4).map(_._2).toSet
+    val scanned = cached.filter(c => probes.contains(c.cell)).count()
+    cached.unpersist()
+    assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
+    assert(scanned < embs.count(), s"probe must prune the code scan ($scanned)")
+  }
 }
