@@ -46,4 +46,39 @@ class ScaleLayoutSpec extends SparkSpec {
     // pruned scan reads exactly one snapshot's rows
     assert(one.count() == c.count())
   }
+
+  test("Z-order clustering makes the pushed-down box cut prune row groups") {
+    import spark.implicits._
+    import graft.operators.Spatial
+    // deterministic pseudo-random 3D points in [0,100)^3
+    def coord(seed: Int) = (abs(xxhash64(col("id") + lit(seed))) % 100000L)
+      .cast("double") / 1000.0
+    val pts = spark.range(0, 200000L).toDF("id")
+      .select(col("id"), coord(1).as("x"), coord(2).as("y"), coord(3).as("z"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // tiny row groups so one file holds many: row-group stats, not
+    // file boundaries, must do the pruning
+    val small = Map("parquet.block.size" -> (64 * 1024).toString)
+    Spatial.writeZOrdered(pts, s"$base/zo",
+      Seq(("x", 0.0, 100.0), ("y", 0.0, 100.0), ("z", 0.0, 100.0)),
+      numFiles = 4, bits = 10, options = small)
+    pts.repartition(4).write.mode("overwrite").options(small)
+      .parquet(s"$base/shuf")
+    def scannedRows(path: String): (Long, Long) = {
+      val cut = Spatial.boxCut(spark.read.parquet(path),
+        Seq(("x", 10.0, 20.0), ("y", 10.0, 20.0), ("z", 10.0, 20.0)))
+      val qe = cut.queryExecution
+      val n = qe.executedPlan.execute().count()
+      val scan = qe.executedPlan.collectLeaves().head
+      (scan.metrics("numOutputRows").value, n)
+    }
+    val (zoScan, zoRows) = scannedRows(s"$base/zo")
+    val (shScan, shRows) = scannedRows(s"$base/shuf")
+    assert(zoRows == shRows && zoRows > 0, s"same selection: $zoRows vs $shRows")
+    // shuffled layout: every row group overlaps the box -> scan emits
+    // ~everything; z-ordered: only spatially-overlapping row groups
+    // survive the parquet min/max skip
+    assert(zoScan < shScan / 5,
+      s"z-order should prune the scan: zo=$zoScan shuffled=$shScan")
+  }
 }
