@@ -56,6 +56,15 @@ object GraftExtensions {
         "graft_nearest_centroid(vec, centroids) - index of the squared-L2 nearest centroid"),
       binary("graft_nearest_centroid",
         graft.functions.expressions.NearestCentroid.apply) _),
+    (FunctionIdentifier("graft_pos_shingles"),
+      info("graft_pos_shingles",
+        "graft_pos_shingles(text, k) - xxhash64 of every positional k-word window, in order, duplicates kept; empty for docs shorter than k words; k must be a literal"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"graft_pos_shingles expects 2 arguments, got ${args.length}")
+        require(args(1).foldable, "graft_pos_shingles k must be a literal")
+        graft.functions.expressions.PosShingleHashes(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
+      }),
     (FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(shingles, k) - k-entry MinHash signature (one map-side pass; xxhash64-seeded, bit-identical to the explode+min-agg form); k must be a literal"),

@@ -387,15 +387,13 @@ object Dedup {
   def substringSpans(docs: DataFrame, id: String, text: String,
       k: Int): DataFrame = {
     require(k >= 2, s"minimum span length must be >= 2 words, got $k")
-    val w = split(col(text), " ")
-    // positional shingle hashes, map-side; docs shorter than k words
-    // contribute nothing (sequence() would go DESCENDING for negative
-    // spans — the guard is load-bearing, not cosmetic)
-    val hashes = when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k),
-        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
-      .otherwise(array())
-    val occ = docs.select(col(id), posexplode(hashes).as(Seq("pos", "h")))
+    // positional shingle hashes via the native one-pass expression
+    // (docs shorter than k words yield an empty array and vanish at
+    // the explode); the declarative transform/slice/concat chain it
+    // replaces re-assembled O(k) words per position, interpreted
+    val occ = docs.select(col(id),
+      posexplode(call_function("graft_pos_shingles", col(text), lit(k)))
+        .as(Seq("pos", "h")))
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val dup = occ
       .withColumn("__dup",
