@@ -59,6 +59,119 @@ object CorpusStreams {
     }
   }
 
+  /** One per-band row of a document's SimHash: `key` is the 16-bit
+    * band value, `band` its index — a doc emits 4 such rows. */
+  final case class BandRow(doc_id: Long, ts_ms: Long, band: Int,
+      key: Int, sim: Long)
+
+  /** BandRow + the watermarked event-time column: the analyzer
+    * requires the watermark COLUMN itself to reach the stateful
+    * operator's input for event-time timeouts, so it rides along. */
+  final case class BandRowT(doc_id: Long, ts_ms: Long, band: Int,
+      key: Int, sim: Long, evt: java.sql.Timestamp)
+
+  /** Per-band verdict: did ANY earlier in-horizon doc in this band
+    * bucket sit within the Hamming bound of this doc? */
+  final case class BandVerdict(doc_id: Long, ts_ms: Long,
+      prior_match: Boolean)
+
+  final case class BandState(entries: List[(Long, Long)]) // (sim, ts_ms)
+
+  /** Streaming NEAR-duplicate gate, stage 1 of 2: SimHash-band keyed
+    * stateful verdicts. Near-dup semantics are the batch
+    * `dedup_simhash` family's: two docs are near-dups when their
+    * 64-bit SimHashes sit within `maxHamming`; for maxHamming <= 3
+    * the 4×16-bit band pigeonhole guarantees near-dups share at
+    * least one exact band, so keying state by (band, key) sees every
+    * near-dup pair in some group while state stays sharded across
+    * O(distinct band values) keys — never one global table.
+    *
+    * Each group's state holds the (sim, ts) of in-horizon arrivals
+    * for that band value; `tsCol` must be epoch MILLIS. The horizon
+    * is event-time end to end: a watermark of `horizonMs` bounds the
+    * state (entries older than the watermark can never match a
+    * future in-horizon row and are pruned), and quiet buckets expire
+    * wholesale via an EVENT-time timeout — chosen over
+    * processing-time both for semantics and because processing-time
+    * timeouts keep the stream perpetually "not caught up"
+    * (`processAllAvailable` hangs; see ModelStreamingSpec's
+    * sessionize note). State is bounded by arrival rate × horizon,
+    * like contentDedup's engine state. A doc's sim enters state
+    * whether or not the doc survives (crawl dedup keeps all seen
+    * signatures: a chain d1~d2~d3 must drop d3 even though d2 was
+    * dropped).
+    *
+    * Verdicts from a doc's 4 bands are merged by `mergeVerdicts` —
+    * a STATELESS per-micro-batch groupBy (run it inside foreachBatch
+    * or on the verdict frame of a batch replay): chaining a second
+    * stateful operator after flatMapGroupsWithState is the one shape
+    * Structured Streaming does not support, and the merge needs no
+    * state — a doc's band rows always share a micro-batch. */
+  def nearDupBandVerdicts(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", idCol: String = "doc_id",
+      maxHamming: Int = 3, horizonMs: Long = 3600L * 1000)
+      : org.apache.spark.sql.Dataset[BandVerdict] = {
+    require(maxHamming <= 3,
+      "4x16-bit banding guarantees recall only for Hamming <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val simmed = graft.functions.Hashing.simhashes(
+      docs.select(col(idCol), col(tsCol), split(col(textCol), " ").as("__w"))
+        .withColumn("__rid", struct(col(idCol), col(tsCol)))
+        .select(col("__rid"), col("__w")), "__rid", "__w")
+      .select(col("__rid").getField(idCol).cast("long").as("doc_id"),
+        col("__rid").getField(tsCol).cast("long").as("ts_ms"),
+        col("sim"))
+    val bands = simmed.as[(Long, Long, Long)].flatMap { case (id, ts, sim) =>
+      (0 until 4).map(b => BandRow(id, ts, b, ((sim >>> (16 * b)) & 0xffffL).toInt, sim))
+    }
+    // watermark AFTER the typed flatMap (a typed transform re-encodes
+    // rows, so an earlier watermark column would not survive it)
+    val withWm = bands
+      .withColumn("evt", timestamp_millis(col("ts_ms")))
+      .withWatermark("evt", s"$horizonMs milliseconds")
+      .as[BandRowT]
+    withWm.groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BandState, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // batch replay runs this same function where event-time
+            // accessors may be undefined — degrade to no pruning
+            val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            // micro-batch slice arrives unordered; first-wins needs
+            // (ts, id) order, deterministic across partitionings
+            val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.doc_id))
+            val out = sorted.map { r =>
+              val hit = entries.exists { case (s, t) =>
+                r.ts_ms - t <= horizonMs &&
+                  java.lang.Long.bitCount(s ^ r.sim) <= maxHamming }
+              entries = (r.sim, r.ts_ms) :: entries
+              BandVerdict(r.doc_id, r.ts_ms, hit)
+            }
+            val kept = entries.filter(_._2 >= wm) // older can't match future in-horizon rows
+            state.update(BandState(kept))
+            val hi = kept.iterator.map(_._2).foldLeft(0L)(math.max)
+            scala.util.Try( // no-op outside streaming event-time
+              state.setTimeoutTimestamp(math.max(hi, wm + 1) + horizonMs))
+            out.iterator
+          }
+      }
+  }
+
+  /** Stage 2: merge a doc's band verdicts (stateless — run per
+    * micro-batch via foreachBatch, or directly on a batch replay's
+    * verdict frame). A doc survives iff NO band saw a prior
+    * in-horizon near-dup. */
+  def mergeVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id", "ts_ms")
+      .agg(max(col("prior_match")).as("__hit"))
+      .filter(!col("__hit"))
+      .select(col("doc_id"), col("ts_ms"))
+
   /** The full ingest pipeline: gate → in-horizon dedup → token
     * counts. One lazy plan; runs identically on a batch frame (minus
     * the watermark state bound) — the batch/stream-equivalence spec

@@ -72,4 +72,53 @@ class CorpusStreamsSpec extends SparkSpec {
       assert(spark.table("rehash").count() == 2)
     } finally q.stop()
   }
+
+  // near-dup gate fixtures: ts as epoch millis (the operator's time
+  // contract); d3 repeats d1's text exactly (Hamming 0 — must drop),
+  // d4 and d2 are unrelated (keep)
+  private val ndDocs = Seq(
+    (1L, 1000L, "the quick brown fox jumps over a lazy dog today"),
+    (2L, 2000L, "completely different content about spark catalyst planning"),
+    (3L, 3000L, "the quick brown fox jumps over a lazy dog today"),
+    (4L, 4000L, "yet another unrelated document mentioning zarr chunk layouts"))
+
+  test("streaming near-dup gate: band-stateful verdicts + per-batch merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val verdicts = CorpusStreams.nearDupBandVerdicts(
+      in.toDF().toDF("doc_id", "ts", "text"))
+    val kept = scala.collection.mutable.SortedSet.empty[Long]
+    val q = verdicts.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CorpusStreams.BandVerdict], _: Long) =>
+        CorpusStreams.mergeVerdicts(batch.toDF())
+          .select("doc_id").as[Long].collect().foreach(kept += _)
+        ()
+      }.start()
+    try {
+      in.addData(ndDocs.take(2)) // d1, d2 in batch 1
+      q.processAllAvailable()
+      in.addData(ndDocs.drop(2)) // d3 (dup of d1), d4 in batch 2
+      q.processAllAvailable()
+      // d3's near-dup arrived in an EARLIER micro-batch: only state
+      // can drop it
+      assert(kept.toSeq == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("near-dup gate batch replay matches an independent pairwise reference") {
+    val df = ndDocs.toDF("doc_id", "ts", "text")
+    val got = CorpusStreams.mergeVerdicts(
+      CorpusStreams.nearDupBandVerdicts(df).toDF())
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // reference: doc dropped iff ANY earlier doc's simhash is within
+    // Hamming 3 — computed straight from the signature column
+    val sims = graft.functions.Hashing.simhashes(
+      df.select(col("doc_id"), split(col("text"), " ").as("w")), "doc_id", "w")
+      .as[(Long, Long)].collect().toMap
+    val want = ndDocs.collect { case (id, ts, _)
+      if !ndDocs.exists { case (id2, ts2, _) =>
+        Ordering[(Long, Long)].lt((ts2, id2), (ts, id)) &&
+          java.lang.Long.bitCount(sims(id2) ^ sims(id)) <= 3 } => id }.sorted
+    assert(got == want && want == Seq(1L, 2L, 4L))
+  }
 }
