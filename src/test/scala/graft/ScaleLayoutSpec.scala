@@ -47,6 +47,33 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(one.count() == c.count())
   }
 
+  test("IVF-PQ code table stored clustered by cell: a probe is a partition-pruned scan") {
+    import spark.implicits._
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") =!= 0)
+    val (codes, index) = graft.ann.IvfPq.build(embs, "vec_id", "embedding",
+      nCells = 8, m = 8, k = 16)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    // the at-rest layout: one directory per coarse cell
+    codes.toDF().write.partitionBy("cell").mode("overwrite").parquet(base)
+    val q = embs.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def l2(c: Array[Double]): Double =
+      math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probes = index.centers.zipWithIndex
+      .sortBy { case (c, i) => (l2(c), i) }.take(2).map(_._2)
+    val scan = spark.read.parquet(base)
+      .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    // the cell predicate must be a PARTITION filter (directory
+    // pruning at the source), not a post-scan row filter
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(1000))
+    val expected = codes.filter(c => probes.toSet.contains(c.cell)).count()
+    assert(scan.count() == expected && expected > 0 && expected < embs.count())
+  }
+
   test("Z-order clustering makes the pushed-down box cut prune row groups") {
     import spark.implicits._
     import graft.operators.Spatial
