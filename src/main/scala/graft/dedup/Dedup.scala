@@ -311,8 +311,15 @@ object Dedup {
     // the EDGE LIST (not the corpus) fits the driver, classic
     // union-find + one broadcast join beats N propagation rounds.
     // The corpus side stays distributed either way.
-    if (ab.count() <= driverEdgeLimit) {
-      val es = ab.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // limit-probe: fetch at most limit+1 edges in ONE action — if we
+    // got <= limit, that IS the complete edge list (a second count +
+    // collect pair would re-run the whole candidate pipeline's final
+    // stage); if we got limit+1, fall through to distributed
+    // propagation and never materialize more than that on the driver
+    val probe = ab.limit(
+      math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt + 1).collect()
+    if (probe.length <= driverEdgeLimit) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

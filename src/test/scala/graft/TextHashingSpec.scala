@@ -87,6 +87,40 @@ class TextHashingSpec extends SparkSpec {
     assert(native == columnForm)
   }
 
+  test("property: native signatures match the column forms on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "longword-with-punct!",
+      "ünïcode", "词", "a", "")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.shingles(col("text"), 2).as("sh"),
+        split(col("text"), " ").as("w"))
+    val mhNative = Hashing.minhashSignatures(df, "doc_id", "sh", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val mhColumn = df.select(col("doc_id"), Hashing.minhashSignature(col("sh"), 16))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(mhNative == mhColumn)
+    val shNative = Hashing.simhashes(df, "doc_id", "w")
+      .as[(Long, Long)].collect().toMap
+    val shColumn = df.select(col("doc_id"), Hashing.simhash(col("w")))
+      .as[(Long, Long)].collect().toMap
+    assert(shNative == shColumn)
+  }
+
+  test("graft_pos_shingles: positional, ordered, duplicates kept, short docs empty") {
+    val df = Seq("a b a b a", "x", "one two three").toDF("text")
+      .select(call_function("graft_pos_shingles", col("text"), lit(2)).as("p"))
+      .as[Seq[Long]].collect()
+    assert(df(0).length == 4)          // 5 words -> 4 windows
+    assert(df(0)(0) == df(0)(2))       // "a b" at 0 and 2: same hash
+    assert(df(0)(1) == df(0)(3))       // "b a" at 1 and 3
+    assert(df(0)(0) != df(0)(1))
+    assert(df(1).isEmpty)              // 1 word < k
+    assert(df(2).length == 2 && df(2)(0) != df(2)(1))
+  }
+
   test("langid picks dictionary language") {
     val df = Seq("the cat and the dog", "der hund und die katze",
       "qqq www eee").toDF("text")
