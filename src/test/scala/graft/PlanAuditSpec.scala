@@ -178,4 +178,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"),
       "bucketing must be a range exchange (sampled inside the action)")
   }
+
+  test("dedup_minhash: signatures finish map-side (no explode aggregate before banding)") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("graft_minhash"),
+      "signatures must be the native one-pass expression:\n" + p.take(1200))
+    // the first aggregate in the plan must be candidate-side (band
+    // keys / pair dedup), never a 64-buffer per-doc signature agg
+    assert(!p.contains("min(xxhash64"),
+      "per-seed min aggregates mean the explode formulation came back:\n" + p.take(1500))
+  }
+
+  test("dedup_substring: positional hashes native; spans reuse the doc partitioning") {
+    val p = plan("dedup_substring")
+    assert(p.contains("graft_pos_shingles"), p.take(1200))
+    // exactly two data exchanges: by shingle hash (cross-doc window)
+    // and by doc (islands); the final span aggregate must NOT add a
+    // third (it reuses the doc hash partitioning)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 2,
+      s"span merge must reuse the doc partitioning:\n${exchanges.mkString("\n")}")
+  }
+
+  test("multimodal_decode: codec output materialized once before the sort") {
+    val p = plan("multimodal_decode")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "sortBarrier must cache the decoded frame (else range sampling " +
+        "re-runs the codec loop):\n" + p.take(1200))
+  }
 }
