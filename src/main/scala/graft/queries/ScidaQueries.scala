@@ -217,7 +217,12 @@ object ScidaQueries {
       (s, d) => {
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         // the subhalo catalog feeds both the group rollup and the
-        // offset join — materialize once (CacheScope releases it)
+        // offset join — materialize once (CacheScope releases it).
+        // NOTE (measured): pre-partitioning by the parent key to let
+        // downstream window/rollup/join reuse one exchange does NOT
+        // help here — an AQE-compiled InMemoryRelation reports
+        // unknown output partitioning, so consumers re-exchange above
+        // the cache regardless; keep the straightforward form.
         val sub = graft.CacheScope.track(
           Tables.lineitem(s, d)
             .join(o, col("l_orderkey") === col("o_orderkey"))
