@@ -235,6 +235,17 @@ object RelationalQueries {
         .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_parts_union"),
           count(lit(1)).as("n_groups"))),
+    // Count-Min point-frequency estimates for a watchlist of keys —
+    // one map-side pass + broadcast sketch, no per-key groupBy
+    // (rows-only; SketchSpec pins the one-sided error bound vs exact
+    // counts)
+    "sketch_freq" -> QueryDef.rowsOnly(
+      (s, d) => {
+        val watchlist = s.range(1, 101).toDF("l_partkey")
+        graft.operators.FrequencySketch.estimateCounts(
+          Tables.lineitem(s, d), "l_partkey", watchlist)
+          .orderBy("l_partkey")
+      }),
     "sketch_percentiles" -> QueryDef.rowsOnly(
       (s, d) => Tables.lineitem(s, d)
         .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))

@@ -41,4 +41,29 @@ class SketchSpec extends SparkSpec {
       expr("percentile(l_extendedprice, 0.5)")).as[(Double, Double)].head()
     assert(math.abs(approx - exact) / exact < 0.01, s"approx=$approx exact=$exact")
   }
+
+  test("Count-Min estimates are one-sided and within the eps*N bound") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    val watch = spark.range(1, 101).toDF("l_partkey")
+    val eps = 0.0001
+    val est = graft.operators.FrequencySketch
+      .estimateCounts(li, "l_partkey", watch, eps = eps)
+      .as[(Long, Long)].collect().toMap
+    val exact = li.filter(col("l_partkey") < 101)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    watch.as[Long].collect().foreach { k =>
+      val t = exact.getOrElse(k, 0L)
+      assert(est(k) >= t, s"CMS must never under-count: key $k est ${est(k)} true $t")
+      assert(est(k) <= t + math.ceil(eps * n).toLong * 10,
+        s"key $k est ${est(k)} true $t way over the eps*N design point")
+    }
+    // partition-invariance: the fixed seed makes estimates identical
+    // under a different physical layout
+    val est2 = graft.operators.FrequencySketch
+      .estimateCounts(li.repartition(13), "l_partkey", watch, eps = eps)
+      .as[(Long, Long)].collect().toMap
+    assert(est == est2)
+  }
 }
