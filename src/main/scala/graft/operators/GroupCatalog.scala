@@ -71,6 +71,29 @@ object GroupCatalog {
       subhalos, subKey, at(subLenType), buckets)
   }
 
+  /** Per-particle LOCAL subhalo index — scida's
+    * `compute_localsubhaloindex` / `get_localshidx` (reference:
+    * src/scida/customs/arepo/dataset.py:1120,1236): each particle
+    * gets the rank of its subhalo WITHIN its parent group (0-based,
+    * subhalo-key order), or -1 for fuzz particles whose subhalo is
+    * not in the bound catalog. The reference derives it positionally
+    * by searchsorted against the subhalo offset table; membership-
+    * keyed data gives the same answer (positional ≡ membership is
+    * proven in GroupCatalogSpec) as a window rank over the (small)
+    * subhalo catalog joined onto the particles — the catalog side is
+    * broadcast-sized relative to particles, and the window
+    * parallelizes across groups. */
+  def localSubhaloIndex(particles: DataFrame, pSubKey: String,
+      subhalos: DataFrame, groupKey: String, subKey: String,
+      outCol: String = "local_subhalo_idx"): DataFrame = {
+    val w = Window.partitionBy(groupKey).orderBy(subKey)
+    val idx = subhalos.select(col(subKey).as("__sk"),
+      (row_number().over(w) - 1).as(outCol))
+    particles.join(broadcast(idx), particles(pSubKey) === idx("__sk"), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(-1)))
+      .drop("__sk")
+  }
+
   /** Membership selection by a driver-known object-id list — scida
     * `select_group` re-expressed distributed. The reference slices
     * positionally by (offset, length); on a cluster the same rows are

@@ -435,6 +435,39 @@ object ScidaQueries {
         |    )) / (pi() / 180.0))*1000000000 + 0.5)/1000000000 <= 1.2
         |ORDER BY c_custkey, s_suppkey""".stripMargin),
 
+    // --- per-particle local subhalo index (arepo/dataset.py:1120
+    // compute_localsubhaloindex, :1236 get_localshidx): rank of the
+    // particle's subhalo within its group, -1 for fuzz (subhalo not
+    // in the bound catalog — modeled as orders above a price
+    // threshold). Window over the SMALL catalog, broadcast onto the
+    // fact side; particles never shuffle. ---
+    "subhalo_assign" -> QueryDef.sql(
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        val bound = o.filter(col("o_totalprice") > 150000.0)
+          .select("o_custkey", "o_orderkey")
+        graft.operators.GroupCatalog.localSubhaloIndex(
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+            .join(broadcast(o.select("o_orderkey", "o_custkey")),
+              col("l_orderkey") === col("o_orderkey")),
+          "l_orderkey", bound, "o_custkey", "o_orderkey")
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("local_subhalo_idx").cast("int").as("local_subhalo_idx"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """WITH bound AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey) - 1 AS INT) AS local_subhalo_idx
+        |  FROM orders WHERE o_totalprice > 150000.0
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+        |  CAST(coalesce(b.local_subhalo_idx, -1) AS INT) AS local_subhalo_idx
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN bound b ON b.o_orderkey = l.l_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // --- dataset series: union of members with a snapshot tag (series.py) ---
     "series_union" -> QueryDef.sql(
       (s, d) => {

@@ -102,4 +102,18 @@ class GroupCatalogSpec extends SparkSpec {
     val p = sel.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
   }
+
+  test("localSubhaloIndex ranks within the group and marks fuzz as -1") {
+    // group 1: bound subhalos 10, 12 (local 0, 1); 11 unbound (fuzz)
+    // group 2: bound subhalo 20 (local 0)
+    val bound = Seq((1L, 10L), (1L, 12L), (2L, 20L)).toDF("grp", "sub")
+    val particles = Seq(
+      (10L, "a"), (10L, "b"), (11L, "c"), (12L, "d"), (20L, "e"))
+      .toDF("sub_key", "pid")
+    val got = GroupCatalog.localSubhaloIndex(
+      particles, "sub_key", bound, "grp", "sub")
+      .select("pid", "local_subhalo_idx")
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 0, "c" -> -1, "d" -> 1, "e" -> 0))
+  }
 }
