@@ -15,8 +15,20 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Apply graft defaults to an existing builder (lets Verify/Bench
-    * keep driver-imposed master/conf while inheriting ours). */
-  def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    * keep driver-imposed master/conf while inheriting ours).
+    *
+    * JVM-WIDE side effect: disables ImageIO's file-backed stream cache
+    * (`ImageIO.setUseCache(false)`) — the multimodal decode loops feed
+    * byte-array payloads, for which the default temp-file spooling is
+    * pure overhead. The flag is a JVM-global static; any other workload
+    * sharing this executor JVM also loses the file cache. Acceptable on
+    * a dedicated cluster; set it back after session creation if a
+    * co-tenant needs file-backed ImageIO streams. (The decode loops
+    * also set it per task, defensively, for executors that never ran
+    * this builder.) */
+  def withDefaults(b: SparkSession.Builder): SparkSession.Builder = {
+    javax.imageio.ImageIO.setUseCache(false)
+    b
     .withExtensions(new GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     // operator knob: AQE is right at cluster scale (runtime re-plan,
@@ -30,6 +42,7 @@ object GraftSession {
     // reader rejects; read as epoch-nano longs and convert in Tables.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+  }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = withDefaults(

@@ -56,7 +56,10 @@ object IvfPq {
     val spark = embs.sparkSession
     import spark.implicits._
     val (indexed, centers) = Ivf.build(embs, id, vec, nCells)
-    val res = residuals(indexed, centers, id, vec)
+    // three consumers read `res` (Pq.train's sample, Pq.encode, the
+    // cell join-back) — without a barrier each would replay the whole
+    // residual lineage including the upstream cell assignment
+    val res = graft.CacheScope.track(residuals(indexed, centers, id, vec))
     val cb = Pq.train(res, "id", "res", m, k)
     val codes = Pq.encode(res, "id", "res", cb)
       .joinWith(res.select(col("id").cast("long").as("rid"), col("cell")),

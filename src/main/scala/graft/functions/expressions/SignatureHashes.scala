@@ -33,6 +33,11 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   require(k >= 1, s"graft_minhash signature length must be >= 1, got $k")
 
+  // Empty input arrays yield null even when the child can't: nullability
+  // must not be inherited from the child or codegen emits an
+  // unassignable `false = value == null` and the optimizer folds
+  // downstream isNotNull filters away.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
@@ -108,6 +113,8 @@ object MinHashSig {
   * `xxhash64(null)` does. */
 case class SimHashSig(child: Expression) extends UnaryExpression {
 
+  // Null on empty arrays regardless of child nullability (see MinHashSig).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
   override def dataType: DataType = LongType
   override def checkInputDataTypes()

@@ -75,7 +75,7 @@ object CorpusStreams {
   final case class BandVerdict(doc_id: Long, ts_ms: Long,
       prior_match: Boolean)
 
-  final case class BandState(entries: List[(Long, Long)]) // (sim, ts_ms)
+  final case class BandState(entries: List[(Long, Long, Long)]) // (sim, ts_ms, doc_id)
 
   /** Streaming NEAR-duplicate gate, stage 1 of 2: SimHash-band keyed
     * stateful verdicts. Near-dup semantics are the batch
@@ -89,8 +89,10 @@ object CorpusStreams {
     * Each group's state holds the (sim, ts) of in-horizon arrivals
     * for that band value; `tsCol` must be epoch MILLIS. The horizon
     * is event-time end to end: a watermark of `horizonMs` bounds the
-    * state (entries older than the watermark can never match a
-    * future in-horizon row and are pruned), and quiet buckets expire
+    * state (entries older than `watermark - horizonMs` can never
+    * match a still-admissible row — admitted rows have ts >= wm, and
+    * an entry within horizon of such a row has t >= wm - horizon —
+    * and are pruned), and quiet buckets expire
     * wholesale via an EVENT-time timeout — chosen over
     * processing-time both for semantics and because processing-time
     * timeouts keep the stream perpetually "not caught up"
@@ -146,13 +148,21 @@ object CorpusStreams {
             // (ts, id) order, deterministic across partitionings
             val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.doc_id))
             val out = sorted.map { r =>
-              val hit = entries.exists { case (s, t) =>
+              // a prior is a match only if it is STRICTLY earlier in the
+              // (ts, id) first-wins order — a late row (above watermark,
+              // later micro-batch) must not be marked dup of a doc whose
+              // event time is later than its own
+              val hit = entries.exists { case (s, t, eid) =>
                 r.ts_ms - t <= horizonMs &&
+                  (t < r.ts_ms || (t == r.ts_ms && eid < r.doc_id)) &&
                   java.lang.Long.bitCount(s ^ r.sim) <= maxHamming }
-              entries = (r.sim, r.ts_ms) :: entries
+              entries = (r.sim, r.ts_ms, r.doc_id) :: entries
               BandVerdict(r.doc_id, r.ts_ms, hit)
             }
-            val kept = entries.filter(_._2 >= wm) // older can't match future in-horizon rows
+            // rows with ts in [wm, maxEvt] are still admitted, and an
+            // entry as old as wm - horizon is within horizonMs of a row
+            // at ts = wm — pruning at wm alone would miss those matches
+            val kept = entries.filter(_._2 >= wm - horizonMs)
             state.update(BandState(kept))
             val hi = kept.iterator.map(_._2).foldLeft(0L)(math.max)
             scala.util.Try( // no-op outside streaming event-time
