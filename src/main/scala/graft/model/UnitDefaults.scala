@@ -1,0 +1,177 @@
+package graft.model
+
+/** Per-simulation-family default field units — the graft analogue of
+  * scida's shipped unit config files (reference:
+  * src/scida/configfiles/units/gadget_cosmological.yaml,
+  * eagle.yaml, resolved through interfaces/mixins/units.py:411
+  * `add_units`: per-group field entry first, then the `_all`
+  * fallback). The flagship public datasets (TNG/Illustris, EAGLE)
+  * write NO unit attributes on their datasets, so without this table
+  * they load unitless; scida fills the gap from YAML keyed by the
+  * dataset family, graft from this table keyed by `Load.flavor`.
+  *
+  * Entries are unit EXPRESSIONS in the reference's code-unit
+  * vocabulary (gadget_cosmological.yaml:1-15): `code_length` =
+  * ckpc/h, `ckpc` = a·kpc, `code_mass` = 1e10·Msun/h,
+  * `code_velocity` = km/s, `code_time` = kpc/(km/s), plus bare `a`
+  * and `h` factors (fractional exponents allowed — Velocities carry
+  * a^0.5). Resolution folds a and h in NUMERICALLY from the
+  * snapshot's cosmology — the same treatment `UnitAttrs` gives
+  * TNG-style `a_scaling`/`h_scaling` attrs — so the result is
+  * (factor, Measure): raw × factor is a value in the symbolic
+  * physical measure. Expressions with a/h terms are unresolvable
+  * without a cosmology and return None (unreported beats wrong).
+  *
+  * Precedence: graft applies defaults only where file attributes
+  * resolve nothing (`Load.dataset`); an attr-carrying field keeps its
+  * attr-derived unit. (scida additionally supports unit-file
+  * `override: true` entries that beat known-wrong metadata,
+  * gadget_cosmological.yaml GFM_AGNRadiation — not modeled here.)
+  */
+object UnitDefaults {
+
+  /** Gadget-family cosmological defaults — a representative subset of
+    * gadget_cosmological.yaml `fields:` (the TNG/Illustris/MTNG
+    * convention; yaml lines cited per group). */
+  private val Gadget: Map[String, Map[String, String]] = Map(
+    // _all (yaml "fields: _all:"): fields every particle type carries
+    "_all" -> Map(
+      "Coordinates" -> "code_length",
+      "Masses" -> "code_mass",
+      "Velocities" -> "km*a^0.5/s",
+      "Potential" -> "km^2/s^2/a",
+      "SubfindDensity" -> "code_mass/code_length^3",
+      "SubfindHsml" -> "code_length",
+      "SubfindVelDisp" -> "km/s",
+      "StarFormationRate" -> "Msun/yr"),
+    "PartType0" -> Map(
+      "CenterOfMass" -> "code_length",
+      "Density" -> "code_mass/code_length^3",
+      "InternalEnergy" -> "km^2/s^2",
+      "SmoothingLength" -> "code_length",
+      "Temperature" -> "K",
+      "Volume" -> "code_length^3"),
+    "PartType4" -> Map(
+      "BirthPos" -> "code_length",
+      "BirthVel" -> "a^0.5*km/s",
+      "GFM_InitialMass" -> "code_mass",
+      "StellarHsml" -> "code_length"),
+    "PartType5" -> Map(
+      "BH_Density" -> "code_mass/code_length^3",
+      "BH_Hsml" -> "code_length",
+      "BH_Mass" -> "code_mass",
+      "BH_Mdot" -> "code_mass*h/code_time",
+      "BH_U" -> "km^2/s^2"),
+    // group catalogs carry no metadata attrs at all (yaml comment
+    // "no metadata attributes in group catalogs")
+    "Group" -> Map(
+      "GroupBHMass" -> "code_mass",
+      "GroupCM" -> "code_length",
+      "GroupMass" -> "code_mass",
+      "GroupPos" -> "code_length",
+      "GroupSFR" -> "Msun/yr",
+      "GroupVel" -> "km/s/a",
+      "Group_M_Crit200" -> "code_mass",
+      "Group_R_Crit200" -> "code_length"),
+    "Subhalo" -> Map(
+      "SubhaloCM" -> "code_length",
+      "SubhaloHalfmassRad" -> "code_length",
+      "SubhaloMass" -> "code_mass",
+      "SubhaloPos" -> "code_length",
+      "SubhaloSFR" -> "Msun/yr",
+      "SubhaloSpin" -> "kpc*km/s/h",
+      "SubhaloVel" -> "km/s",
+      "SubhaloVelDisp" -> "km/s",
+      "SubhaloVmax" -> "km/s",
+      "SubhaloVmaxRad" -> "code_length"))
+
+  /** EAGLE ships cgs unit strings per field (eagle.yaml `cgsunits`);
+    * here as plain measures — factor 1, raw values already cgs. */
+  private val Eagle: Map[String, Map[String, String]] = Map(
+    "_all" -> Map(
+      "Coordinates" -> "cm",
+      "Velocity" -> "cm/s",
+      "Mass" -> "g"),
+    "PartType0" -> Map(
+      "Density" -> "g/cm^3",
+      "InternalEnergy" -> "cm^2/s^2",
+      "SmoothingLength" -> "cm",
+      "StarFormationRate" -> "g/s",
+      "Temperature" -> "K"),
+    "PartType4" -> Map(
+      "BirthDensity" -> "g/cm^3"))
+
+  /** flavor (Load.flavor's vocabulary) → group → field → expr.
+    * gizmo shares the Gadget code-unit convention
+    * (configfiles/units/gizmo.yaml mirrors gadget_cosmological). */
+  private val tables: Map[String, Map[String, Map[String, String]]] = Map(
+    "arepo" -> Gadget,
+    "gizmo" -> Gadget,
+    "eagle" -> Eagle)
+
+  /** The symbolic default expression for (flavor, group, field):
+    * group-specific entry first, then `_all` (units.py:466-470). */
+  def unitString(flavor: String, group: String, field: String): Option[String] =
+    tables.get(flavor).flatMap { t =>
+      t.get(group).flatMap(_.get(field))
+        .orElse(t.getOrElse("_all", Map.empty).get(field))
+    }
+
+  /** Resolve (flavor, group, field) to (factor, physical measure):
+    * raw × factor is a value in the measure. None when no default
+    * exists or the expression needs a cosmology that isn't there. */
+  def resolve(flavor: String, group: String, field: String,
+      cosmo: Option[Cosmology]): Option[(Double, Units.Measure)] =
+    unitString(flavor, group, field).flatMap(eval(_, cosmo))
+
+  /** Evaluate a code-unit expression to (factor, Measure). Grammar is
+    * `term (('*'|'/') term)*`, term = `sym['^'exp]`; exp is a decimal
+    * (fractional only on purely numeric symbols — a, h, literals). */
+  def eval(expr: String, cosmo: Option[Cosmology]): Option[(Double, Units.Measure)] = {
+    var factor = 1.0
+    var measure = Units.dimensionless
+    val tokens = expr.trim.split("(?=[*/])").toSeq
+    for (tok0 <- tokens) {
+      val (sign, tok) =
+        if (tok0.startsWith("*")) (1, tok0.tail)
+        else if (tok0.startsWith("/")) (-1, tok0.tail)
+        else (1, tok0)
+      val (sym, exp) = tok.split('^') match {
+        case Array(y) => (y.trim, 1.0)
+        case Array(y, e) => (y.trim, e.trim.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse unit term '$tok' in '$expr'")
+      }
+      val e = sign * exp
+      prim(sym, cosmo) match {
+        case None => return None // needs cosmology we don't have
+        case Some((f, m)) =>
+          factor *= math.pow(f, e)
+          if (m.syms.nonEmpty) {
+            require(e == e.floor,
+              s"fractional exponent $e on dimensionful '$sym' in '$expr'")
+            measure = measure * m.pow(e.toInt)
+          }
+      }
+    }
+    Some((factor, measure))
+  }
+
+  /** One symbol → (factor, measure). Code-unit macros per
+    * gadget_cosmological.yaml:1-15; a/h are the cosmology's numeric
+    * values (cosmology.py:57-63 registers them as registry units);
+    * everything else must be a registered physical unit. */
+  private def prim(sym: String,
+      cosmo: Option[Cosmology]): Option[(Double, Units.Measure)] = sym match {
+    case "a" => cosmo.map(c => (c.scaleFactor, Units.dimensionless))
+    case "h" => cosmo.map(c => (c.h, Units.dimensionless))
+    case "ckpc" => cosmo.map(c => (c.scaleFactor, Units.parse("kpc")))
+    case "code_length" => cosmo.map(c => (c.scaleFactor / c.h, Units.parse("kpc")))
+    case "code_mass" => cosmo.map(c => (1e10 / c.h, Units.parse("Msun")))
+    case "code_velocity" => Some((1.0, Units.parse("km/s")))
+    case "code_time" => Some((1.0, Units.parse("kpc*s/km")))
+    case s if s.nonEmpty && (s.head.isDigit || s.head == '.') =>
+      Some((s.toDouble, Units.dimensionless))
+    case s => Some((1.0, Units.parse(s))) // throws on unknown symbols
+  }
+}

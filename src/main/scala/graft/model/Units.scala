@@ -57,6 +57,9 @@ object Units {
       "s" -> (1.0, d("time" -> 1)), "ms" -> (1e-3, d("time" -> 1)),
       "us" -> (1e-6, d("time" -> 1)), "ns" -> (1e-9, d("time" -> 1)),
       "hr" -> (3600.0, d("time" -> 1)), "Gyr" -> (3.15576e16, d("time" -> 1)),
+      // Julian year (365.25 d) — the astronomical convention behind
+      // Gyr above; SFR fields are conventionally Msun/yr
+      "yr" -> (3.15576e7, d("time" -> 1)),
       // temperature (base K)
       "K" -> (1.0, d("temperature" -> 1)),
       // energy (derived: mass·length²·time⁻²)

@@ -38,6 +38,47 @@ object Hdf5Queries {
   private def ordersSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
     snapCache.computeIfAbsent(d, _ => writeOrdersSnapshot(s, d))
 
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def particleSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    partCache.computeIfAbsent(d, _ => writeParticleSnapshot(s, d))
+
+  /** A TNG-shaped particle snapshot: arepo family markers
+    * (`Git_commit` in /Header, customs/arepo/dataset.py:230), a
+    * cosmological header, and — crucially — NO unit attributes on any
+    * dataset, exactly how TNG/Illustris snapshots ship. Field values
+    * derive from orders columns so the DuckDB oracle can replay them. */
+  private def writeParticleSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_h5_part_" + Integer.toHexString(d.hashCode))
+    dir.mkdirs()
+    dir.listFiles().foreach(f => if (f.getName.endsWith(".hdf5")) f.delete())
+    val rows = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .collect()
+    val nChunks = 2
+    val per = (rows.length + nChunks - 1) / nChunks
+    (0 until nChunks).foreach { k =>
+      val slice = rows.slice(k * per, math.min((k + 1) * per, rows.length))
+      val root = Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+          "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
+          "Git_commit" -> "0badc0de", // arepo family marker
+          "NumPart_ThisFile" -> Array(slice.length.toLong, 0L, 0L, 0L, 0L, 0L),
+          "NumFilesPerSnapshot" -> nChunks.toLong)),
+        "PartType0" -> Hdf5Writer.Group(children = Seq(
+          "OrderKey" -> Hdf5Writer.I64(slice.map(_.getLong(0))),
+          "Coordinates" -> Hdf5Writer.F64(slice.map(_.getDouble(2))),
+          "Masses" -> Hdf5Writer.F64(slice.map(_.getLong(1).toDouble)),
+          "Velocities" -> Hdf5Writer.F64(slice.map(r => (r.getLong(0) % 997).toDouble)),
+          "StarFormationRate" -> Hdf5Writer.F64(slice.map(_.getDouble(2)))))))
+      Hdf5Writer.write(new File(dir, s"snap.$k.hdf5").getPath, root)
+    }
+    dir.getPath
+  }
+
   /** Write orders as a 4-chunk Gadget-shaped HDF5 snapshot; returns
     * the snapshot directory. Deterministic: rows ordered by
     * o_orderkey, fixed chunking, fixed header attrs. */
@@ -112,6 +153,55 @@ object Hdf5Queries {
         val f = (1.0 / (1.0 + FixtureRedshift)) / FixtureHubble
         s"""SELECT o_orderkey AS OrderKey,
            |  CAST(floor(o_totalprice * $f * 100.0 + 0.5) AS BIGINT) AS PhysCents
+           |FROM orders ORDER BY OrderKey""".stripMargin
+      }),
+
+    // --- per-simulation unit DEFAULTS (units.py:122
+    // extract_units_from_attrs falling back to configfiles/units/*.yaml,
+    // resolved per family): the snapshot carries NO unit attrs — as
+    // TNG/Illustris snapshots actually ship — so units resolve from the
+    // flavor-keyed defaults table (UnitDefaults, keyed by Load.flavor's
+    // arepo detection), with a/h folded in numerically from the file's
+    // own cosmology header. The oracle inlines the same factors from
+    // the SAME resolver at the SAME fixture constants, so a wrong
+    // flavor detection, a wrong table entry, or a wrong a/h fold
+    // hash-fails. ---
+    "unit_defaults" -> QueryDef.sql(
+      (s, d) => {
+        val snap = particleSnapshot(s, d)
+        require(graft.sources.Load.flavor(snap) == "arepo",
+          "fixture must detect as the arepo family")
+        val ds = graft.sources.Load.dataset(s, snap, "PartType0")
+        // code_length/code_mass resolve to physical kpc/Msun via a,h;
+        // the a^(1/2)-scaled velocity resolves to km/s; the factor-1
+        // SFR default attaches to the raw field (and exercises the
+        // `_all` group fallback)
+        assert(ds.unitOf("Coordinates_phys").contains("kpc"), "code_length default")
+        assert(ds.unitOf("Masses_phys").contains("Msun"), "code_mass default")
+        assert(ds.unitOf("Velocities_phys").contains("km/s"), "velocity default")
+        assert(ds.unitOf("StarFormationRate").contains("Msun/yr"), "_all fallback")
+        ds.select("OrderKey", "Coordinates_phys", "Masses_phys",
+            "Velocities_phys", "StarFormationRate")
+          .select(col("OrderKey"),
+            col("Coordinates_phys").as("pos_kpc"),
+            col("Masses_phys").as("mass_msun"),
+            col("Velocities_phys").as("v_kms"),
+            col("StarFormationRate").as("sfr"))
+          .orderBy("OrderKey")
+      }, {
+        import graft.model.{Cosmology, UnitDefaults}
+        val cosmo = Cosmology(h = FixtureHubble, omega0 = None,
+          omegaBaryon = None, redshift = FixtureRedshift)
+        def f(field: String): Double =
+          UnitDefaults.resolve("arepo", "PartType0", field, Some(cosmo)).get._1
+        // factors go through CAST(.. AS DOUBLE): DuckDB parses a bare
+        // non-exponent decimal literal as DECIMAL, and BIGINT×DECIMAL
+        // stays decimal instead of the IEEE double Spark computes
+        s"""SELECT o_orderkey AS OrderKey,
+           |  o_totalprice * CAST(${f("Coordinates")} AS DOUBLE) AS pos_kpc,
+           |  o_custkey * CAST(${f("Masses")} AS DOUBLE) AS mass_msun,
+           |  (o_orderkey % 997) * CAST(${f("Velocities")} AS DOUBLE) AS v_kms,
+           |  o_totalprice AS sfr
            |FROM orders ORDER BY OrderKey""".stripMargin
       })
   )

@@ -178,20 +178,38 @@ object Load {
         name => m.get(name)
       case _ => _ => None
     }
+    // flavor-keyed unit defaults fill in where attrs resolve nothing —
+    // scida's shipped unit configs (configfiles/units/*.yaml via
+    // units.py:411 add_units); TNG/EAGLE snapshots carry no unit attrs
+    // at all, so without this table they load unitless
+    lazy val flav = flavor(path)
+    val groupName = fmt match {
+      case Hdf5 => if (group.nonEmpty) group else soleHdf5Group(path)
+      case _ => "" // zarr/fits arrays sit at the root → `_all` only
+    }
     df.columns.filter(_ != "row_id").foreach { colName =>
       // flattened 2-D columns (Coordinates_0) carry the array's attrs
-      val a = fieldAttrs(colName)
-        .orElse(fieldAttrs(colName.replaceAll("_\\d+$", "")))
-      a.flatMap(graft.model.UnitAttrs.fromAttrs(_, ds.cosmology)).foreach {
+      val base = colName.replaceAll("_\\d+$", "")
+      val a = fieldAttrs(colName).orElse(fieldAttrs(base))
+      val fromAttrs = a.flatMap(graft.model.UnitAttrs.fromAttrs(_, ds.cosmology))
+      val fromDefaults = () =>
+        graft.model.UnitDefaults.resolve(flav, groupName, colName, ds.cosmology)
+          .orElse(graft.model.UnitDefaults.resolve(flav, groupName, base, ds.cosmology))
+      // attr-present path wins; defaults only fill gaps
+      val (resolved, suffix) = fromAttrs match {
+        case Some(r) => (Some(r), "_cgs")
+        case None => (fromDefaults(), "_phys")
+      }
+      resolved.foreach {
         case (factor, measure) =>
           if (factor == 1.0)
             // explicit unit string: the raw values ARE in this unit
             ds = ds.withUnit(colName, measure.toString)
           else
-            // cgs factor: raw values are code units; the derived _cgs
+            // conversion factor: raw values are code units; the derived
             // field carries the physical measure (withDerivedQ records
             // its unit from the quantity algebra)
-            ds = ds.withDerivedQ(s"${colName}_cgs")(g =>
+            ds = ds.withDerivedQ(s"$colName$suffix")(g =>
               graft.model.Quantity(
                 g.field(colName) * org.apache.spark.sql.functions.lit(factor), measure))
       }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import graft.model.{Cosmology, UnitDefaults, Units}
+import graft.sources.Load
+import graft.sources.zarr.ZarrWriter
+
+/** Flavor-keyed unit defaults — scida's configfiles/units yaml files
+  * resolved via units.py:411 add_units: per-family default units for
+  * snapshots that ship no unit attrs (TNG/Illustris, EAGLE), with
+  * file attrs taking precedence where present.
+  */
+class UnitDefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cosmo = Cosmology(h = 0.6774, omega0 = None,
+    omegaBaryon = None, redshift = 1.0) // a = 0.5
+
+  test("code-unit expressions resolve numerically through the cosmology") {
+    // code_length = a·kpc/h (gadget_cosmological.yaml:5)
+    val Some((fl, ml)) = UnitDefaults.eval("code_length", Some(cosmo))
+    assert(ml == Units.parse("kpc") && fl == 0.5 / 0.6774)
+    // code_mass = 1e10·Msun/h (yaml:7)
+    val Some((fm, mm)) = UnitDefaults.eval("code_mass", Some(cosmo))
+    assert(mm == Units.parse("Msun") && fm == 1e10 / 0.6774)
+    // fractional exponent on the scale factor (Velocities, yaml _all)
+    val Some((fv, mv)) = UnitDefaults.eval("km*a^0.5/s", Some(cosmo))
+    assert(mv == Units.parse("km/s") && fv == math.pow(0.5, 0.5))
+    // composite: density in code units
+    val Some((fd, md)) = UnitDefaults.eval("code_mass/code_length^3", Some(cosmo))
+    assert(md == Units.parse("Msun/kpc^3"))
+    assert(math.abs(fd - (1e10 / 0.6774) / math.pow(0.5 / 0.6774, 3)) / fd < 1e-12)
+    // a/h terms without a cosmology are unresolvable, not wrong
+    assert(UnitDefaults.eval("code_length", None).isEmpty)
+    // cosmology-free expressions resolve without one
+    val Some((fk, mk)) = UnitDefaults.eval("Msun/yr", None)
+    assert(fk == 1.0 && mk == Units.parse("Msun/yr"))
+    // fractional exponents on dimensionful symbols are rejected
+    intercept[IllegalArgumentException](UnitDefaults.eval("kpc^0.5", Some(cosmo)))
+  }
+
+  test("lookup: group entry beats _all; unknown flavor/field resolve to None") {
+    // PartType0-specific entry
+    assert(UnitDefaults.unitString("arepo", "PartType0", "Density")
+      .contains("code_mass/code_length^3"))
+    // _all fallback (units.py:466-470)
+    assert(UnitDefaults.unitString("arepo", "Group", "GroupPos")
+      .contains("code_length"))
+    assert(UnitDefaults.unitString("arepo", "PartType1", "Coordinates")
+      .contains("code_length")) // via _all
+    assert(UnitDefaults.unitString("generic", "PartType0", "Coordinates").isEmpty)
+    assert(UnitDefaults.unitString("arepo", "PartType0", "NoSuchField").isEmpty)
+    // EAGLE ships cgs strings (eagle.yaml): factor 1, raw IS cgs
+    val Some((fe, me)) = UnitDefaults.resolve("eagle", "PartType0", "Density", None)
+    assert(fe == 1.0 && me == Units.parse("g/cm^3"))
+  }
+
+  test("Load.dataset: defaults fill attr-less fields, file attrs win") {
+    val dir = Files.createTempDirectory("graft_unitdefaults").toString
+    ZarrWriter.write(dir, Seq(
+      "Coordinates" -> ZarrWriter.F64(Array(1.0, 2.0)),
+      "Masses" -> ZarrWriter.F64(Array(3.0, 4.0))),
+      attrs = Map(
+        // arepo family marker + cosmological header on the root
+        "/" -> Map("Git_commit" -> "0badc0de", "Redshift" -> 1.0,
+          "HubbleParam" -> 0.6774),
+        // Coordinates carries an EXPLICIT unit attr → it must win
+        "/Coordinates" -> Map("units" -> "m")))
+    assert(Load.flavor(dir) == "arepo")
+    val ds = Load.dataset(spark, dir)
+    // attr-present path wins: no default-derived field appears
+    assert(ds.unitOf("Coordinates").contains("m"))
+    assert(!ds.fieldNames.contains("Coordinates_phys"))
+    // attr-less Masses resolves from the flavor table: raw is code
+    // mass, the derived _phys field is physical Msun
+    assert(ds.unitOf("Masses").isEmpty)
+    assert(ds.unitOf("Masses_phys").contains("Msun"))
+    val f = 1e10 / 0.6774
+    val out = ds.select("Masses_phys").orderBy("Masses_phys")
+      .as[Double].collect().toSeq
+    assert(out == Seq(3.0 * f, 4.0 * f))
+  }
+
+  test("Load.dataset: a/h defaults stay unresolved without a cosmology") {
+    val dir = Files.createTempDirectory("graft_unitdefaults_nocosmo").toString
+    // arepo markers but NO HubbleParam → no cosmology object
+    ZarrWriter.write(dir, Seq("Masses" -> ZarrWriter.F64(Array(1.0))),
+      attrs = Map("/" -> Map("Git_commit" -> "0badc0de", "Redshift" -> 1.0)))
+    val ds = Load.dataset(spark, dir)
+    assert(ds.cosmology.isEmpty)
+    assert(ds.unitOf("Masses").isEmpty && !ds.fieldNames.contains("Masses_phys"))
+  }
+}
