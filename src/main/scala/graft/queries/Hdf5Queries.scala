@@ -73,7 +73,12 @@ object Hdf5Queries {
           "Coordinates" -> Hdf5Writer.F64(slice.map(_.getDouble(2))),
           "Masses" -> Hdf5Writer.F64(slice.map(_.getLong(1).toDouble)),
           "Velocities" -> Hdf5Writer.F64(slice.map(r => (r.getLong(0) % 997).toDouble)),
-          "StarFormationRate" -> Hdf5Writer.F64(slice.map(_.getDouble(2)))))))
+          "StarFormationRate" -> Hdf5Writer.F64(slice.map(_.getDouble(2))),
+          // gas thermodynamics for the Temperature derived field:
+          // x_e in [0, 1.188], u in the Gadget (km/s)^2 convention
+          "ElectronAbundance" -> Hdf5Writer.F64(
+            slice.map(r => (r.getLong(1) % 100) * 0.012)),
+          "InternalEnergy" -> Hdf5Writer.F64(slice.map(_.getDouble(2)))))))
       Hdf5Writer.write(new File(dir, s"snap.$k.hdf5").getPath, root)
     }
     dir.getPath
@@ -194,14 +199,49 @@ object Hdf5Queries {
           omegaBaryon = None, redshift = FixtureRedshift)
         def f(field: String): Double =
           UnitDefaults.resolve("arepo", "PartType0", field, Some(cosmo)).get._1
-        // factors go through CAST(.. AS DOUBLE): DuckDB parses a bare
-        // non-exponent decimal literal as DECIMAL, and BIGINT×DECIMAL
-        // stays decimal instead of the IEEE double Spark computes
+        // factors ride as CAST('<repr>' AS DOUBLE): DuckDB parses a
+        // bare numeric literal as DECIMAL — which both rounds >15-digit
+        // mantissas BEFORE any cast and makes BIGINT×literal decimal
+        // math — while a string→double cast preserves the full repr
         s"""SELECT o_orderkey AS OrderKey,
-           |  o_totalprice * CAST(${f("Coordinates")} AS DOUBLE) AS pos_kpc,
-           |  o_custkey * CAST(${f("Masses")} AS DOUBLE) AS mass_msun,
-           |  (o_orderkey % 997) * CAST(${f("Velocities")} AS DOUBLE) AS v_kms,
+           |  o_totalprice * CAST('${f("Coordinates")}' AS DOUBLE) AS pos_kpc,
+           |  o_custkey * CAST('${f("Masses")}' AS DOUBLE) AS mass_msun,
+           |  (o_orderkey % 997) * CAST('${f("Velocities")}' AS DOUBLE) AS v_kms,
            |  o_totalprice AS sfr
+           |FROM orders ORDER BY OrderKey""".stripMargin
+      }),
+
+    // --- physics derived field: gas Temperature from
+    // (ElectronAbundance, InternalEnergy) — extra_fields.py:36-60,
+    // registered through the GraftDataset derived-field registry by
+    // Load.dataset for the arepo family. The energy→cgs factor comes
+    // from the UNIT ALGEBRA (InternalEnergy's flavor-default km^2/s^2
+    // → cm^2/s^2 = 1e10, the constant the reference hardcodes); the
+    // oracle replays T = C·u/(A + B·x_e) with the same
+    // PhysicsFields-computed constants, so a wrong registration, a
+    // wrong unit resolution, or a wrong fold hash-fails. ---
+    "temperature_field" -> QueryDef.sql(
+      (s, d) => {
+        val snap = particleSnapshot(s, d)
+        val ds = graft.sources.Load.dataset(s, snap, "PartType0")
+        assert(ds.fieldNames.contains("Temperature"),
+          "arepo flavor must auto-register the Temperature field")
+        assert(ds.unitOf("Temperature").contains("K"), "T is in Kelvin")
+        assert(graft.model.PhysicsFields.energyCgsFactor(ds) == 1e10,
+          "unit algebra must reproduce the Gadget 1e10 energy factor")
+        ds.select("OrderKey", "Temperature")
+          .select(col("OrderKey"), col("Temperature").as("temp_k"))
+          .orderBy("OrderKey")
+      }, {
+        import graft.model.{PhysicsFields, Units}
+        val c = PhysicsFields.temperatureCoeff(
+          Units.factor("km^2/s^2", "cm^2/s^2"))
+        // string→double casts: see unit_defaults' literal note
+        s"""SELECT o_orderkey AS OrderKey,
+           |  CAST('$c' AS DOUBLE) * o_totalprice /
+           |    (CAST('${PhysicsFields.MuA}' AS DOUBLE) +
+           |     CAST('${PhysicsFields.MuB}' AS DOUBLE) *
+           |       ((o_custkey % 100) * CAST('0.012' AS DOUBLE))) AS temp_k
            |FROM orders ORDER BY OrderKey""".stripMargin
       })
   )

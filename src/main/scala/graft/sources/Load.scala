@@ -214,6 +214,11 @@ object Load {
                 g.field(colName) * org.apache.spark.sql.functions.lit(factor), measure))
       }
     }
+    // physics derived fields for the Gadget family — scida registers
+    // these per-family (customs/arepo/extra_fields.py); attach is a
+    // no-op when the dependencies are absent
+    if (flav == "arepo" || flav == "gizmo")
+      ds = graft.model.PhysicsFields.attach(ds)
     ds
   }
 
