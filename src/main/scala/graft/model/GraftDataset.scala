@@ -32,7 +32,8 @@ final class GraftDataset private (
     derived: Map[String, GraftDataset => Column],
     units: Map[String, String],
     resolvePrefix: String = "",
-    val cosmology: Option[Cosmology] = None) {
+    val cosmology: Option[Cosmology] = None,
+    val codeUnits: Option[CodeUnits] = None) {
 
   private def sep = GraftDataset.NsSep
 
@@ -64,14 +65,14 @@ final class GraftDataset private (
 
   /** Register a derived (virtual) field — scida fields.py:381. */
   def withDerived(path: String)(f: GraftDataset => Column): GraftDataset =
-    new GraftDataset(df, derived + (path -> f), units, resolvePrefix, cosmology)
+    new GraftDataset(df, derived + (path -> f), units, resolvePrefix, cosmology, codeUnits)
 
   /** Rename-free alias — scida fields.py:531 (`add_alias`): the alias
     * resolves to the target field (physical or derived) with zero
     * copy; it's just another registry entry. */
   def withAlias(alias: String, target: String): GraftDataset =
     new GraftDataset(df, derived + (alias -> ((g: GraftDataset) => g.field(target))),
-      units ++ units.get(target).map(alias -> _), resolvePrefix, cosmology)
+      units ++ units.get(target).map(alias -> _), resolvePrefix, cosmology, codeUnits)
 
   /** Merge another dataset's fields (scida fields.py:224 merge).
     * scida merges containers that share an implicit row index; Spark
@@ -82,21 +83,36 @@ final class GraftDataset private (
   def merge(other: GraftDataset, on: Seq[String]): GraftDataset =
     new GraftDataset(df.join(other.df, on),
       derived ++ other.fieldDerived, units ++ other.fieldUnits, resolvePrefix,
-      cosmology.orElse(other.cosmology))
+      cosmology.orElse(other.cosmology), codeUnits.orElse(other.codeUnits))
 
   private[model] def fieldDerived: Map[String, GraftDataset => Column] = derived
   private[model] def fieldUnits: Map[String, String] = units
 
   /** Attach a unit to a field — scida units mixin. */
   def withUnit(path: String, unit: String): GraftDataset =
-    new GraftDataset(df, derived, units + (path -> unit), resolvePrefix, cosmology)
+    new GraftDataset(df, derived, units + (path -> unit), resolvePrefix, cosmology, codeUnits)
 
   /** Attach cosmology metadata — scida CosmologyMixin (reference:
     * src/scida/interfaces/mixins/cosmology.py:16): per-snapshot
     * scalars (z, a, h, Ω) derived from header attrs, carried on the
     * dataset and surfaced in `info`. */
   def withCosmology(c: Cosmology): GraftDataset =
-    new GraftDataset(df, derived, units, resolvePrefix, Some(c))
+    new GraftDataset(df, derived, units, resolvePrefix, Some(c), codeUnits)
+
+  /** Attach the snapshot's own code-unit system (UnitLength_in_cm
+    * family — scida units="code"/"cgs" modes); `codeQ` then enters a
+    * raw code-unit field into the cgs unit algebra. */
+  def withCodeUnits(cu: CodeUnits): GraftDataset =
+    new GraftDataset(df, derived, units, resolvePrefix, cosmology, Some(cu))
+
+  /** A raw code-unit field as a cgs Quantity, converted by the FILE's
+    * own unit system (one literal multiply; `.to(...)` from there). */
+  def codeQ(path: String, length: Int = 0, mass: Int = 0,
+      velocity: Int = 0, time: Int = 0): Quantity = {
+    val cu = codeUnits.getOrElse(throw new IllegalArgumentException(
+      "dataset has no code-unit system (no UnitLength_in_cm family attrs)"))
+    cu.quantity(field(path), length, mass, velocity, time)
+  }
 
   def unitOf(path: String): Option[String] = units.get(path)
 
@@ -122,7 +138,7 @@ final class GraftDataset private (
   def withDerivedQ(path: String)(f: GraftDataset => Quantity): GraftDataset = {
     val u = f(this).unit
     new GraftDataset(df, derived + (path -> ((g: GraftDataset) => f(g).col)),
-      units + (path -> u.toString), resolvePrefix, cosmology)
+      units + (path -> u.toString), resolvePrefix, cosmology, codeUnits)
   }
 
   /** Unit-aware scaling: returns the field converted by `factor` with
@@ -152,7 +168,7 @@ final class GraftDataset private (
     }
     new GraftDataset(sub, subDerived, units.collect {
       case (k, u) if k.startsWith(ns + "/") => k.stripPrefix(ns + "/") -> u
-    }, resolvePrefix = ns + "/", cosmology)
+    }, resolvePrefix = ns + "/", cosmology, codeUnits)
   }
 
   /** Materialize selected fields (physical and derived) as a plain

@@ -26,6 +26,9 @@ object Hdf5Queries {
     * inlines factors derived from these same constants. */
   private val FixtureRedshift = 1.0
   private val FixtureHubble = 0.6774
+  private val FixtureUnitLength = 3.085678e21 // kpc/h [cm]
+  private val FixtureUnitMass = 1.989e43 // 1e10 Msun/h [g]
+  private val FixtureUnitVelocity = 1e5 // km/s [cm/s]
 
   /** One snapshot per (JVM, dataset dir): fixture generation collects
     * the orders table on the driver — acceptable for writing a test
@@ -66,6 +69,11 @@ object Hdf5Queries {
           "Time" -> (1.0 / (1.0 + FixtureRedshift)),
           "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
           "Git_commit" -> "0badc0de", // arepo family marker
+          // the snapshot's code-unit system (standard TNG values):
+          // kpc/h in cm, 1e10 Msun/h in g, km/s in cm/s
+          "UnitLength_in_cm" -> FixtureUnitLength,
+          "UnitMass_in_g" -> FixtureUnitMass,
+          "UnitVelocity_in_cm_per_s" -> FixtureUnitVelocity,
           "NumPart_ThisFile" -> Array(slice.length.toLong, 0L, 0L, 0L, 0L, 0L),
           "NumFilesPerSnapshot" -> nChunks.toLong)),
         "PartType0" -> Hdf5Writer.Group(children = Seq(
@@ -242,6 +250,48 @@ object Hdf5Queries {
            |    (CAST('${PhysicsFields.MuA}' AS DOUBLE) +
            |     CAST('${PhysicsFields.MuB}' AS DOUBLE) *
            |       ((o_custkey % 100) * CAST('0.012' AS DOUBLE))) AS temp_k
+           |FROM orders ORDER BY OrderKey""".stripMargin
+      }),
+
+    // --- code-units mode (units.py units="code"/"cgs" load modes):
+    // the snapshot's own UnitLength_in_cm-family header attrs define
+    // the code-unit system, so raw code-unit fields convert to cgs by
+    // factors read FROM THE FILE — not convention constants — and then
+    // ride the ordinary unit algebra (.to("Msun"), .to("kpc")). The
+    // build asserts the parsed system equals the fixture's attrs (the
+    // read-from-file loop); the oracle replays the same two-multiply
+    // chains with CodeUnits-computed factors. ---
+    "code_units" -> QueryDef.sql(
+      (s, d) => {
+        val snap = particleSnapshot(s, d)
+        val ds = graft.sources.Load.dataset(s, snap, "PartType0")
+        val cu = ds.codeUnits.getOrElse(sys.error("no code-unit attrs parsed"))
+        assert(cu == graft.model.CodeUnits(FixtureUnitLength, FixtureUnitMass,
+          FixtureUnitVelocity), "code units must come from the file header")
+        val df = ds.df
+          .withColumn("mass_g", cu.quantity(col("Masses"), mass = 1).col)
+          .withColumn("mass_msun",
+            cu.quantity(col("Masses"), mass = 1).to("Msun").col)
+          .withColumn("pos_kpc_cu",
+            cu.quantity(col("Coordinates"), length = 1).to("kpc").col)
+          .withColumn("u_cgs",
+            cu.quantity(col("InternalEnergy"), velocity = 2).col)
+        df.select(col("OrderKey"), col("mass_g"), col("mass_msun"),
+            col("pos_kpc_cu"), col("u_cgs"))
+          .orderBy("OrderKey")
+      }, {
+        import graft.model.{CodeUnits, Units}
+        val cu = CodeUnits(FixtureUnitLength, FixtureUnitMass, FixtureUnitVelocity)
+        val fm = cu.cgsFactor(mass = 1)
+        val fMsun = Units.factor("g", "Msun")
+        val fl = cu.cgsFactor(length = 1)
+        val fKpc = Units.factor("cm", "kpc")
+        val fu = cu.cgsFactor(velocity = 2)
+        s"""SELECT o_orderkey AS OrderKey,
+           |  o_custkey * CAST('$fm' AS DOUBLE) AS mass_g,
+           |  (o_custkey * CAST('$fm' AS DOUBLE)) * CAST('$fMsun' AS DOUBLE) AS mass_msun,
+           |  (o_totalprice * CAST('$fl' AS DOUBLE)) * CAST('$fKpc' AS DOUBLE) AS pos_kpc_cu,
+           |  o_totalprice * CAST('$fu' AS DOUBLE) AS u_cgs
            |FROM orders ORDER BY OrderKey""".stripMargin
       })
   )

@@ -160,6 +160,10 @@ object Load {
     attrs.filter(Cosmology.isCosmological)
       .flatMap(Cosmology.fromAttrs)
       .foreach(c => ds = ds.withCosmology(c))
+    // the file's own code-unit system (UnitLength_in_cm family) —
+    // scida units="code"/"cgs" load modes (units.py _get_default_units)
+    attrs.flatMap(graft.model.CodeUnits.fromAttrs)
+      .foreach(cu => ds = ds.withCodeUnits(cu))
     // per-field unit discovery from dataset-level attrs
     val fieldAttrs: String => Option[Map[String, Any]] = fmt match {
       case Hdf5 =>
