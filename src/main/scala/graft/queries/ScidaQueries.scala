@@ -501,32 +501,66 @@ object ScidaQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // --- arbitrary per-group kernel (arepo/dataset.py:1448
-    // map_group_operation): imperative Scala fold over each group's
-    // row iterator via groupByKey+mapGroups; oracle re-expresses the
-    // same reduction relationally. Sums stay exact (integer-valued
-    // doubles), so the kernel's fold order can't diverge from SQL. ---
+    // map_group_operation): a genuinely IMPERATIVE kernel — longest
+    // non-decreasing quantity run over each group's ordered sequence —
+    // i.e. sequential state over an ordered scan, which does NOT
+    // decompose into commutative partial aggregates, so
+    // groupByKey+mapGroups is the honest shape (algebraic reductions
+    // belong in groupby_agg; GroupKernel's scaladoc says so). The
+    // within-group order breaks (linenumber) ties BY THE VALUE, as in
+    // grouped_chain, so run boundaries are engine-invariant; the
+    // oracle replays the run split via window SQL (lag → break flags →
+    // gaps-and-islands). All outputs are exact integers. ---
     "group_kernel" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
         val rows = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
-          .as[(Long, Double, Double)]
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast("long") * 1000 + col("l_quantity").cast("long"),
+            col("l_quantity"))
+          .as[(Long, Long, Double)]
         graft.operators.GroupKernel.perGroup(rows,
-          (r: (Long, Double, Double)) => r._1) { (k, it) =>
-          var n = 0L; var mn = Double.MaxValue; var mx = Double.MinValue
-          var sq = 0.0
-          it.foreach { case (_, p, q) =>
-            n += 1; if (p < mn) mn = p; if (p > mx) mx = p; sq += q
+          (r: (Long, Long, Double)) => r._1) { (k, it) =>
+          // per-group buffer+sort: the shuffled iterator is unordered,
+          // and run detection needs the sequence — bounded by group
+          // size, the same per-chunk assumption scida's kernels make
+          val seq = it.toArray.sortBy(_._2)
+          var longest = 0L; var run = 0L; var prev = Double.NegativeInfinity
+          seq.foreach { case (_, _, q) =>
+            run = if (q >= prev) run + 1 else 1
+            if (run > longest) longest = run
+            prev = q
           }
-          (k, n, math.floor((mx - mn) * 100.0 + 0.5) / 100.0, sq)
-        }.toDF("l_orderkey", "n_items", "price_span", "sum_qty")
+          (k, seq.length.toLong, longest)
+        }.toDF("l_orderkey", "n_items", "longest_run")
           .orderBy("l_orderkey")
       },
-      """SELECT l_orderkey, count(*) AS n_items,
-        |  floor((max(l_extendedprice) - min(l_extendedprice))*100 + 0.5)/100
-        |    AS price_span,
-        |  sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+      """WITH s AS (
+        |  SELECT l_orderkey, l_quantity,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN l_quantity >= lag(l_quantity) OVER w
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY
+        |    CAST(l_linenumber AS BIGINT) * 1000 + CAST(l_quantity AS BIGINT))
+        |), g AS (
+        |  SELECT l_orderkey, rn,
+        |    sum(brk) OVER (PARTITION BY l_orderkey ORDER BY rn) AS grp
+        |  FROM s
+        |), runs AS (
+        |  SELECT l_orderkey, grp, count(*) AS len
+        |  FROM g GROUP BY l_orderkey, grp
+        |), agg AS (
+        |  SELECT l_orderkey, CAST(max(len) AS BIGINT) AS longest_run
+        |  FROM runs GROUP BY l_orderkey
+        |), n AS (
+        |  SELECT l_orderkey, count(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT n.l_orderkey AS l_orderkey, n.n_items AS n_items,
+        |  agg.longest_run AS longest_run
+        |FROM n JOIN agg ON n.l_orderkey = agg.l_orderkey
+        |ORDER BY l_orderkey""".stripMargin),
 
     // --- chained grouped-operation DAG (arepo/dataset.py:789
     // ChainOps, :826 GroupAwareOperation): half (every 2nd particle
