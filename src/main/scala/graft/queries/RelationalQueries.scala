@@ -273,6 +273,7 @@ object RelationalQueries {
     // explicit form for when the skew is known/persistent.) ---
     "salted_join" -> QueryDef.sql(
       (s, d) => {
+        import s.implicits._
         val nSalt = 8
         // detection runs on a seeded 1/8 sample (the result does not
         // depend on WHICH keys are called hot — any hot set yields the
@@ -280,16 +281,18 @@ object RelationalQueries {
         // cheaper than an exact count). Correctness requires both join
         // branches to agree on the set — a key hot on only the fact
         // side would get salts with no build-side match and its rows
-        // silently dropped. The guarantee: both branches reference
-        // this ONE persisted plan (the same InMemoryRelation, blocks
-        // computed once) built from a FIXED sample seed — no eager
-        // count needed; an extra driver action would pay a whole
-        // serial job for the same guarantee.
-        val hot = graft.CacheScope.track(
+        // silently dropped. The hot set is tiny by construction, so it
+        // is collected ONCE into a literal relation: both branches
+        // share one immutable set BY CONSTRUCTION, rather than by the
+        // race-prone hope that a lazily-persisted sample plan
+        // materializes before both branches evaluate it
+        // (PlanAuditSpec pins "no sample subtree in either branch").
+        val hotKeys: Array[Long] =
           Tables.lineitem(s, d).sample(withReplacement = false, 0.125, 42L)
             .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
             .filter(col("cnt") >= 2)
-            .select(col("l_orderkey").as("hotkey")))
+            .select(col("l_orderkey")).as[Long].collect()
+        val hot = hotKeys.toSeq.toDF("hotkey")
         val l = Tables.lineitem(s, d)
           .join(broadcast(hot), col("l_orderkey") === col("hotkey"), "left")
           .withColumn("salt", when(col("hotkey").isNotNull,

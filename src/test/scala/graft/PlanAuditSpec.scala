@@ -207,4 +207,16 @@ class PlanAuditSpec extends SparkSpec {
       "sortBarrier must cache the decoded frame (else range sampling " +
         "re-runs the codec loop):\n" + p.take(1200))
   }
+
+  test("salted_join: hot set is a collected literal — no sample subtree in either branch") {
+    val p = plan("salted_join")
+    // the seeded detection sample must run ONCE at build time and
+    // enter the plan as a LocalRelation-backed broadcast; a Sample
+    // node inside the executed join means each branch re-evaluates the
+    // (lazily-persisted) sample and the branches can race to disagree
+    // on the hot set, silently dropping rows
+    assert(!p.contains("Sample"),
+      "sample subtree leaked into the join plan:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }
