@@ -203,14 +203,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("j"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` (<= 3 for the 4x16-bit
-    * banding to be lossless by pigeonhole). */
-  def simhashPairs(docs: DataFrame, id: String, text: String,
+  /** SimHash signatures of a corpus: (id, sim) with sim the 64-bit
+    * one-pass map-side signature. Split out from `simhashPairs` so a
+    * signature table can be persisted and the band join replayed from
+    * it (the oracle protocol for `dedup_simhash`). */
+  def simhashSigs(docs: DataFrame, id: String, text: String): DataFrame =
+    Hashing.simhashes(
+      docs.select(col(id), split(lower(col(text)), " ").as("__ws")), id, "__ws")
+
+  /** Banding + Hamming verify from a signature table (`id`, `sim`):
+    * 4×16-bit band equi-join (pigeonhole-complete for Hamming <= 3),
+    * Hamming filter BEFORE the distinct shuffle. Pure bit arithmetic
+    * over the signatures — exactly replayable by any engine with
+    * shift/xor/popcount, which is what the DuckDB oracle does. */
+  def simhashPairsFromSigs(sigs: DataFrame, id: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only complete for distance <= 3")
-    val sim = Hashing.simhashes(
-      docs.select(col(id), split(lower(col(text)), " ").as("__ws")), id, "__ws")
-    val bands = sim.withColumn("bk", Hashing.simhashBands(col("sim")))
+    val bands = sigs.withColumn("bk", Hashing.simhashBands(col("sim")))
     val e = bands.select(col(id), col("sim"), explode(col("bk")).as("b"))
       .select(col(id), col("sim"), col("b.band").as("band"), col("b.key").as("key"))
     val l = e.toDF("doc_a", "sim_a", "band", "key")
@@ -222,6 +231,12 @@ object Dedup {
       .filter(col("hamming") <= maxHamming) // filter BEFORE the
       .distinct() // distinct-shuffle: most candidates are discards
   }
+
+  /** SimHash near-dup pairs within `maxHamming` (<= 3 for the 4x16-bit
+    * banding to be lossless by pigeonhole). */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+      maxHamming: Int): DataFrame =
+    simhashPairsFromSigs(simhashSigs(docs, id, text), id, maxHamming)
 
   /** Benchmark decontamination — the training-data step that removes
     * documents overlapping an evaluation set (the public n-gram

@@ -14,6 +14,13 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  // dedup_simhash's signature-persist handshake: the build overwrites
+  // this table each run, the oracle reads it back — a FIXED path
+  // because the oracle SQL string cannot depend on the dataset dir
+  // (one Verify pass runs build-then-oracle sequentially, so the
+  // table always belongs to the run being checked).
+  private val SimhashSigPath = "/tmp/graft_simhash_sigs"
+
   // Shared SQL fragment: per-doc distinct 3-shingle list (matches
   // Hashing.shingles(k=3) incl. the short-doc whole-text fallback).
   private val shingleCte =
@@ -226,11 +233,36 @@ object DedupQueries {
         |SELECT id AS doc_id, min(lbl) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
 
-    // --- 64-bit SimHash, 4×16-bit band join, Hamming <= 3 — rows-only ---
-    "dedup_simhash" -> QueryDef.rowsOnly(
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d),
-        "doc_id", "text", maxHamming = 3)
-        .orderBy("doc_a", "doc_b")),
+    // --- 64-bit SimHash, 4×16-bit band join, Hamming <= 3 — oracled
+    // via the signature-persist protocol: the build writes the per-doc
+    // signature table (native xxhash64 one-pass — no engine can replay
+    // the hash itself; the signature math has its own equivalence
+    // specs) and then computes pairs FROM THE PERSISTED TABLE, while
+    // DuckDB replays banding + Hamming from the same parquet with pure
+    // bit ops (shift/mask/xor/popcount). The whole distributed half —
+    // band explode, equi-join, Hamming filter placement, distinct —
+    // is hash-gated; arithmetic-shift band keys match because
+    // (sim >> s) & 0xFFFF is sign-extension-invariant. ---
+    "dedup_simhash" -> QueryDef.sql(
+      (s, d) => {
+        val sigs = Dedup.simhashSigs(Tables.documents(s, d), "doc_id", "text")
+        sigs.write.mode("overwrite").parquet(SimhashSigPath)
+        Dedup.simhashPairsFromSigs(s.read.parquet(SimhashSigPath),
+            "doc_id", maxHamming = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH sigs AS (
+         |  SELECT doc_id, sim FROM read_parquet('$SimhashSigPath/*.parquet')
+         |), e AS (
+         |  SELECT doc_id, sim, band, (sim >> (band * 16)) & 65535 AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+         |)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+         |FROM e l JOIN e r
+         |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.sim, r.sim)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // --- embedding-cosine near-dup pairs, label-blocked ---
     "dedup_embcos" -> QueryDef.sql(

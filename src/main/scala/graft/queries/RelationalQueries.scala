@@ -236,16 +236,39 @@ object RelationalQueries {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_parts_union"),
           count(lit(1)).as("n_groups"))),
     // Count-Min point-frequency estimates for a watchlist of keys —
-    // one map-side pass + broadcast sketch, no per-key groupBy
-    // (rows-only; SketchSpec pins the one-sided error bound vs exact
-    // counts)
-    "sketch_freq" -> QueryDef.rowsOnly(
+    // one map-side pass + broadcast sketch, no per-key groupBy.
+    // Oracled as a BOUND CHECK: the estimate value is sketch-specific
+    // (no engine can replay it), but CM's guarantees are checkable —
+    // never below the true count, above it by at most ceil(eps·N) —
+    // so the query emits the exact count plus the two bound verdicts,
+    // and the oracle answers TRUE/TRUE from exact SQL. The sketch is
+    // fix-seeded, so the verdicts are deterministic; any CM
+    // regression (underestimate, merge bug, overflow) hash-fails.
+    // SketchSpec additionally pins the error distribution.
+    "sketch_freq" -> QueryDef.sql(
       (s, d) => {
+        val li = Tables.lineitem(s, d)
         val watchlist = s.range(1, 101).toDF("l_partkey")
-        graft.operators.FrequencySketch.estimateCounts(
-          Tables.lineitem(s, d), "l_partkey", watchlist)
+        val est = graft.operators.FrequencySketch.estimateCounts(
+          li, "l_partkey", watchlist)
+        val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("true_cnt"))
+        val tot = li.agg(count(lit(1)).as("__n"))
+        est.join(exact, Seq("l_partkey"), "left")
+          .na.fill(0, Seq("true_cnt"))
+          .crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("true_cnt"),
+            (col("est_cnt") >= col("true_cnt")).as("never_under"),
+            (col("est_cnt") <= col("true_cnt")
+              + ceil(col("__n") * lit(1e-4))).as("within_eps"))
           .orderBy("l_partkey")
-      }),
+      },
+      """SELECT r.k AS l_partkey, coalesce(c.cnt, 0) AS true_cnt,
+        |  TRUE AS never_under, TRUE AS within_eps
+        |FROM range(1, 101) r(k)
+        |LEFT JOIN (SELECT l_partkey, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_partkey) c
+        |  ON c.l_partkey = r.k
+        |ORDER BY l_partkey""".stripMargin),
     "sketch_percentiles" -> QueryDef.rowsOnly(
       (s, d) => Tables.lineitem(s, d)
         .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))
