@@ -91,4 +91,95 @@ object SeriesRegistry {
         .collect { case d: Double => d }
       Member(name, (z.map("redshift" -> _) ++ t.map("time" -> _)).toMap)
     })
+
+  // ---- JSON sidecar cache — scida's per-series metadata file
+  // (series.py:449-470 `metadata` property: a json cache so
+  // re-opening a 100-snapshot series is ONE file read, not 100
+  // per-member header walks). graft's sidecar additionally validates
+  // per member-chunk (mtime, size) — a stat, never an HDF5 parse —
+  // with the MetadataCache stamping rule (stamps observed BEFORE the
+  // build, so a mid-build rewrite can't bind new stamps to old
+  // metadata). Corrupt/stale/mismatched sidecars rebuild; cache I/O
+  // failures never fail an open. ----
+
+  private val SidecarVersion = 1
+
+  /** Load-or-build through the sidecar at `sidecarPath` (conventionally
+    * `<seriesRoot>/.graft_series.json`). A warm open is one JSON read
+    * plus one stat per chunk file. */
+  def fromSnapshotsCached(dirs: Seq[(String, String)],
+      sidecarPath: String): SeriesRegistry = {
+    val f = new java.io.File(sidecarPath)
+    loadSidecar(f, dirs).getOrElse {
+      val stamps = dirs.map { case (_, p) => chunkStamps(p) }
+      val reg = fromSnapshots(dirs)
+      storeSidecar(f, dirs, stamps, reg)
+      reg
+    }
+  }
+
+  private def chunkStamps(path: String): Seq[(String, Long, Long)] =
+    graft.sources.hdf5.ChunkedHdf5.discoverChunks(path).map { c =>
+      val f = new java.io.File(c)
+      (f.getCanonicalPath, f.lastModified(), f.length())
+    }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
+  private def storeSidecar(f: java.io.File, dirs: Seq[(String, String)],
+      stamps: Seq[Seq[(String, Long, Long)]], reg: SeriesRegistry): Unit =
+    try {
+      val members = dirs.zip(stamps).map { case ((name, path), st) =>
+        val meta = reg.byName(name).meta.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}: $v" }.mkString(", ")
+        val files = st.map { case (p, m, sz) =>
+          s"""{"p": ${jstr(p)}, "m": $m, "s": $sz}""" }.mkString(", ")
+        s"""{"name": ${jstr(name)}, "path": ${jstr(path)}, "meta": {$meta}, "files": [$files]}"""
+      }.mkString(",\n  ")
+      val json = s"""{"version": $SidecarVersion, "members": [\n  $members\n]}\n"""
+      val tmp = java.io.File.createTempFile(f.getName, ".tmp",
+        Option(f.getParentFile).getOrElse(new java.io.File(".")))
+      java.nio.file.Files.writeString(tmp.toPath, json)
+      if (!tmp.renameTo(f)) tmp.delete() // atomic vs concurrent readers
+    } catch { case _: Exception => () }
+
+  /** The sidecar's registry, iff it covers exactly `dirs` and every
+    * recorded chunk file still matches its (mtime, size). */
+  private def loadSidecar(f: java.io.File,
+      dirs: Seq[(String, String)]): Option[SeriesRegistry] =
+    try {
+      if (!f.isFile) return None
+      val root = graft.sources.zarr.MiniJson
+        .parse(java.nio.file.Files.readString(f.toPath))
+        .asInstanceOf[Map[String, Any]]
+      if (root.get("version").collect { case d: Double => d.toInt }
+          .getOrElse(-1) != SidecarVersion) return None
+      val ms = root("members").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+      // must cover exactly the requested members, in any order
+      val byName = ms.map(m => m("name").asInstanceOf[String] -> m).toMap
+      if (byName.keySet != dirs.map(_._1).toSet || ms.size != dirs.size)
+        return None
+      val members = dirs.map { case (name, path) =>
+        val m = byName(name)
+        if (m("path").asInstanceOf[String] != path) return None
+        val ok = m("files").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]]).forall { e =>
+            val cf = new java.io.File(e("p").asInstanceOf[String])
+            cf.isFile &&
+              cf.lastModified() == e("m").asInstanceOf[Double].toLong &&
+              cf.length() == e("s").asInstanceOf[Double].toLong
+          }
+        if (!ok) return None
+        Member(name, m("meta").asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[Double] })
+      }
+      Some(new SeriesRegistry(members))
+    } catch { case _: Exception => None }
 }
