@@ -67,7 +67,10 @@ object Dedup {
     val hcol = baseHash.columns.head
     val bloom = baseHash.stat.bloomFilter(hcol, math.max(expectedItems, 1L), fpp)
     val b = incoming.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((h: String) => h != null && b.value.mightContainString(h))
+    // native codegen'd probe over the broadcast filter — no ScalaUDF
+    // interpreter barrier in the scan stage (PlanAuditSpec pins it)
+    def might(c: org.apache.spark.sql.Column) =
+      graft.functions.expressions.SketchProbes.bloomMightContain(c, b)
     val ih = incoming.select(col(id), TextOps.exactHash(col(text)).as("h"))
     val definitelyNew = ih.filter(!might(col("h")))
     val maybe = ih.filter(might(col("h")))

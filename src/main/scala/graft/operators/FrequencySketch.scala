@@ -28,9 +28,10 @@ object FrequencySketch {
     val cms = df.stat.countMinSketch(col(keyCol), eps, confidence, seed)
     val spark = df.sparkSession
     val b = spark.sparkContext.broadcast(cms)
-    val est = udf((k: Long) => b.value.estimateCount(Long.box(k)))
     val kc = keys.columns.head
+    // native codegen'd probe over the broadcast sketch (no ScalaUDF)
     keys.select(col(kc).cast("long").as(kc))
-      .withColumn("est_cnt", est(col(kc)))
+      .withColumn("est_cnt",
+        graft.functions.expressions.SketchProbes.cmEstimate(col(kc), b))
   }
 }

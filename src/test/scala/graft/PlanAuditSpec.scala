@@ -208,6 +208,19 @@ class PlanAuditSpec extends SparkSpec {
         "re-runs the codec loop):\n" + p.take(1200))
   }
 
+  test("sketch probes are native: no ScalaUDF in bloom-prefilter or CM-estimate plans") {
+    // the broadcast-sketch probes must be the codegen'd expressions,
+    // not interpreter-barrier UDFs (ADVICE r4 item 9)
+    val pb = plan("dedup_incremental_bloom")
+    assert(!pb.contains("ScalaUDF") && !pb.contains("BatchEvalPython"),
+      "bloom probe regressed to a UDF:\n" + pb.take(1200))
+    assert(pb.contains("graft_bloom_might_contain"), pb.take(1200))
+    val pc = plan("sketch_freq")
+    assert(!pc.contains("ScalaUDF") && !pc.contains("BatchEvalPython"),
+      "CM probe regressed to a UDF:\n" + pc.take(1200))
+    assert(pc.contains("graft_cm_estimate"), pc.take(1200))
+  }
+
   test("salted_join: hot set is a collected literal — no sample subtree in either branch") {
     val p = plan("salted_join")
     // the seeded detection sample must run ONCE at build time and
