@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -99,21 +99,70 @@ final class Hdf5Table(options: CaseInsensitiveStringMap, tschema: StructType)
 }
 
 final class Hdf5ScanBuilder(options: CaseInsensitiveStringMap, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var rowIdFilters: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve source column order for a deterministic read plan
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(full.fields.filter(f => keep.contains(f.name)))
   }
-  override def build(): Scan = new Hdf5Scan(options, required)
+  /** row_id predicates prune PARTITIONS at planning (a chunk slice
+    * whose [globalStart, globalStart+n) span cannot satisfy them is
+    * never read — the mechanism behind zoom-target selection,
+    * `ZoomTargets`). Every filter is still returned for post-scan
+    * evaluation: pruning is conservative interval logic, not exact
+    * row filtering. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    rowIdFilters = filters.filter(RowIdPruning.usable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = rowIdFilters
+  override def build(): Scan = new Hdf5Scan(options, required, rowIdFilters)
+}
+
+/** Interval logic for row_id predicate trees over a partition's
+  * [lo, hi) global-row span: `mayMatch` is a sound overapproximation
+  * (keeps any partition that COULD contain a satisfying row), so
+  * pruning never drops data and Spark's post-scan filter keeps
+  * exactness. */
+private[hdf5] object RowIdPruning {
+  import org.apache.spark.sql.sources._
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue()
+  private def isNum(v: Any): Boolean = v.isInstanceOf[Number]
+
+  def usable(f: Filter): Boolean = f match {
+    case EqualTo("row_id", v) => isNum(v)
+    case GreaterThan("row_id", v) => isNum(v)
+    case GreaterThanOrEqual("row_id", v) => isNum(v)
+    case LessThan("row_id", v) => isNum(v)
+    case LessThanOrEqual("row_id", v) => isNum(v)
+    case In("row_id", vs) => vs.nonEmpty && vs.forall(isNum)
+    case And(a, b) => usable(a) && usable(b)
+    case Or(a, b) => usable(a) && usable(b)
+    case _ => false
+  }
+
+  def mayMatch(f: Filter, lo: Long, hi: Long): Boolean = f match {
+    case EqualTo(_, v) => lo <= num(v) && num(v) < hi
+    case GreaterThan(_, v) => hi - 1 > num(v)
+    case GreaterThanOrEqual(_, v) => hi - 1 >= num(v)
+    case LessThan(_, v) => lo < num(v)
+    case LessThanOrEqual(_, v) => lo <= num(v)
+    case In(_, vs) => vs.exists(v => lo <= num(v) && num(v) < hi)
+    case And(a, b) => mayMatch(a, lo, hi) && mayMatch(b, lo, hi)
+    case Or(a, b) => mayMatch(a, lo, hi) || mayMatch(b, lo, hi)
+    case _ => true
+  }
 }
 
 /** One partition = a row slice of one chunk file. */
 final case class Hdf5Partition(file: String, rowStart: Long, nRows: Int,
     globalStart: Long) extends InputPartition
 
-final class Hdf5Scan(options: CaseInsensitiveStringMap, required: StructType)
+final class Hdf5Scan(options: CaseInsensitiveStringMap, required: StructType,
+    rowIdFilters: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -131,7 +180,9 @@ final class Hdf5Scan(options: CaseInsensitiveStringMap, required: StructType)
       (0L until n by rowsPer).map { s =>
         Hdf5Partition(f, s, math.min(rowsPer, n - s).toInt, offsets(i) + s)
       }
-    }.toArray
+    }.filter(p => rowIdFilters.forall(
+      RowIdPruning.mayMatch(_, p.globalStart, p.globalStart + p.nRows)))
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
