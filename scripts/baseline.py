@@ -71,6 +71,17 @@ def main():
         "  work (codec round-trip, regex scrub, md5 sampling), so their",
         "  ratios compare real work against a constant-folding stand-in and",
         "  overstate the gap by design.",
+    ] + ([
+        "- Load calibration: the graft column's pass measured Bench's",
+        f"  fixed CPU probe at probe_sec={bench.get('probe_sec'):.3f}",
+        f"  ({bench.get('cpus')} threads, best-of-{bench.get('runs', 2)}"
+        " per query). A bench",
+        "  pass whose probe_sec is >1.5x this value ran on a LOADED",
+        "  machine; its per-query times are incomparable to this table.",
+        "  (The round-4 driver pass was such a pass: 17 queries sat 2-7x",
+        "  above the recorded column, and every one reproduced at the",
+        "  recorded value on an idle box — machine load, not code.)",
+    ] if bench and bench.get("probe_sec") is not None else []) + [
         "",
         f"**Baseline total ({len(times)} queries): {total:.2f} s**",
         "",

@@ -42,19 +42,38 @@ object Bench {
       }
     }
 
+    // Load-calibration probe: a fixed CPU-bound job (integer fold over
+    // 2^30 ids, one partition per core) whose wall time depends only
+    // on machine conditions, never on graft code. Run before AND after
+    // the query passes, min kept. A pass whose probe is well above the
+    // value recorded in BASELINE.md ran on a loaded machine — its
+    // per-query times are incomparable to the recorded column (the r4
+    // driver pass was such a pass: 17 queries 2-7x high, all
+    // reproducing at recorded values once the box was idle).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      // xxhash64 per row = fixed CPU work; % bounds the ANSI-checked sum
+      spark.range(0L, 1L << 28, 1L, cpus.toInt)
+        .selectExpr("sum(xxhash64(id) % 100000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     exec("groupby_agg") // warmup: JVM + codegen + parquet footer caches
-    // two passes, keep the min: single runs carry up to ±25% noise
-    // from codegen compilation and machine load; the min approximates
-    // steady-state per-query capability
+    val probeStart = probe()
+    // best-of-n passes (default 2, SPARK_GRAFT_BENCH_RUNS to raise):
+    // single runs carry up to ±25% noise from codegen compilation and
+    // machine load; the min approximates steady-state capability
     // optional args = subset of query names (local iteration aid; the
     // driver passes none and gets the full set)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val names = if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> math.min(exec(n), exec(n)))
+    val results = names.map(n => n -> Seq.fill(runs)(exec(n)).min)
+    val probeSec = math.min(probeStart, probe())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec,"cpus":${cpus.toInt},"runs":$runs}""")
     spark.stop()
   }
 }
