@@ -372,14 +372,22 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbrMin = labels.join(edges, col("id") === col("a"))
         .groupBy(col("b")).agg(min("cluster").as("nbr_min"))
+      // change detection rides INSIDE the update plan (a label only
+      // changes when a neighbor's min undercuts it), so each round is
+      // ONE action — the sum both materializes the persisted labels
+      // and returns the changed count; the old formulation paid a
+      // second join + count job per round, a whole extra pass over
+      // the labels at scale
       val next = graft.CacheScope.track(
         labels.join(nbrMin, col("id") === col("b"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster")))
-      changed = next.join(labels.select(col("id"), col("cluster").as("old")), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+              .as("cluster"),
+            (col("nbr_min").isNotNull && col("nbr_min") < col("cluster"))
+              .as("__chg")))
+      changed = next.agg(coalesce(sum(when(col("__chg"), 1L).otherwise(0L)),
+        lit(0L))).head.getLong(0)
+      labels = next.select(col("id"), col("cluster"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
