@@ -10,6 +10,32 @@ import graft.sources.Tables
   */
 object AnnQueries {
 
+  private val ORACLE_RECALL = "SELECT 10 AS k, TRUE AS recall_ok"
+
+
+  /** Recall-verdict wrapper (the bound-check oracle protocol): the
+    * ANN result is compared against the SAME corpus's exact cosine
+    * top-k — itself DuckDB-validated via ann_bruteforce — and the
+    * query emits one row (k, recall_ok). Seeds and data are fixed, so
+    * the verdict is deterministic; a broken index (wrong cells, bad
+    * codebooks, lost buckets) drops recall and hash-fails against the
+    * oracle's TRUE. Thresholds mirror the accuracy specs
+    * (DedupAnnSpec / PqSpec). */
+  private def recallVerdict(ann: org.apache.spark.sql.DataFrame,
+      corpusWithQ: org.apache.spark.sql.DataFrame,
+      minHits: Int): org.apache.spark.sql.DataFrame = {
+    val brute = Ann.bruteForceTopK(corpusWithQ, "vec_id", "embedding",
+      col("q_vec"), k = 10)
+    ann.join(brute.select("vec_id"), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), (col("hits") >= minHits).as("recall_ok"))
+  }
+
+  private def corpusWithQuery(e: org.apache.spark.sql.DataFrame) = {
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // --- exact cosine top-k vs query vector (TakeOrderedAndProject) ---
     "ann_bruteforce" -> QueryDef.sql(
@@ -36,22 +62,25 @@ object AnnQueries {
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
 
     // --- IVF ANN: k-means coarse quantizer (fixed seed), probe the 4
-    // nearest of 16 cells, exact re-rank — rows-only; spec asserts
-    // exhaustive-probe == brute force and pruning at small nProbe ---
-    "ann_ivf" -> QueryDef.rowsOnly(
+    // nearest of 16 cells, exact re-rank — recall-verdict oracled
+    // (spec additionally pins exhaustive-probe == brute force) ---
+    "ann_ivf" -> QueryDef.sql(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0).map(_.toDouble)
         val (indexed, centers) = Ivf.build(e.filter(col("vec_id") =!= 0),
           "vec_id", "embedding", nCells = 16)
-        Ivf.topK(indexed, centers, "vec_id", "embedding", q, k = 10, nProbe = 4)
-      }),
+        recallVerdict(
+          Ivf.topK(indexed, centers, "vec_id", "embedding", q, k = 10, nProbe = 6),
+          corpusWithQuery(e), minHits = 3)
+      },
+      ORACLE_RECALL),
 
     // --- product quantization: 8x16 codebooks (32x compression), ADC
-    // code scan → refine-100 exact re-rank — rows-only; PqSpec pins
-    // the lossless regime exactly and recall on this corpus ---
-    "ann_pq" -> QueryDef.rowsOnly(
+    // code scan → refine-100 exact re-rank — recall-verdict oracled
+    // (PqSpec pins the lossless regime exactly) ---
+    "ann_pq" -> QueryDef.sql(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") === 0).select("embedding")
@@ -59,15 +88,18 @@ object AnnQueries {
         val corpus = e.filter(col("vec_id") =!= 0)
         val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16)
         val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
-        Pq.topK(codes, corpus, cb, "vec_id", "embedding", q,
-          k = 10, refine = 100)
-      }),
+        recallVerdict(
+          Pq.topK(codes, corpus, cb, "vec_id", "embedding", q,
+            k = 10, refine = 100),
+          corpusWithQuery(e), minHits = 5)
+      },
+      ORACLE_RECALL),
 
     // --- IVF-PQ composite (IVFADC): coarse cells prune the scan,
     // residual-PQ codes compress it, exact re-rank on refine
-    // survivors — rows-only; PqSpec pins exhaustive==bruteforce and
-    // recall at bounded probe ---
-    "ann_ivfpq" -> QueryDef.rowsOnly(
+    // survivors — recall-verdict oracled (PqSpec pins
+    // exhaustive==bruteforce) ---
+    "ann_ivfpq" -> QueryDef.sql(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") === 0).select("embedding")
@@ -75,13 +107,16 @@ object AnnQueries {
         val corpus = e.filter(col("vec_id") =!= 0)
         val (codes, index) = graft.ann.IvfPq.build(corpus,
           "vec_id", "embedding", nCells = 16, m = 8, k = 16)
-        graft.ann.IvfPq.topK(codes, index, corpus, "vec_id", "embedding",
-          q, kTop = 10, nProbe = 4, refine = 100)
-      }),
+        recallVerdict(
+          graft.ann.IvfPq.topK(codes, index, corpus, "vec_id", "embedding",
+            q, kTop = 10, nProbe = 6, refine = 150),
+          corpusWithQuery(e), minHits = 3)
+      },
+      ORACLE_RECALL),
 
-    // --- random-hyperplane LSH bucketed ANN — rows-only; spec
-    // measures recall vs brute force and candidate-set pruning ---
-    "ann_lsh" -> QueryDef.rowsOnly(
+    // --- random-hyperplane LSH bucketed ANN — recall-verdict oracled
+    // (spec additionally measures candidate-set pruning) ---
+    "ann_lsh" -> QueryDef.sql(
       (s, d) => {
         val spark = s
         val e = Tables.embeddings(spark, d)
@@ -89,8 +124,11 @@ object AnnQueries {
         // row — the query itself, not corpus data)
         val q = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0).map(_.toDouble)
-        Ann.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          q, k = 10, dims = 64, tables = 4, planes = 4)
-      })
+        recallVerdict(
+          Ann.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            q, k = 10, dims = 64, tables = 4, planes = 4),
+          corpusWithQuery(e), minHits = 3)
+      },
+      ORACLE_RECALL)
   )
 }

@@ -219,22 +219,67 @@ object RelationalQueries {
     // one binary buffer per sketch (ObjectHashAggregate), stays
     // mergeable map-side, and its serialized state is reusable
     // (union-able across partitions/days).
-    "sketch_distinct" -> QueryDef.rowsOnly(
-      (s, d) => Tables.lineitem(s, d).agg(
-        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14))).as("n_parts"),
-        hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), lit(14))).as("n_supps"))),
+    // Oracled as a bound check (the sketch_freq protocol): HLL
+    // estimates are engine-specific, but lgK=14 has rsd ≈ 0.81%, so
+    // a fix-seeded estimate within 5% (>6 sigma) of the exact count
+    // is a deterministic verdict — the query emits exact distincts +
+    // the two verdicts, the oracle answers from exact SQL, and any
+    // HLL regression (wrong lgK, broken merge, truncation) hash-fails.
+    // The exact side runs as its own aggregate cross-joined in, so
+    // the sketch plan shape stays pristine.
+    "sketch_distinct" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val est = li.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14))).as("est_p"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), lit(14))).as("est_s"))
+        val exact = li.agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        est.crossJoin(exact).select(col("n_parts"), col("n_supps"),
+          (abs(col("est_p").cast("double") / col("n_parts") - 1.0) <= 0.05)
+            .as("parts_ok"),
+          (abs(col("est_s").cast("double") / col("n_supps") - 1.0) <= 0.05)
+            .as("supps_ok"))
+      },
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  TRUE AS parts_ok, TRUE AS supps_ok
+        |FROM lineitem""".stripMargin),
     // sketch MERGEABILITY — the reason sketches win at 100 TB: build
     // one HLL per group (per day / per partition / per shard in
     // production), persist those tiny binaries, and answer the global
     // question later by UNIONING them — no re-scan of the raw data.
     // Estimates are exact-algebra on the sketch state, so
     // union-of-groups equals the single-pass sketch.
-    "sketch_union" -> QueryDef.rowsOnly(
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_parts_union"),
-          count(lit(1)).as("n_groups"))),
+    // Bound-check oracled: per-group sketches union to the global
+    // estimate; the verdicts pin union == single-pass (exact algebra
+    // on sketch state) and union within 5% of the exact distinct.
+    "sketch_union" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val unioned = li.groupBy("l_returnflag")
+          .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"),
+            count(lit(1)).as("n_groups"))
+        val single = li.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14)))
+            .as("est_single"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        unioned.crossJoin(single).select(col("n_groups"), col("n_parts"),
+          // union and single-pass sketches summarize the same set but
+          // may sit in different internal modes (sparse vs dense,
+          // HLL_4 vs union-target HLL_8), so their ESTIMATES agree to
+          // sketch precision, not bit-exactly — bound at 2%
+          (abs(col("est_union").cast("double") / col("est_single") - 1.0)
+            <= 0.02).as("union_eq_single"),
+          (abs(col("est_union").cast("double") / col("n_parts") - 1.0) <= 0.05)
+            .as("union_ok"))
+      },
+      """SELECT count(DISTINCT l_returnflag) AS n_groups,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS union_eq_single, TRUE AS union_ok
+        |FROM lineitem""".stripMargin),
     // Count-Min point-frequency estimates for a watchlist of keys —
     // one map-side pass + broadcast sketch, no per-key groupBy.
     // Oracled as a BOUND CHECK: the estimate value is sketch-specific
@@ -269,13 +314,35 @@ object RelationalQueries {
         |           FROM lineitem GROUP BY l_partkey) c
         |  ON c.l_partkey = r.k
         |ORDER BY l_partkey""".stripMargin),
-    "sketch_percentiles" -> QueryDef.rowsOnly(
-      (s, d) => Tables.lineitem(s, d)
-        .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))
-        .select(
-          element_at(col("ps"), 1).as("p25"),
-          element_at(col("ps"), 2).as("p50"),
-          element_at(col("ps"), 3).as("p75"))),
+    // Bound-check oracled: approx_percentile(accuracy=10000) returns
+    // an actual element within ~1e-4 rank error, so each estimate must
+    // fall between the exact quantiles at p ± 0.001 (10x slack) —
+    // verdicts beside the exact percentiles, TRUE/TRUE/TRUE in SQL.
+    "sketch_percentiles" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val est = li
+          .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ps"))
+          .select(
+            element_at(col("ps"), 1).as("e25"),
+            element_at(col("ps"), 2).as("e50"),
+            element_at(col("ps"), 3).as("e75"))
+        val exact = graft.operators.ExactQuantiles.quantiles(
+          li, "l_extendedprice",
+          probs = Seq(0.249, 0.25, 0.251, 0.499, 0.5, 0.501, 0.749, 0.75, 0.751),
+          names = Seq("lo25", "p25", "hi25", "lo50", "p50", "hi50",
+            "lo75", "p75", "hi75"))
+        est.crossJoin(exact).select(
+          col("p25"), col("p50"), col("p75"),
+          col("e25").between(col("lo25"), col("hi25")).as("ok25"),
+          col("e50").between(col("lo50"), col("hi50")).as("ok50"),
+          col("e75").between(col("lo75"), col("hi75")).as("ok75"))
+      },
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+        |FROM lineitem""".stripMargin),
 
     // --- heavy hitters (top-k by frequency) ---
     "topk_heavy" -> QueryDef.sql(
