@@ -49,6 +49,16 @@ def main():
         line = open(bench_path).read()
         bench = json.loads(line[line.index("{"):])
 
+    # Gate-oracled queries: the oracle verifies a verdict or replays
+    # only part of the computation (constant recall verdicts for ANN,
+    # exact-side-only bound checks for the sketches, banding-only
+    # replay from persisted signatures for dedup_simhash), so
+    # graft-vs-oracle is not an equivalent-work comparison — their
+    # rows show "(gate)" and are excluded from the aggregate ratio.
+    verdict_only = {"ann_ivf", "ann_ivfpq", "ann_lsh", "ann_pq",
+                    "sketch_distinct", "sketch_freq", "sketch_percentiles",
+                    "sketch_union", "dedup_simhash"}
+
     total = sum(times.values())
     lines = [
         "# BASELINE — single-node reference timings (DuckDB oracle engine)",
@@ -93,13 +103,18 @@ def main():
         b = times[name]
         if bench and name in bench.get("queries", {}):
             g = bench["queries"][name]
+            if name in verdict_only:
+                lines.append(f"| {name} | (gate) | {g:.3f} | — |")
+                continue
             r = g / b if b > 0 else float("inf")
             ratios.append(r)
             lines.append(f"| {name} | {b:.3f} | {g:.3f} | {r:.1f} |")
         else:
             lines.append(f"| {name} | {b:.3f} | — | — |")
     if bench and ratios:
-        gtot = sum(v for k, v in bench["queries"].items() if k in times)
+        gtot = sum(v for k, v in bench["queries"].items()
+                   if k in times and k not in verdict_only)
+        total = sum(v for k, v in times.items() if k not in verdict_only)
         lines += [
             "",
             f"**graft total on the same {len(ratios)} queries: {gtot:.2f} s "
