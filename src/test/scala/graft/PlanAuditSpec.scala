@@ -212,6 +212,16 @@ class PlanAuditSpec extends SparkSpec {
         "re-runs the codec loop):\n" + p.take(1200))
   }
 
+  test("boxcut: scans the z-ordered at-rest copy with the box pushed to parquet") {
+    val p = plan("boxcut")
+    assert(p.contains("graft_zpart"),
+      "boxcut must scan the Z-order clustered copy:\n" + p.take(800))
+    // the box predicate must reach the scan so tight z-clustered
+    // row-group stats can prune at the source
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(p_size"),
+      p.take(1500))
+  }
+
   test("sketch probes are native: no ScalaUDF in bloom-prefilter or CM-estimate plans") {
     // the broadcast-sketch probes must be the codegen'd expressions,
     // not interpreter-barrier UDFs (ADVICE r4 item 9)
