@@ -38,6 +38,17 @@ object Ivf {
     val sample = trainDf.orderBy(id).limit(maxTrain)
       .select(col(vec).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    buildFromSample(embs, vec, nCells, sample, seed, maxIter)
+  }
+
+  /** Build from a caller-supplied training sample — lets one driver
+    * job serve several consumers (e.g. the query-vector fetch and the
+    * quantizer sample share a single TakeOrdered; see
+    * AnnQueries.headSample). Same geometry as `build` given the same
+    * sample. */
+  def buildFromSample(embs: DataFrame, vec: String, nCells: Int,
+      sample: Array[Array[Double]], seed: Long = 42L,
+      maxIter: Int = 10): (DataFrame, Array[Array[Double]]) = {
     val centers = lloyd(sample, nCells, seed, maxIter)
     val centLit = typedLit(centers.map(_.toSeq).toSeq)
     (embs.withColumn("cell",

@@ -52,10 +52,17 @@ object IvfPq {
     * representation (store clustered by cell to make probes
     * partition-pruned scans). */
   def build(embs: DataFrame, id: String, vec: String, nCells: Int,
-      m: Int, k: Int): (Dataset[CellCode], Index) = {
+      m: Int, k: Int,
+      coarseSample: Array[Array[Double]] = null): (Dataset[CellCode], Index) = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val (indexed, centers) = Ivf.build(embs, id, vec, nCells)
+    // caller-supplied coarse sample lets one driver job feed both the
+    // query-vector fetch and the quantizer (AnnQueries.headSample);
+    // the residual PQ sample is derived and keeps its own collect
+    val (indexed, centers) =
+      if (coarseSample != null)
+        Ivf.buildFromSample(embs, vec, nCells, coarseSample)
+      else Ivf.build(embs, id, vec, nCells)
     // three consumers read `res` (Pq.train's sample, Pq.encode, the
     // cell join-back) — without a barrier each would replay the whole
     // residual lineage including the upstream cell assignment

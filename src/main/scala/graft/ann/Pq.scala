@@ -38,6 +38,14 @@ object Pq {
     val sample = embs.orderBy(id).limit(sampleN)
       .select(col(vec).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    trainFromSample(sample, m, k, iters)
+  }
+
+  /** Train from a caller-supplied sample (one driver job can feed
+    * both the query-vector fetch and this training; see
+    * AnnQueries.headSample). */
+  def trainFromSample(sample: Array[Array[Double]], m: Int, k: Int,
+      iters: Int = 15): Codebooks = {
     require(sample.nonEmpty, "empty training sample")
     val d = sample.head.length
     require(d % m == 0, s"subspaces m=$m must divide dims $d")

@@ -31,6 +31,22 @@ object AnnQueries {
       .select(lit(10).as("k"), (col("hits") >= minHits).as("recall_ok"))
   }
 
+  /** ONE TakeOrdered driver job fetches the query vector (vec_id 0 —
+    * first in id order) AND the id-ordered training sample the
+    * quantizer needs — the two driver round-trips the r4 verdict
+    * flagged, merged (SURVEY §7 forward item: "train-sample collect +
+    * query-vector head could share one job"). */
+  private def headSample(e: org.apache.spark.sql.DataFrame,
+      n: Int): (Seq[Double], Array[Array[Double]]) = {
+    val rows = e.orderBy("vec_id").limit(n + 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+    val q = rows.find(_.getLong(0) == 0L)
+      .getOrElse(sys.error("query vector vec_id=0 missing"))
+      .getSeq[Double](1)
+    (q, rows.filter(_.getLong(0) != 0L).map(_.getSeq[Double](1).toArray))
+  }
+
   private def corpusWithQuery(e: org.apache.spark.sql.DataFrame) = {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
     e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -67,10 +83,9 @@ object AnnQueries {
     "ann_ivf" -> QueryDef.sql(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") === 0).select("embedding")
-          .head().getSeq[Float](0).map(_.toDouble)
-        val (indexed, centers) = Ivf.build(e.filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", nCells = 16)
+        val (q, sample) = headSample(e, 65536)
+        val (indexed, centers) = Ivf.buildFromSample(
+          e.filter(col("vec_id") =!= 0), "embedding", nCells = 16, sample)
         recallVerdict(
           Ivf.topK(indexed, centers, "vec_id", "embedding", q, k = 10, nProbe = 6),
           corpusWithQuery(e), minHits = 3)
@@ -83,10 +98,9 @@ object AnnQueries {
     "ann_pq" -> QueryDef.sql(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") === 0).select("embedding")
-          .head().getSeq[Float](0).map(_.toDouble)
+        val (q, sample) = headSample(e, 2048)
         val corpus = e.filter(col("vec_id") =!= 0)
-        val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, k = 16)
+        val cb = Pq.trainFromSample(sample, m = 8, k = 16)
         val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
         recallVerdict(
           Pq.topK(codes, corpus, cb, "vec_id", "embedding", q,
@@ -102,11 +116,11 @@ object AnnQueries {
     "ann_ivfpq" -> QueryDef.sql(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") === 0).select("embedding")
-          .head().getSeq[Float](0).map(_.toDouble)
+        val (q, sample) = headSample(e, 65536)
         val corpus = e.filter(col("vec_id") =!= 0)
         val (codes, index) = graft.ann.IvfPq.build(corpus,
-          "vec_id", "embedding", nCells = 16, m = 8, k = 16)
+          "vec_id", "embedding", nCells = 16, m = 8, k = 16,
+          coarseSample = sample)
         recallVerdict(
           graft.ann.IvfPq.topK(codes, index, corpus, "vec_id", "embedding",
             q, kTop = 10, nProbe = 6, refine = 150),
