@@ -65,8 +65,24 @@ object Load {
     }
   }
 
+  /** Particle-type namespace aliases — the names scida registers on
+    * every Gadget-family dataset (customs/arepo/dataset.py:91
+    * `aliases`): `ds.dataFrame(path, "gas")` loads PartType0. */
+  private val GroupAliases = Map(
+    "gas" -> "PartType0", "baryons" -> "PartType0",
+    "dm" -> "PartType1", "dark matter" -> "PartType1",
+    "lowres" -> "PartType2", "lowres dm" -> "PartType2",
+    "tracer" -> "PartType3", "tracers" -> "PartType3",
+    "stars" -> "PartType4",
+    "bh" -> "PartType5", "black holes" -> "PartType5")
+
+  /** Resolve a group name or its family alias ("gas" → "PartType0"). */
+  def resolveGroup(group: String): String =
+    GroupAliases.getOrElse(group, group)
+
   /** Load a path as a DataFrame, auto-detected. For HDF5, `group`
-    * selects the particle-type group; when omitted and exactly one
+    * selects the particle-type group (family aliases like "gas"
+    * resolve — arepo/dataset.py:91); when omitted and exactly one
     * group holds datasets, that group is used (scida's single-
     * container shortcut). */
   def dataFrame(spark: SparkSession, path: String, group: String = ""): DataFrame =
@@ -75,7 +91,7 @@ object Load {
       case Zarr => spark.read.format("graft-zarr").load(path)
       case Fits => spark.read.format("graft-fits").load(firstFits(path))
       case Hdf5 =>
-        val g = if (group.nonEmpty) group else soleHdf5Group(path)
+        val g = if (group.nonEmpty) resolveGroup(group) else soleHdf5Group(path)
         ChunkedHdf5.load(spark, path, g)
     }
 
@@ -167,7 +183,7 @@ object Load {
     // per-field unit discovery from dataset-level attrs
     val fieldAttrs: String => Option[Map[String, Any]] = fmt match {
       case Hdf5 =>
-        val g = if (group.nonEmpty) group else soleHdf5Group(path)
+        val g = if (group.nonEmpty) resolveGroup(group) else soleHdf5Group(path)
         val all = ChunkedHdf5.attrs(path)
         name => all.get(s"/$g/$name")
       case Zarr =>
@@ -188,7 +204,7 @@ object Load {
     // at all, so without this table they load unitless
     lazy val flav = flavor(path)
     val groupName = fmt match {
-      case Hdf5 => if (group.nonEmpty) group else soleHdf5Group(path)
+      case Hdf5 => if (group.nonEmpty) resolveGroup(group) else soleHdf5Group(path)
       case _ => "" // zarr/fits arrays sit at the root → `_all` only
     }
     df.columns.filter(_ != "row_id").foreach { colName =>

@@ -88,6 +88,16 @@ class LoadSpec extends SparkSpec {
     assert(Load.flavor(parquetDir) == "generic")
   }
 
+  test("particle-type aliases resolve (arepo/dataset.py:91): gas → PartType0") {
+    assert(Load.resolveGroup("gas") == "PartType0")
+    assert(Load.resolveGroup("black holes") == "PartType5")
+    assert(Load.resolveGroup("PartType2") == "PartType2") // pass-through
+    val viaAlias = Load.dataFrame(spark, hdf5Dir, "gas")
+    assert(viaAlias.columns.contains("Masses") && viaAlias.count() == 2)
+    // the dataset path resolves aliases for unit/default lookups too
+    assert(Load.dataset(spark, hdf5Dir, "gas").fieldNames.contains("Masses"))
+  }
+
   test("dataset attaches the cosmology mixin from snapshot metadata") {
     val dsH5 = Load.dataset(spark, hdf5Dir)
     assert(dsH5.cosmology.map(_.redshift).contains(1.0))
