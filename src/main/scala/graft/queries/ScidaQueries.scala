@@ -238,17 +238,23 @@ object ScidaQueries {
     "subhalo_offsets" -> QueryDef.sql(
       (s, d) => {
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        // the subhalo catalog feeds both the group rollup and the
-        // offset join — materialize once (CacheScope releases it).
+        // aggregate BELOW the join: the per-subhalo length needs only
+        // l_orderkey, so the fact table collapses to one row per
+        // subhalo (map-side partial agg) BEFORE touching orders —
+        // the join then moves |subhalos| rows, not |particles|
+        // (Catalyst does not push aggregates under joins itself).
+        // The catalog feeds both the group rollup and the offset
+        // join — materialize once (CacheScope releases it).
         // NOTE (measured): pre-partitioning by the parent key to let
         // downstream window/rollup/join reuse one exchange does NOT
         // help here — an AQE-compiled InMemoryRelation reports
         // unknown output partitioning, so consumers re-exchange above
         // the cache regardless; keep the straightforward form.
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("slen"))
         val sub = graft.CacheScope.track(
-          Tables.lineitem(s, d)
-            .join(o, col("l_orderkey") === col("o_orderkey"))
-            .groupBy("o_custkey", "o_orderkey").agg(count(lit(1)).as("slen")))
+          perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("o_orderkey"), col("slen")))
         val grp = sub.groupBy("o_custkey").agg(sum("slen").as("glen"))
         graft.operators.GroupCatalog.subhaloOffsets(
           grp, "o_custkey", col("glen"), sub, "o_orderkey", col("slen"))
