@@ -378,13 +378,17 @@ object Dedup {
       // and returns the changed count; the old formulation paid a
       // second join + count job per round, a whole extra pass over
       // the labels at scale
-      val next = graft.CacheScope.track(
-        labels.join(nbrMin, col("id") === col("b"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster"),
-            (col("nbr_min").isNotNull && col("nbr_min") < col("cluster"))
-              .as("__chg")))
+      // localCheckpoint (eager) both materializes the round AND
+      // truncates lineage — the join references `labels` twice, so an
+      // un-truncated logical tree doubles per round and the analyzer
+      // cost alone goes exponential on high-diameter graphs
+      val next = labels.join(nbrMin, col("id") === col("b"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("cluster"))
+            .as("__chg"))
+        .localCheckpoint(true)
       changed = next.agg(coalesce(sum(when(col("__chg"), 1L).otherwise(0L)),
         lit(0L))).head.getLong(0)
       labels = next.select(col("id"), col("cluster"))
@@ -392,6 +396,99 @@ object Dedup {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * edge rewriting (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) — the billion-edge upgrade of
+    * `connectedComponents`' min-label propagation: propagation needs
+    * O(component diameter) rounds (a 1e6-node chain pays 1e6
+    * shuffles), star rewriting converges in O(log n) rounds on ANY
+    * graph shape by re-rooting edges at neighborhood minima:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star(u): every neighbor v <= u re-attaches to m.
+    *
+    * Each phase is one shuffle (group neighborhoods by node, one
+    * map-side emit); convergence — the edge set reaching its star-
+    * graph fixpoint — is detected by an order-invariant fingerprint
+    * (count + xxhash sum + extrema, one tiny action per round).
+    * Output contract matches `connectedComponents`: every id labeled
+    * with its component's MINIMUM id (equivalence proven in
+    * DedupClustersSpec on chain/star/random graphs). */
+  def connectedComponentsStar(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val idCol = ids.columns.head
+    var edges = graft.CacheScope.track(
+      pairs.toDF("a", "b").filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct())
+
+    def neighborhoods(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+    // re-root one phase. Large-star at u emits (v, m) for neighbors
+    // v > u only — every edge is re-rooted exactly once, from its
+    // smaller endpoint. Small-star at u emits (v, m) for v <= u AND
+    // (u, m): u itself re-attaches (Kiveris Alg. 2 reduces over
+    // N⁻(u) ∪ {u}) — without it a two-node star collapses to a
+    // self-loop and the component evaporates.
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val nb = neighborhoods(e)
+      // min(a) over the group IS a (the key) — and unlike first() it
+      // is deterministic, so exchange reuse stays eligible
+      val mins = nb.groupBy("a")
+        .agg(least(min(col("b")), min(col("a"))).as("m"))
+      val rerooted = nb.join(mins, "a")
+        .filter(if (large) col("b") > col("a") else col("b") <= col("a"))
+        .select(least(col("b"), col("m")).as("a"),
+          greatest(col("b"), col("m")).as("b"))
+      val self = if (large) rerooted
+        else rerooted.union(mins.select(least(col("a"), col("m")).as("a"),
+          greatest(col("a"), col("m")).as("b")))
+      self.filter(col("a") =!= col("b")).distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long, Long, Long) = {
+      // bit_xor: order-invariant and overflow-free under ANSI (a sum
+      // of 64-bit hashes overflows); count + extrema break the rare
+      // xor-cancelling pair patterns
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)),
+        coalesce(min(col("a")), lit(0L)), coalesce(max(col("b")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+
+    var fp = fingerprint(edges)
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIter) {
+      // cache the large-star frame (the small-star plan references it
+      // four times — neighborhood union branches, the mins aggregate,
+      // the re-root join), then TRUNCATE lineage at the round
+      // boundary: each phase's plan embeds its input ~4 times, so
+      // without truncation the LOGICAL tree grows 4^rounds and the
+      // analyzer itself goes exponential long before any data moves
+      // (persist caches data, not lineage). localCheckpoint swaps the
+      // plan for the materialized blocks; at cluster scale with
+      // preemptible executors, a reliable checkpoint dir does the
+      // same with durability.
+      val ls = graft.CacheScope.track(phase(edges, large = true))
+      val next = phase(ls, large = false).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      stable = nfp == fp
+      fp = nfp
+      edges = next
+      i += 1
+    }
+    require(stable, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // converged: every edge is (component-min root, member)
+    val labels = edges.groupBy(col("b").as("id")).agg(min(col("a")).as("__cc"))
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("__cc"), col("id")).as("cluster"))
   }
 
   /** Substring-level exact dedup: the MAXIMAL word-token spans of
