@@ -14,12 +14,18 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
-  // dedup_simhash's signature-persist handshake: the build overwrites
-  // this table each run, the oracle reads it back — a FIXED path
-  // because the oracle SQL string cannot depend on the dataset dir
-  // (one Verify pass runs build-then-oracle sequentially, so the
-  // table always belongs to the run being checked).
-  private val SimhashSigPath = "/tmp/graft_simhash_sigs"
+  // dedup_simhash's signature-persist handshake: the build writes the
+  // signature table to a DATASET-KEYED path and records it; the oracle
+  // string — which Verify generates AFTER running the builds — then
+  // points at the same run's table. Keying by dataset dir means a
+  // bench pass at another scale writes a DIFFERENT path and can never
+  // clobber the table this pass's oracle reads, whatever order the
+  // driver interleaves verify / compare / bench.
+  private val simhashSigPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_simhash_sigs_default")
+  private def simhashSigPath(d: String): String =
+    "/tmp/graft_simhash_sigs_" + Integer.toHexString(d.hashCode)
 
   // Shared SQL fragment: per-doc distinct 3-shingle list (matches
   // Hashing.shingles(k=3) incl. the short-doc whole-text fallback).
@@ -245,14 +251,16 @@ object DedupQueries {
     // (sim >> s) & 0xFFFF is sign-extension-invariant. ---
     "dedup_simhash" -> QueryDef.sql(
       (s, d) => {
+        val p = simhashSigPath(d)
+        simhashSigPathRef.set(p)
         val sigs = Dedup.simhashSigs(Tables.documents(s, d), "doc_id", "text")
-        sigs.write.mode("overwrite").parquet(SimhashSigPath)
-        Dedup.simhashPairsFromSigs(s.read.parquet(SimhashSigPath),
+        sigs.write.mode("overwrite").parquet(p)
+        Dedup.simhashPairsFromSigs(s.read.parquet(p),
             "doc_id", maxHamming = 3)
           .orderBy("doc_a", "doc_b")
       },
       s"""WITH sigs AS (
-         |  SELECT doc_id, sim FROM read_parquet('$SimhashSigPath/*.parquet')
+         |  SELECT doc_id, sim FROM read_parquet('${simhashSigPathRef.get}/*.parquet')
          |), e AS (
          |  SELECT doc_id, sim, band, (sim >> (band * 16)) & 65535 AS key
          |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
