@@ -127,6 +127,11 @@ object Hdf5Save {
           require(j == filled, s"row $id out of order within chunk $chunk")
           var ci = 0
           while (ci < kinds.length) {
+            // HDF5 numeric datasets have no null representation, and a
+            // null read through an InternalRow getter is silent garbage
+            require(!row.isNullAt(ci + 1),
+              s"null in column ${names(ci)} at row $id — hdf5 save " +
+                "requires non-null numeric columns (fill or filter first)")
             kinds(ci) match {
               case 0 => d64(ci)(j) = row.getDouble(ci + 1)
               case 1 => f32(ci)(j) = row.getFloat(ci + 1)

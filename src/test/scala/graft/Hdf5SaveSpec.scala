@@ -52,6 +52,14 @@ class Hdf5SaveSpec extends SparkSpec {
     assert(e.getMessage.contains("contiguous") || e.getMessage.contains("gaps"))
   }
 
+  test("null values fail loudly (hdf5 numerics have no null representation)") {
+    val df = spark.range(10).select(col("id"),
+      when(col("id") === 5, null).otherwise(col("id").cast("double")).as("v"))
+    val e = intercept[Exception](
+      Hdf5Save.save(df, "id", Files.createTempDirectory("xn").toString))
+    assert(e.getMessage.contains("null in column"))
+  }
+
   test("save respects the 8-dataset writer bound with a clear error") {
     val cols = (0 until 9).map(i => col("id").cast("double").as(s"c$i"))
     val df = spark.range(10).select(col("id") +: cols: _*)
