@@ -30,10 +30,13 @@ object Bench {
     // frames, offset catalogs) are released once the query's action
     // completes — without this, 51 queries × 2 passes accumulate dead
     // cached partitions and later queries pay eviction churn.
+    // benchQueries: identical to SparkEntry.queries except the sketch
+    // family, whose correctness gate computes the EXACT answer beside
+    // the sketch — here the sketch operator is timed alone
     def exec(name: String): Double = CacheScope.withScope {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        SparkEntry.benchQueries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
@@ -42,14 +45,16 @@ object Bench {
       }
     }
 
-    // Load-calibration probe: a fixed CPU-bound job (integer fold over
-    // 2^30 ids, one partition per core) whose wall time depends only
-    // on machine conditions, never on graft code. Run before AND after
-    // the query passes, min kept. A pass whose probe is well above the
-    // value recorded in BASELINE.md ran on a loaded machine — its
-    // per-query times are incomparable to the recorded column (the r4
-    // driver pass was such a pass: 17 queries 2-7x high, all
-    // reproducing at recorded values once the box was idle).
+    // Load-calibration probe: a fixed CPU-bound job (xxhash64 fold
+    // over 2^28 ids, one partition per core) whose wall time depends
+    // only on machine conditions, never on graft code. INTERLEAVED
+    // every `probeSeg` queries (plus one final probe), so a mid-pass
+    // load burst is localized to its segment instead of hiding
+    // between clean before/after probes (the r5 driver pass burst hit
+    // mid-pass: per-query times 6-20x high while the bracketing
+    // probes stayed under threshold). probes[i] precedes segment i;
+    // a query in segment i is suspect when
+    // max(probes[i], probes[i+1]) > 1.5x the recorded probe_sec.
     def probe(): Double = {
       val t0 = System.nanoTime()
       // xxhash64 per row = fixed CPU work; % bounds the ANSI-checked sum
@@ -59,7 +64,6 @@ object Bench {
     }
 
     exec("groupby_agg") // warmup: JVM + codegen + parquet footer caches
-    val probeStart = probe()
     // best-of-n passes (default 2, SPARK_GRAFT_BENCH_RUNS to raise):
     // single runs carry up to ±25% noise from codegen compilation and
     // machine load; the min approximates steady-state capability
@@ -67,13 +71,20 @@ object Bench {
     // driver passes none and gets the full set)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val names = if (args.nonEmpty) args.toSeq.sorted
-      else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> Seq.fill(runs)(exec(n)).min)
-    val probeSec = math.min(probeStart, probe())
+      else SparkEntry.benchQueries.keys.toSeq.sorted
+    val probeSeg = 15
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i % probeSeg == 0) probes += probe()
+      n -> Seq.fill(runs)(exec(n)).min
+    }
+    probes += probe()
+    val probeSec = probes.min
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ps = probes.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec,"cpus":${cpus.toInt},"runs":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec,"probes":$ps,"probe_seg":$probeSeg,"cpus":${cpus.toInt},"runs":$runs}""")
     spark.stop()
   }
 }

@@ -27,8 +27,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (name, qd) => name -> qd.build }
 
+  /** Bench-time builds: identical to `queries` except where a gate
+    * oracle computes an exact verdict alongside the operator — there
+    * the bench override times the operator alone (sketch family). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, qd) => name -> qd.benchBuild.getOrElse(qd.build) }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Resolved lazily (thunks) — call AFTER running the builds so
+    * build-recorded state (signature-table paths) is current. */
   def oracleSql: Map[String, String] =
-    all.collect { case (name, QueryDef(_, Some(sql))) => name -> sql }
+    all.collect { case (name, qd) if qd.oracle.isDefined =>
+      name -> qd.oracle.get }
 }

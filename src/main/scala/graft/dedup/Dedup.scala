@@ -367,6 +367,7 @@ object Dedup {
     val edges = graft.CacheScope.track(ab.union(ab.select(col("b"), col("a"))))
     var labels = graft.CacheScope.track(
       ids.select(col(idCol).as("id"), col(idCol).as("cluster")))
+    var prevCkpt: DataFrame = null
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -391,12 +392,29 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.agg(coalesce(sum(when(col("__chg"), 1L).otherwise(0L)),
         lit(0L))).head.getLong(0)
+      // round N's checkpoint blocks are dead once round N+1 has
+      // materialized from them — unpersist eagerly instead of letting
+      // maxIter rounds of checkpoint storage pile up on executors
+      if (prevCkpt != null) unpersistCheckpoint(prevCkpt)
+      prevCkpt = next
       labels = next.select(col("id"), col("cluster"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id").as(idCol), col("cluster"))
   }
+
+  /** Release the cached blocks behind a `localCheckpoint(true)`d frame
+    * whose data no other live plan references. localCheckpoint swaps
+    * the logical plan for a LogicalRDD over a persisted RDD; the RDD
+    * outlives the round otherwise (until GC), so iterative algorithms
+    * must drop round N's blocks once round N+1 is materialized. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Connected components via alternating large-star / small-star
     * edge rewriting (Kiveris et al., "Connected Components in
@@ -463,6 +481,7 @@ object Dedup {
 
     var fp = fingerprint(edges)
     var stable = false
+    var prevCkpt: DataFrame = null
     var i = 0
     while (!stable && i < maxIter) {
       // cache the large-star frame (the small-star plan references it
@@ -478,6 +497,9 @@ object Dedup {
       val ls = graft.CacheScope.track(phase(edges, large = true))
       val next = phase(ls, large = false).localCheckpoint(true)
       val nfp = fingerprint(next)
+      // round N's checkpoint is dead once round N+1 materialized
+      if (prevCkpt != null) unpersistCheckpoint(prevCkpt)
+      prevCkpt = next
       stable = nfp == fp
       fp = nfp
       edges = next

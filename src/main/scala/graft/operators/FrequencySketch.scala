@@ -34,4 +34,45 @@ object FrequencySketch {
       .withColumn("est_cnt",
         graft.functions.expressions.SketchProbes.cmEstimate(col(kc), b))
   }
+
+  /** Approximate heavy hitters of a LONG key column via bounded
+    * Space-Saving-style summaries (Metwally et al., ICDT 2005),
+    * tree-merged: ONE pass over the column-pruned key column with
+    * FIXED per-task state — no shuffle, no sampling job, no unbounded
+    * collect. This is the skew-detection primitive for salted joins:
+    * the hot set must be BROADCASTABLE anyway, so bounding its size at
+    * the detector is the honest 100 TB design (the old alternative —
+    * sample + groupBy + collect — was an extra full-scan-shaped
+    * shuffle job whose output size was unbounded).
+    *
+    * Guarantees: returned keys are those whose summary count reaches
+    * `minCount`. Per-partition counts are exact until a partition sees
+    * more than 2x`capacity` distinct keys, after which the smallest
+    * entries are trimmed (lossy — a batch-amortized variant of
+    * Space-Saving's per-insert min-eviction); keys with true count
+    * > rows/capacity always survive. Missing a merely-warm key is
+    * SAFE for salting (it just isn't salted, AQE still covers it);
+    * a false positive is also safe (a cold key gets harmless salts) —
+    * any hot-key superset/subset yields identical join output. */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int,
+      minCount: Long): Array[Long] = {
+    import scala.collection.mutable
+    def trim(m: mutable.LongMap[Long]): mutable.LongMap[Long] =
+      if (m.size <= capacity) m
+      else mutable.LongMap(m.toSeq.sortBy(-_._2).take(capacity): _*)
+    val cap = capacity
+    val merged = df.select(col(keyCol).cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+      .queryExecution.toRdd.map(_.getLong(0))
+      .treeAggregate(mutable.LongMap.empty[Long])(
+        (m, k) => {
+          m(k) = m.getOrElse(k, 0L) + 1L
+          if (m.size > cap * 2) trim(m) else m
+        },
+        (a, b) => {
+          b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
+          trim(a)
+        })
+    merged.iterator.filter(_._2 >= minCount).map(_._1).toArray.sorted
+  }
 }

@@ -4,16 +4,17 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Reusable skew-safe join (the technique the `salted_join` query
-  * demonstrates inline, packaged as an operator): detect hot keys on
-  * a seeded sample, salt ONLY the hot fact rows across `nSalt`
-  * buckets, replicate ONLY the hot build rows — uniform full-side
-  * replication is the 100 TB anti-pattern. Both join branches read
-  * the hot-key set through ONE shared persisted plan (the same
-  * InMemoryRelation) computed from a FIXED sample seed, so they
-  * cannot disagree on the set; correctness does not depend on WHICH
-  * keys are called hot — any set yields the same join output — only
-  * on both sides agreeing. No eager count is needed for that
-  * guarantee, and one would cost a whole serial job per invocation.
+  * demonstrates inline, packaged as an operator): detect hot keys,
+  * salt ONLY the hot fact rows across `nSalt` buckets, replicate ONLY
+  * the hot build rows — uniform full-side replication is the 100 TB
+  * anti-pattern. Detection: integral keys take ONE bounded-state
+  * map-side pass (FrequencySketch.heavyHitters — no sample job, no
+  * shuffle, hot set bounded ≤ its broadcast budget by construction);
+  * other key types fall back to a seeded-sample aggregate. Both join
+  * branches read the hot-key set from one immutable literal/persisted
+  * plan, so they cannot disagree on the set; correctness does not
+  * depend on WHICH keys are called hot — any set yields the same join
+  * output — only on both sides agreeing.
   *
   * (AQE's runtime skew-join split, on in GraftSession, handles
   * transient skew; this is the explicit form for known/persistent
@@ -25,7 +26,19 @@ object Skew {
       build: DataFrame, buildKey: String,
       nSalt: Int = 8, hotThreshold: Long = 2,
       sampleFraction: Double = 0.125, seed: Long = 42L): DataFrame = {
-    val hot = graft.CacheScope.track(
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val integralKey = fact.schema(factKey).dataType match {
+      case LongType | IntegerType => true
+      case _ => false
+    }
+    val hot: DataFrame = if (integralKey) {
+      // threshold applies to FULL counts (no sample scaling)
+      FrequencySketch.heavyHitters(fact.select(factKey), factKey,
+        capacity = 1 << 16, minCount = hotThreshold)
+        .toSeq.toDF("__hotkey")
+    } else graft.CacheScope.track(
       fact.sample(withReplacement = false, sampleFraction, seed)
         .groupBy(factKey).agg(count(lit(1)).as("__cnt"))
         .filter(col("__cnt") >= hotThreshold)

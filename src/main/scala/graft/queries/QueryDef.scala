@@ -10,11 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    // by-name thunk, resolved at READ time: some oracles interpolate
+    // state the build records (dedup_simhash's signature-table path),
+    // so a consumer that snapshots oracle strings before running the
+    // builds must still see the post-build value — eager strings froze
+    // the defs-construction-time default instead
+    oracleThunk: Option[() => String] = None,
+    // optional bench-only build: gate-oracled queries compute an exact
+    // verdict alongside the operator for Verify; Bench times the
+    // operator ALONE via this override (sketch family)
+    benchBuild: Option[(SparkSession, String) => DataFrame] = None) {
+  def oracle: Option[String] = oracleThunk.map(_())
+}
 
 object QueryDef {
-  def sql(b: (SparkSession, String) => DataFrame, o: String): QueryDef =
-    QueryDef(b, Some(o))
+  def sql(b: (SparkSession, String) => DataFrame, o: => String): QueryDef =
+    QueryDef(b, Some(() => o))
+  def sqlBench(b: (SparkSession, String) => DataFrame, o: => String,
+      bench: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(b, Some(() => o), Some(bench))
   def rowsOnly(b: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(b, None)
 

@@ -52,10 +52,19 @@ object Hdf5Save {
       s"row index must be contiguous 0..${rows - 1} (max=${Row0.get(1)})")
     val nChunks = ((rows + chunkRows - 1) / chunkRows).toInt
 
-    val out = new File(dir)
+    // Atomic-ish publish: executors write chunk files into a fresh
+    // temp sibling directory; only after the whole job SUCCEEDS are
+    // the previous snapshot's .hdf5 files deleted and the new chunks
+    // moved in (same filesystem → rename). A mid-job failure leaves
+    // the previous snapshot untouched — deleting first made every
+    // failed save destroy the prior data.
+    val out = new File(dir).getAbsoluteFile
     out.mkdirs()
-    out.listFiles().foreach(f =>
-      if (f.getName.endsWith(".hdf5")) f.delete())
+    require(out.isDirectory,
+      s"hdf5 save target $dir exists and is not a directory")
+    val tmp = new File(out.getParentFile,
+      out.getName + ".__hdf5tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    require(tmp.mkdirs(), s"cannot create temp write dir $tmp")
 
     val names = dataCols.map(_.name)
     val kinds: Array[Int] = dataCols.map(_.dataType match {
@@ -66,10 +75,10 @@ object Hdf5Save {
     val totalRows = rows
     val gName = group
     val prefix = filePrefix
-    val outPath = out.getPath
+    val outPath = tmp.getPath
     val hAttrs = headerAttrs
 
-    df.select((col(idCol).cast("long").as("__id")) +: names.map(col): _*)
+    try df.select((col(idCol).cast("long").as("__id")) +: names.map(col): _*)
       .withColumn("__chunk", expr(s"__id div $cr"))
       .repartition(col("__chunk"))
       .sortWithinPartitions("__id")
@@ -144,5 +153,25 @@ object Hdf5Save {
         }
         flush()
       }
+    catch { case e: Throwable =>
+      // failed job: remove the temp dir, leave the previous snapshot
+      tmp.listFiles().foreach(_.delete())
+      tmp.delete()
+      throw e
+    }
+
+    // job succeeded — publish: drop old snapshot files, move new in
+    try {
+      out.listFiles().foreach(f =>
+        if (f.getName.endsWith(".hdf5")) f.delete())
+      tmp.listFiles().foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new File(out, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally {
+      tmp.listFiles().foreach(_.delete())
+      tmp.delete()
+    }
   }
 }

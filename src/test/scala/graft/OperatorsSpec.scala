@@ -128,6 +128,19 @@ class OperatorsSpec extends SparkSpec {
     assert(s == Set((1L, 1L, 2L, 2.0), (1L, 2L, 1L, 1.0), (2L, 1L, 1L, 5.0)))
   }
 
+  test("FrequencySketch.heavyHitters finds hot keys in one bounded pass") {
+    // key 7 occurs 500x, key 9 occurs 40x, 1..1000 occur once each
+    val df = (Seq.fill(500)(7L) ++ Seq.fill(40)(9L) ++ (1L to 1000L))
+      .toDF("k")
+    val hot = graft.operators.FrequencySketch
+      .heavyHitters(df, "k", capacity = 64, minCount = 30)
+    assert(hot.toSet == Set(7L, 9L), s"got ${hot.mkString(",")}")
+    // bounded capacity never reports a merely-warm key above threshold
+    val none = graft.operators.FrequencySketch
+      .heavyHitters(df, "k", capacity = 64, minCount = 1000)
+    assert(none.isEmpty)
+  }
+
   test("Skew.saltedJoin equals the plain join on skewed data") {
     // key 1 is hot (200 rows), others are singletons
     val fact = ((1 to 200).map(i => (1L, i.toDouble)) ++

@@ -235,13 +235,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(pc.contains("graft_cm_estimate"), pc.take(1200))
   }
 
-  test("salted_join: hot set is a collected literal — no sample subtree in either branch") {
+  test("salted_join: hot set is a collected literal — no sample/detection subtree in either branch") {
     val p = plan("salted_join")
-    // the seeded detection sample must run ONCE at build time and
-    // enter the plan as a LocalRelation-backed broadcast; a Sample
-    // node inside the executed join means each branch re-evaluates the
-    // (lazily-persisted) sample and the branches can race to disagree
-    // on the hot set, silently dropping rows
+    // hot-key detection runs ONCE at build time as a bounded
+    // Space-Saving tree-aggregate (FrequencySketch.heavyHitters) and
+    // enters the plan as a LocalRelation-backed broadcast; a Sample
+    // node (the old sampled-groupBy detector) or any detection
+    // aggregate inside the executed join would mean each branch
+    // re-evaluates detection and the branches can race to disagree on
+    // the hot set, silently dropping rows
     assert(!p.contains("Sample"),
       "sample subtree leaked into the join plan:\n" + p.take(1500))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
