@@ -137,14 +137,28 @@ object Dedup {
     val ex = sh.select(col(id), size(col("sh")).as("n"),
       explode(col("sh")).as("s0"))
       .select(col(id), col("n"), xxhash64(col("s0")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // Document frequencies ride as ESTIMATES from one broadcast
+    // Count-Min sketch instead of an exact groupBy: prefix-filter
+    // COMPLETENESS holds under ANY consistent global total order of
+    // tokens (the theorem never uses rarity), and the CM estimate is
+    // deterministic (fixed seed, exact-merge counters) so (est_df, s)
+    // IS such an order. Rarity quality only shapes posting-list
+    // sizes, and CM errors are one-sided (+eps·N overcounts on a few
+    // tokens — a slightly longer posting list, never a lost pair).
+    // This deletes the exact-df aggregation shuffle AND the
+    // shingle-stream⋈dfreq shuffle join: the sketch is built in one
+    // map-side tree-merged pass and probed inside the scan stage.
+    val cms = ex.stat.countMinSketch(col("s"), 1e-4, 0.99, 42)
+    val cmB = sh.sparkSession.sparkContext.broadcast(cms)
+    val withDf = ex.withColumn("df",
+      graft.functions.expressions.SketchProbes.cmEstimate(col("s"), cmB))
     // prefix = rarest floor((1-t)*n)+1 tokens of each doc, under the
     // global (df, s) total order. One hash aggregate per doc (collect
     // + in-memory sort + slice) — the window/row_number formulation
     // pays the same shuffle plus a full partition sort, and as a
     // two-sided self-join input it evaluated this whole subtree twice.
     val prefixLen = (col("n") - ceil(col("n") * lit(minJ)) + 1).cast("int")
-    val ranked = ex.join(dfreq, Seq("s"))
+    val ranked = withDf
       .groupBy(col(id), col("n"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("o"))
       .select(col(id), col("n"), explode(slice(col("o"), lit(1), prefixLen)).as("p"))

@@ -61,8 +61,23 @@ object FrequencySketch {
       if (m.size <= capacity) m
       else mutable.LongMap(m.toSeq.sortBy(-_._2).take(capacity): _*)
     val cap = capacity
-    val merged = df.select(col(keyCol).cast("long").as("__k"))
+    val keys = df.select(col(keyCol).cast("long").as("__k"))
       .filter(col("__k").isNotNull)
+    // Under-split guard: the summary pass parallelizes per SPLIT, and
+    // a single-row-group test file (or a skewed source) would run it
+    // serially. Repartitioning costs one shuffle of bare 8-byte keys —
+    // trivial at test scale; at 100 TB the scan has thousands of
+    // natural splits and this branch never fires (shuffling the key
+    // column of a 100 TB table IS the anti-pattern).
+    val target = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // hash-partition BY KEY: each key's full count lands in one
+    // summary, so bounded trims can never split-and-drop a hot key
+    val spreadKeys =
+      if (keys.queryExecution.toRdd.getNumPartitions < target)
+        keys.repartition(target, col("__k"))
+      else keys
+    val merged = spreadKeys
       .queryExecution.toRdd.map(_.getLong(0))
       .treeAggregate(mutable.LongMap.empty[Long])(
         (m, k) => {
