@@ -56,6 +56,13 @@ object GraftExtensions {
         "graft_nearest_centroid(vec, centroids) - index of the squared-L2 nearest centroid"),
       binary("graft_nearest_centroid",
         graft.functions.expressions.NearestCentroid.apply) _),
+    (FunctionIdentifier("graft_nearest_cells"),
+      info("graft_nearest_cells",
+        "graft_nearest_cells(vec, centroids, p) - indices of the p squared-L2 nearest centroids, nearest first; p must be a literal"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, s"graft_nearest_cells expects 3 arguments, got ${args.length}")
+        graft.functions.expressions.NearestCells(args(0), args(1), args(2))
+      }),
     (FunctionIdentifier("graft_pos_shingles"),
       info("graft_pos_shingles",
         "graft_pos_shingles(text, k) - xxhash64 of every positional k-word window, in order, duplicates kept; empty for docs shorter than k words; k must be a literal"),

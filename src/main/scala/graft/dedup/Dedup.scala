@@ -576,6 +576,52 @@ object Dedup {
       .drop("__isl")
   }
 
+  /** Multi-probe IVF cell assignments: (id, cell) with one row per
+    * (vector, probed cell) — each vector lands in its `nProbe`
+    * nearest of the trained centroids, so boundary-spanning near-dup
+    * pairs still share a block. This is the VECTOR-DERIVED blocking
+    * key for `embCosPairsFromCells` (a real corpus has no label
+    * column to block on; the cells come from the embedding geometry
+    * alone). Assignment is one codegen'd map-side pass
+    * (graft_nearest_cells) with the centroids riding as a plan
+    * literal; the output is the persistable assignment artifact — at
+    * scale it is written once beside the corpus and reused by every
+    * dedup/ANN consumer. */
+  def cellAssignments(embs: DataFrame, id: String, vec: String,
+      centers: Array[Array[Double]], nProbe: Int): DataFrame =
+    embs.select(col(id),
+      explode(call_function("graft_nearest_cells", col(vec),
+        typedLit(centers.map(_.toSeq).toSeq), lit(nProbe))).as("cell"))
+
+  /** Embedding-cosine near-dup pairs from a persisted (id, cell)
+    * assignment table: candidates are DISTINCT id pairs sharing any
+    * cell (one shuffle on the cell key — bounded blocks, never the
+    * corpus²), verified by exact cosine on the vectors joined back by
+    * id. Cosine rounded to 6 dp before thresholding for engine-stable
+    * boundaries. Recall vs brute force is a measured property of
+    * (nCells, nProbe) pinned in DedupAnnSpec — near-dup thresholds
+    * (cos ≥ 0.9) sit far inside cells, where multi-probe recall ≈ 1;
+    * the fixture's deliberately loose 0.4 exercises the boundary
+    * case. */
+  def embCosPairsFromCells(cells: DataFrame, embs: DataFrame, id: String,
+      vec: String, minCos: Double): DataFrame = {
+    val cand = cells.toDF("id_a", "cell")
+      .join(cells.toDF("id_b", "cell"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val normed = embs.select(col(id), col(vec))
+      .withColumn("nrm", sqrt(VectorOps.dotFast(col(vec), col(vec))))
+    val a = normed.select(col(id).as("id_a"), col(vec).as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = normed.select(col(id).as("id_b"), col(vec).as("v_b"),
+      col("nrm").as("nrm_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("cos", VectorOps.roundAt(
+        VectorOps.dotFast(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (label,
     * LSH bucket, …) so the self-join never goes quadratic in the
     * corpus — only within blocks. Cosine rounded to 6 dp before

@@ -27,6 +27,14 @@ object DedupQueries {
   private def simhashSigPath(d: String): String =
     "/tmp/graft_simhash_sigs_" + Integer.toHexString(d.hashCode)
 
+  // dedup_embcos uses the same signature-persist handshake for its
+  // IVF cell-assignment table (the vector-derived blocking key)
+  private val embcosCellPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_embcos_cells_default")
+  private def embcosCellPath(d: String): String =
+    "/tmp/graft_embcos_cells_" + Integer.toHexString(d.hashCode)
+
   // Shared SQL fragment: per-doc distinct 3-shingle list (matches
   // Hashing.shingles(k=3) incl. the short-doc whole-text fallback).
   private val shingleCte =
@@ -272,28 +280,54 @@ object DedupQueries {
          |WHERE bit_count(xor(l.sim, r.sim)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin),
 
-    // --- embedding-cosine near-dup pairs, label-blocked ---
+    // --- embedding-cosine near-dup pairs, blocked by multi-probe IVF
+    // cells derived from the VECTORS ALONE (a real corpus has no
+    // label column) — the signature-persist protocol: the build
+    // trains the coarse quantizer (ann/Ivf, fixed seed), writes the
+    // (vec_id, cell) assignment table to a dataset-keyed path, and
+    // computes within-cell pairs FROM THE PERSISTED TABLE; DuckDB
+    // replays the same candidate join + cosine arithmetic from the
+    // same parquet. The whole distributed half — assignment explode,
+    // cell equi-join, distinct, vector join-back, cosine threshold —
+    // is hash-gated. Cell recall vs brute force is pinned in
+    // DedupAnnSpec (blocking quality is a property of (K, nProbe),
+    // not of this query's join machinery). ---
     "dedup_embcos" -> QueryDef.sql(
-      // sortBarrier: the blocked self-join broadcasts at test scale
-      // (no shuffle files) — the ORDER BY's sampling would re-run
-      // every pairwise dot product without the barrier
-      (s, d) => QueryDef.sortBarrier(
-        Dedup.embCosPairs(Tables.embeddings(s, d),
-          "vec_id", "embedding", "label", minCos = 0.4))
-        .orderBy("id_a", "id_b"),
-      """WITH p AS (
-        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-        |    floor((
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(range(1, 65),
-        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(range(1, 65),
-        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
-        |      *1000000 + 0.5)/1000000 AS cos
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, id_a, id_b, cos FROM p WHERE cos >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+      // sortBarrier: the candidate join broadcasts at test scale (no
+      // shuffle files) — the ORDER BY's sampling would re-run every
+      // pairwise dot product without the barrier
+      (s, d) => {
+        val p = embcosCellPath(d)
+        embcosCellPathRef.set(p)
+        val embs = Tables.embeddings(s, d)
+        val (_, centers) = graft.ann.Ivf.build(
+          embs, "vec_id", "embedding", nCells = 8)
+        Dedup.cellAssignments(embs, "vec_id", "embedding", centers, nProbe = 3)
+          .write.mode("overwrite").parquet(p)
+        QueryDef.sortBarrier(
+          Dedup.embCosPairsFromCells(s.read.parquet(p), embs,
+            "vec_id", "embedding", minCos = 0.4))
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH asg AS (
+         |  SELECT vec_id, cell FROM read_parquet('${embcosCellPathRef.get}/*.parquet')
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |), p AS (
+         |  SELECT c.id_a, c.id_b,
+         |    floor((
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
+         |      *1000000 + 0.5)/1000000 AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin)
   )
 }

@@ -33,6 +33,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(exact1.intersect(simSet).size >= exact1.size / 2)
   }
 
+  test("cell-blocked embcos: vector-derived blocking, subset of brute force, pinned recall") {
+    val (_, centers) = graft.ann.Ivf.build(embs, "vec_id", "embedding", nCells = 8)
+    val cells = Dedup.cellAssignments(embs, "vec_id", "embedding", centers, nProbe = 3)
+    val blocked = Dedup.embCosPairsFromCells(cells, embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth via a constant block key (exact all-pairs)
+    val brute = Dedup.embCosPairs(embs.withColumn("__one", lit(1)),
+      "vec_id", "embedding", "__one", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(brute), "blocking must never invent pairs")
+    assert(brute.nonEmpty)
+    // the fixture's 0.4 threshold is DELIBERATELY loose (boundary
+    // pairs, the hard case for any blocking); production near-dup
+    // thresholds (>= 0.9) sit deep inside cells. Pinned at the
+    // measured fixed-seed floor minus margin.
+    val recall = blocked.size.toDouble / brute.size
+    assert(recall >= 0.80, f"cell blocking recall $recall%.3f under floor")
+    // and the cells must PRUNE: candidate pairs strictly below brute
+    val n = embs.count()
+    val candPairs = cells.toDF("a", "cell")
+      .join(cells.toDF("b", "cell"), Seq("cell"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    assert(candPairs < n * (n - 1) / 2,
+      s"cell blocking should prune: $candPairs vs ${n * (n - 1) / 2}")
+  }
+
   test("embcos blocked pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embCosPairs(embs, "vec_id", "embedding", "label", 0.3)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
