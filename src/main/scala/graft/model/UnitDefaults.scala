@@ -101,13 +101,49 @@ object UnitDefaults {
     "PartType4" -> Map(
       "BirthDensity" -> "g/cm^3"))
 
+  /** Rockstar halo catalogs (configfiles/units/rockstar.yaml, quoting
+    * the Rockstar source's own unit banner): masses Msun/h, positions
+    * cMpc/h, halo lengths/radii ckpc/h, velocities physical km/s.
+    * Spins are dimensionless (no entry → unitless, correct). */
+  private val Rockstar: Map[String, Map[String, String]] = Map(
+    "_all" -> Map(
+      "mass" -> "rockstar_mass",
+      "mass.vir" -> "rockstar_mass",
+      "mass.200c" -> "rockstar_mass",
+      "mass.200m" -> "rockstar_mass",
+      "mass.500c" -> "rockstar_mass",
+      "mass.bound" -> "rockstar_mass",
+      "mass.peak" -> "rockstar_mass",
+      "mass.lowres" -> "rockstar_mass",
+      "infall.first.mass" -> "rockstar_mass",
+      "position" -> "cMpc/h",
+      "position.offset" -> "cMpc/h",
+      "radius" -> "rockstar_length",
+      "scale.radius" -> "rockstar_length",
+      "scale.radius.klypin" -> "rockstar_length",
+      "host.distance" -> "rockstar_length",
+      "velocity" -> "rockstar_velocity",
+      "velocity.offset" -> "rockstar_velocity",
+      "host.velocity" -> "rockstar_velocity",
+      "host.velocity.rad" -> "rockstar_velocity",
+      "host.velocity.tan" -> "rockstar_velocity",
+      "vel.circ.max" -> "rockstar_velocity",
+      "vel.circ.peak" -> "rockstar_velocity",
+      "vel.std" -> "rockstar_velocity",
+      "infall.first.vel.circ.max" -> "rockstar_velocity"))
+
   /** flavor (Load.flavor's vocabulary) → group → field → expr.
     * gizmo shares the Gadget code-unit convention
-    * (configfiles/units/gizmo.yaml mirrors gadget_cosmological). */
+    * (configfiles/units/gizmo.yaml mirrors gadget_cosmological).
+    * SWIFT has NO defaults table by design: SWIFT snapshots
+    * self-describe every dataset ("Expression for physical CGS
+    * units" attrs, handled by UnitAttrs) — which is why scida ships
+    * no swift.yaml either. */
   private val tables: Map[String, Map[String, Map[String, String]]] = Map(
     "arepo" -> Gadget,
     "gizmo" -> Gadget,
-    "eagle" -> Eagle)
+    "eagle" -> Eagle,
+    "rockstar" -> Rockstar)
 
   /** The symbolic default expression for (flavor, group, field):
     * group-specific entry first, then `_all` (units.py:466-470). */
@@ -166,6 +202,12 @@ object UnitDefaults {
     case "a" => cosmo.map(c => (c.scaleFactor, Units.dimensionless))
     case "h" => cosmo.map(c => (c.h, Units.dimensionless))
     case "ckpc" => cosmo.map(c => (c.scaleFactor, Units.parse("kpc")))
+    case "cMpc" => cosmo.map(c => (c.scaleFactor, Units.parse("Mpc")))
+    // rockstar.yaml units: block (masses Msun/h, lengths ckpc/h,
+    // velocities physical km/s)
+    case "rockstar_mass" => cosmo.map(c => (1.0 / c.h, Units.parse("Msun")))
+    case "rockstar_length" => cosmo.map(c => (c.scaleFactor / c.h, Units.parse("kpc")))
+    case "rockstar_velocity" => Some((1.0, Units.parse("km/s")))
     case "code_length" => cosmo.map(c => (c.scaleFactor / c.h, Units.parse("kpc")))
     case "code_mass" => cosmo.map(c => (1e10 / c.h, Units.parse("Msun")))
     case "code_velocity" => Some((1.0, Units.parse("km/s")))

@@ -92,6 +92,87 @@ object SeriesRegistry {
       Member(name, (z.map("redshift" -> _) ++ t.map("time" -> _)).toMap)
     })
 
+  // ---- Simulation-directory discovery — scida GadgetStyleSimulation
+  // (customs/gadgetstyle/series.py:19, the prefix walk at :56-101),
+  // _get_snapshotfolder_prefix (:158) and DatasetSeries.from_directory
+  // (series.py:311): point at a simulation ROOT and get the member
+  // roster automatically, instead of spelling out (name, path) pairs.
+
+  /** Discover the snapshot members of a simulation directory.
+    *
+    * Reference semantics: members live under `<root>/<subpath>/`
+    * (default "output") when that exists, else under the root itself
+    * (subbox layouts); the snapshot FOLDER prefix is inferred as the
+    * most common "_"-prefix among subdirectories (snapdir_000 … →
+    * "snapdir"; `prefix` overrides); entries `<prefix>_<digits>` sort
+    * by trailing snapshot number. When no matching folders exist,
+    * single-file snapshots `snap_*.hdf5` become the members when at
+    * least two are present (series.py:85-96 tests exactly the "snap"
+    * prefix for this fallback). Pure driver-side directory walking —
+    * one listdir, no file contents touched. */
+  def discoverMembers(simRoot: String, subpath: String = "output",
+      prefix: Option[String] = None): Seq[(String, String)] = {
+    val p = new java.io.File(simRoot)
+    require(p.exists, s"Specified path '$simRoot' does not exist.")
+    val spCand = new java.io.File(p, subpath)
+    val sp = if (spCand.isDirectory) spCand else p
+    val entries = Option(sp.listFiles()).getOrElse(Array.empty[java.io.File])
+    def trailingNum(n: String): Option[Long] = {
+      val t = n.stripSuffix(".hdf5").split('_').last
+      // bound the digits so a pathological name can't overflow toLong
+      if (t.nonEmpty && t.length <= 12 && t.forall(_.isDigit)) Some(t.toLong)
+      else None
+    }
+    val dirs = entries.filter(_.isDirectory)
+    val pfx = prefix.getOrElse {
+      val ps = dirs.map(_.getName.split('_').head)
+      if (ps.isEmpty) ""
+      // most common prefix; ties break lexicographically for
+      // determinism (the reference leaves tie order to dict internals)
+      else ps.groupBy(identity).maxBy { case (k, v) => (v.length, k) }._1
+    }
+    val folders = dirs
+      .filter(d => pfx.nonEmpty && d.getName.startsWith(pfx + "_"))
+      .flatMap(d => trailingNum(d.getName).map(n => (n, d.getName, d.getPath)))
+    if (folders.nonEmpty)
+      folders.sortBy { case (n, name, _) => (n, name) }
+        .map { case (_, name, path) => (name, path) }.toSeq
+    else {
+      val h5 = entries
+        .filter(f => f.isFile && f.getName.endsWith(".hdf5") &&
+          f.getName.startsWith("snap_"))
+        .flatMap(f => trailingNum(f.getName)
+          .map(n => (n, f.getName.stripSuffix(".hdf5"), f.getPath)))
+      require(h5.length > 1,
+        s"Could not find any files with prefix '$pfx' in '$sp'.")
+      h5.sortBy { case (n, name, _) => (n, name) }
+        .map { case (_, name, path) => (name, path) }.toSeq
+    }
+  }
+
+  /** Discover + build in one call, through the sidecar cache at
+    * `<root>/.graft_series.json`: the scida flow of opening a whole
+    * simulation (`GadgetStyleSimulation(path)`) — a warm re-open costs
+    * one listdir + one JSON read + one stat per chunk file. */
+  def discover(simRoot: String, subpath: String = "output",
+      prefix: Option[String] = None): SeriesRegistry =
+    fromSnapshotsCached(discoverMembers(simRoot, subpath, prefix),
+      new java.io.File(simRoot, ".graft_series.json").getPath)
+
+  /** SWIFT simulation-series detection — customs/swift/series.py:42-68
+    * `SwiftSimulation.validate_path`: a sim root carrying a
+    * `Code/swiftsim` marker is a SWIFT run, whose snapshots live under
+    * `snapshots/` (series.py:39 `subpath_dict = dict(paths=
+    * "snapshots")`) rather than gadget-style `output/`. */
+  def isSwiftSim(simRoot: String): Boolean =
+    new java.io.File(new java.io.File(simRoot, "Code"), "swiftsim").exists
+
+  /** Flavor-routed discovery: SWIFT roots (Code/swiftsim marker) read
+    * `snapshots/`, gadget-style roots read `output/` (falling back to
+    * the root itself — subbox layouts — inside discoverMembers). */
+  def discoverAuto(simRoot: String): SeriesRegistry =
+    discover(simRoot, subpath = if (isSwiftSim(simRoot)) "snapshots" else "output")
+
   // ---- JSON sidecar cache — scida's per-series metadata file
   // (series.py:449-470 `metadata` property: a json cache so
   // re-opening a 100-snapshot series is ONE file read, not 100

@@ -110,6 +110,87 @@ class SeriesSpec extends SparkSpec {
     assert(r4.members.map(_.name) == Seq("m0"))
   }
 
+  test("simulation-dir discovery finds snapdir members under output/ (gadgetstyle/series.py:19)") {
+    def writeSnap(dir: String, z: Double): Unit =
+      Hdf5Writer.write(s"$dir/snap.0.hdf5", Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> (1.0 / (1.0 + z)), "Redshift" -> z, "HubbleParam" -> 0.6774)),
+        "PartType0" -> Hdf5Writer.Group(children = Seq(
+          "Masses" -> Hdf5Writer.F64(Array(1.0)))))))
+    val simRoot = Files.createTempDirectory("graft_simdir").toString
+    val out = new java.io.File(simRoot, "output"); out.mkdirs()
+    // snapshots deliberately created out of order + double-digit to
+    // prove numeric (not lexicographic) ordering; a backup dir with a
+    // non-numeric suffix must be excluded (series.py:104-108)
+    Seq((10, 0.0), (2, 1.0), (0, 4.0)).foreach { case (i, z) =>
+      val d = new java.io.File(out, f"snapdir_$i%03d"); d.mkdirs()
+      writeSnap(d.getPath, z)
+    }
+    new java.io.File(out, "snapdir_bak").mkdirs()
+    new java.io.File(out, "somethingelse").mkdirs()
+    val members = SeriesRegistry.discoverMembers(simRoot)
+    assert(members.map(_._1) == Seq("snapdir_000", "snapdir_002", "snapdir_010"))
+    // full open: discovery + header metadata + sidecar cache
+    val reg = SeriesRegistry.discover(simRoot)
+    assert(reg.members.map(_.name) ==
+      Seq("snapdir_000", "snapdir_002", "snapdir_010"))
+    // series_select semantics on the DISCOVERED series: nearest-z pick
+    assert(reg.nearest("redshift", 1.005).name == "snapdir_002")
+    assert(reg.byIndex(2).meta("redshift") == 0.0)
+    assert(new java.io.File(simRoot, ".graft_series.json").isFile,
+      "discover() must persist the sidecar at the sim root")
+    // warm re-open goes through the sidecar
+    assert(SeriesRegistry.discover(simRoot)
+      .nearest("redshift", 4.0).name == "snapdir_000")
+  }
+
+  test("SWIFT sim detection routes discovery to snapshots/ (swift/series.py:39-68)") {
+    def writeSnap(dir: String, z: Double): Unit =
+      Hdf5Writer.write(s"$dir/snap.0.hdf5", Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> (1.0 / (1.0 + z)), "Redshift" -> z, "HubbleParam" -> 0.6774)),
+        "PartType0" -> Hdf5Writer.Group(children = Seq(
+          "Masses" -> Hdf5Writer.F64(Array(1.0)))))))
+    val simRoot = Files.createTempDirectory("graft_swiftsim").toString
+    // the SWIFT marker: a Code/swiftsim checkout beside the outputs
+    new java.io.File(simRoot, "Code/swiftsim").mkdirs()
+    val snaps = new java.io.File(simRoot, "snapshots"); snaps.mkdirs()
+    Seq((0, 3.0), (1, 1.0)).foreach { case (i, z) =>
+      val d = new java.io.File(snaps, f"snapshot_$i%04d"); d.mkdirs()
+      writeSnap(d.getPath, z)
+    }
+    assert(SeriesRegistry.isSwiftSim(simRoot))
+    val reg = SeriesRegistry.discoverAuto(simRoot)
+    assert(reg.members.map(_.name) == Seq("snapshot_0000", "snapshot_0001"))
+    assert(reg.nearest("redshift", 1.0).name == "snapshot_0001")
+    // a gadget-style root (no marker) is not a SWIFT sim
+    assert(!SeriesRegistry.isSwiftSim(
+      Files.createTempDirectory("graft_notswift").toString))
+  }
+
+  test("discovery falls back to the sim root and single-file snap_*.hdf5 members") {
+    def writeSnapFile(path: String, z: Double): Unit =
+      Hdf5Writer.write(path, Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> (1.0 / (1.0 + z)), "Redshift" -> z, "HubbleParam" -> 0.6774)),
+        "PartType0" -> Hdf5Writer.Group(children = Seq(
+          "Masses" -> Hdf5Writer.F64(Array(1.0)))))))
+    // no output/ subfolder, no snapshot folders — just snap_N.hdf5
+    // files in the root (series.py:85-96's single-file fallback)
+    val simRoot = Files.createTempDirectory("graft_simflat").toString
+    writeSnapFile(s"$simRoot/snap_000.hdf5", 2.0)
+    writeSnapFile(s"$simRoot/snap_001.hdf5", 0.5)
+    val members = SeriesRegistry.discoverMembers(simRoot)
+    assert(members.map(_._1) == Seq("snap_000", "snap_001"))
+    val reg = SeriesRegistry.fromSnapshots(members)
+    assert(reg.byName("snap_001").meta("redshift") == 0.5)
+    // an empty dir raises the reference's "could not find" error
+    val empty = Files.createTempDirectory("graft_simempty").toString
+    val e = intercept[IllegalArgumentException](
+      SeriesRegistry.discoverMembers(empty))
+    assert(e.getMessage.contains("Could not find"))
+  }
+
   test("member load partition-prunes the snapshot-partitioned table") {
     val root = Files.createTempDirectory("graft_series_tbl").toString
     Seq(("snap0", 1L, 10.0), ("snap0", 2L, 20.0),

@@ -55,6 +55,25 @@ class UnitDefaultsSpec extends SparkSpec {
     assert(fe == 1.0 && me == Units.parse("g/cm^3"))
   }
 
+  test("rockstar defaults resolve the catalog's unit banner (rockstar.yaml)") {
+    // masses in Msun/h
+    val Some((fm, mm)) = UnitDefaults.resolve("rockstar", "halos", "mass", Some(cosmo))
+    assert(mm == Units.parse("Msun") && fm == 1.0 / 0.6774)
+    // positions in cMpc/h (comoving)
+    val Some((fp, mp)) = UnitDefaults.resolve("rockstar", "halos", "position", Some(cosmo))
+    assert(mp == Units.parse("Mpc") && math.abs(fp - 0.5 / 0.6774) < 1e-15)
+    // radii in ckpc/h
+    val Some((fr, mr)) = UnitDefaults.resolve("rockstar", "halos", "radius", Some(cosmo))
+    assert(mr == Units.parse("kpc") && math.abs(fr - 0.5 / 0.6774) < 1e-15)
+    // velocities physical km/s — no cosmology needed
+    val Some((fv, mv)) = UnitDefaults.resolve("rockstar", "halos", "vel.circ.max", None)
+    assert(mv == Units.parse("km/s") && fv == 1.0)
+    // spins are dimensionless → no entry → None (unitless is correct)
+    assert(UnitDefaults.unitString("rockstar", "halos", "spin.bullock").isEmpty)
+    // comoving lengths without a cosmology are unresolvable, not wrong
+    assert(UnitDefaults.resolve("rockstar", "halos", "position", None).isEmpty)
+  }
+
   test("Load.dataset: defaults fill attr-less fields, file attrs win") {
     val dir = Files.createTempDirectory("graft_unitdefaults").toString
     ZarrWriter.write(dir, Seq(
