@@ -40,9 +40,130 @@ final case class Cosmology(
     s"h = $h" + omega0.map(o => s", Omega0 = $o").getOrElse("") +
       omegaBaryon.map(o => s", OmegaBaryon = $o").getOrElse(""),
     "===============================")
+
+  // ---- Derived quantities — the astropy FLRW surface scida attaches
+  // (cosmology.py:154 get_cosmology_from_rawmetadata returns a
+  // FlatLambdaCDM; users then call .age/.lookback_time/
+  // .comoving_distance). Flat ΛCDM, radiation neglected (astropy's
+  // FlatLambdaCDM default Tcmb0=0 does the same); requires Ω₀.
+  // Numeric midpoint quadrature with a FIXED step count so any engine
+  // can replay the same arithmetic term-for-term (the cosmo_derived
+  // oracle protocol); CosmologySpec cross-checks against the flat-ΛCDM
+  // closed form. Driver-side scalars here; the distributed per-row
+  // column forms live in Cosmology.ageGyrCol/comovingDistanceMpcCol.
+
+  private def om: Double = omega0.getOrElse(
+    throw new IllegalStateException("derived quantities need Omega0"))
+
+  /** Age of the universe at redshift `z` in Gyr (Julian). */
+  def ageGyr(z: Double, steps: Int = Cosmology.QuadSteps): Double =
+    Cosmology.ageGyrScalar(z, h, om, steps)
+
+  /** Lookback time to redshift `z` in Gyr: age(0) − age(z). */
+  def lookbackGyr(z: Double, steps: Int = Cosmology.QuadSteps): Double =
+    ageGyr(0.0, steps) - ageGyr(z, steps)
+
+  /** Line-of-sight comoving distance to `z` in Mpc. */
+  def comovingDistanceMpc(z: Double, steps: Int = Cosmology.QuadSteps): Double =
+    Cosmology.comovingDistanceMpcScalar(z, h, om, steps)
 }
 
 object Cosmology {
+
+  /** Default quadrature resolution: 512 midpoint steps put the
+    * discretization error at ~1e-7 relative (vs closed form, pinned
+    * in CosmologySpec) — far inside the 6-dp oracle rounding. */
+  val QuadSteps = 512
+
+  /** Hubble time × h in Gyr: 1/(100 km/s/Mpc) with the IAU Mpc and
+    * the Julian Gyr — 3.0856775814913673e19 km / 100 (km/s) /
+    * 3.15576e16 s/Gyr. The same literal appears in the cosmo_derived
+    * oracle SQL (as a quoted-string cast — DuckDB parses long bare
+    * mantissas as DECIMAL and rounds). */
+  val HubbleTimeGyrTimesH = 9.777922216807891
+  /** Hubble distance × h in Mpc: c / (100 km/s/Mpc). */
+  val HubbleDistMpcTimesH = 2997.92458
+
+  /** Age of the universe at z, flat ΛCDM: with x the scale factor,
+    * t(a) = t_H ∫₀^a √x / √(Ωm + ΩΛ x³) dx, midpoint rule. The
+    * integrand ordering below is mirrored TERM FOR TERM by the
+    * DuckDB oracle so both engines sum the same doubles. */
+  def ageGyrScalar(z: Double, h: Double, om: Double, steps: Int): Double = {
+    val ol = 1.0 - om
+    val a = 1.0 / (1.0 + z)
+    var s = 0.0
+    var i = 0
+    while (i < steps) {
+      val x = a * (i + 0.5) / steps
+      // cubes via multiplication, not pow: * is IEEE-correctly-rounded
+      // everywhere, while pow may differ by an ulp across engines —
+      // and the oracle protocol needs bit-identical terms
+      s += math.sqrt(x) / math.sqrt(om + ol * (x * x * x))
+      i += 1
+    }
+    (HubbleTimeGyrTimesH / h) * (a / steps) * s
+  }
+
+  /** Comoving distance to z, flat ΛCDM: D_C = d_H ∫₀^z dz'/E(z'),
+    * E(z) = √(Ωm(1+z)³ + ΩΛ), midpoint rule. */
+  def comovingDistanceMpcScalar(z: Double, h: Double, om: Double,
+      steps: Int): Double = {
+    val ol = 1.0 - om
+    var s = 0.0
+    var i = 0
+    while (i < steps) {
+      val zi = z * (i + 0.5) / steps
+      val e = 1.0 + zi
+      s += 1.0 / math.sqrt(om * (e * e * e) + ol)
+      i += 1
+    }
+    (HubbleDistMpcTimesH / h) * (z / steps) * s
+  }
+
+  /** Flat-ΛCDM age CLOSED FORM (the spec's independent truth):
+    * t(a) = (2 t_H / 3√ΩΛ) · asinh(√(ΩΛ/Ωm) · a^{3/2}). */
+  def ageGyrClosed(z: Double, h: Double, om: Double): Double = {
+    val ol = 1.0 - om
+    val a = 1.0 / (1.0 + z)
+    val x = math.sqrt(ol / om) * math.pow(a, 1.5)
+    (2.0 * HubbleTimeGyrTimesH / h) / (3.0 * math.sqrt(ol)) *
+      math.log(x + math.sqrt(x * x + 1.0))
+  }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Distributed per-row age(z) in Gyr — the scalar quadrature as one
+    * codegen'd higher-order-function chain over a `sequence` (no UDF,
+    * no driver loop): `steps` midpoint terms accumulated in index
+    * order, so DuckDB's list_sum over the same list_transform replays
+    * the identical sum. */
+  def ageGyrCol(z: Column, h: Double, om: Double,
+      steps: Int = QuadSteps): Column = {
+    val ol = 1.0 - om
+    val a = lit(1.0) / (lit(1.0) + z)
+    val terms = aggregate(
+      sequence(lit(0), lit(steps - 1)), lit(0.0),
+      (acc, i) => {
+        val x = a * (i.cast("double") + lit(0.5)) / lit(steps.toDouble)
+        acc + sqrt(x) / sqrt(lit(om) + lit(ol) * (x * x * x))
+      })
+    lit(HubbleTimeGyrTimesH / h) * (a / lit(steps.toDouble)) * terms
+  }
+
+  /** Distributed per-row comoving distance (Mpc), same protocol. */
+  def comovingDistanceMpcCol(z: Column, h: Double, om: Double,
+      steps: Int = QuadSteps): Column = {
+    val ol = 1.0 - om
+    val terms = aggregate(
+      sequence(lit(0), lit(steps - 1)), lit(0.0),
+      (acc, i) => {
+        val zi = z * (i.cast("double") + lit(0.5)) / lit(steps.toDouble)
+        val e = lit(1.0) + zi
+        acc + lit(1.0) / sqrt(lit(om) * (e * e * e) + lit(ol))
+      })
+    lit(HubbleDistMpcTimesH / h) * (z / lit(steps.toDouble)) * terms
+  }
 
   /** First element of array-valued attributes, scalars unchanged —
     * scida misc.get_scalar. */

@@ -102,6 +102,62 @@ object ScidaQueries {
            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
       }),
 
+    // --- cosmology derived quantities (mixins/cosmology.py:154: the
+    // attached astropy FlatLambdaCDM's age / lookback_time /
+    // comoving_distance) — per-row flat-ΛCDM midpoint quadrature with
+    // a FIXED step count (Cosmology.QuadSteps): the Spark side runs a
+    // codegen'd higher-order aggregate over `sequence`, and DuckDB
+    // replays the IDENTICAL term-for-term sum via
+    // list_sum(list_transform(range ...)) — same constants (the long
+    // Hubble-time mantissa rides as a quoted-string CAST, DuckDB
+    // parses bare long literals as DECIMAL and rounds), same midpoint
+    // ordering, 6-dp floor-rounding on both sides. Redshift grid from
+    // nation (25 rows, z = key/5); TNG cosmology h=0.6774, Ωm=0.3089.
+    // Quadrature-vs-closed-form accuracy is pinned in CosmologySpec.
+    "cosmo_derived" -> QueryDef.sql(
+      (s, d) => {
+        val h = 0.6774; val om = 0.3089
+        import graft.model.Cosmology
+        val z = col("z")
+        Tables.nation(s, d)
+          .select((col("n_nationkey").cast("double") / lit(5.0)).as("z"))
+          .withColumn("age_gyr", graft.functions.VectorOps.roundAt(
+            Cosmology.ageGyrCol(z, h, om), 6))
+          .withColumn("lookback_gyr", graft.functions.VectorOps.roundAt(
+            Cosmology.ageGyrCol(lit(0.0), h, om) - Cosmology.ageGyrCol(z, h, om), 6))
+          .withColumn("dcom_mpc", graft.functions.VectorOps.roundAt(
+            Cosmology.comovingDistanceMpcCol(z, h, om), 6))
+          .orderBy("z")
+      }, {
+        val n = graft.model.Cosmology.QuadSteps
+        val tH = "CAST('" + graft.model.Cosmology.HubbleTimeGyrTimesH + "' AS DOUBLE)"
+        val dH = graft.model.Cosmology.HubbleDistMpcTimesH.toString
+        // ages CTE: the same midpoint sums; a = 1/(1+z); ΩΛ = 1-Ωm
+        // spelled as (1.0 - 0.3089) so both engines fold the same
+        // double
+        s"""WITH zs AS (
+           |  SELECT CAST(n_nationkey AS DOUBLE) / 5.0 AS z FROM nation
+           |), q AS (
+           |  SELECT z, 1.0/(1.0+z) AS a FROM zs
+           |), terms AS (
+           |  SELECT z, a,
+           |    ($tH/0.6774) * (a/$n.0) * list_sum(list_transform(range(0, $n),
+           |      i -> sqrt(a*(CAST(i AS DOUBLE)+0.5)/$n.0)
+           |           / sqrt(0.3089 + (1.0-0.3089)*((a*(CAST(i AS DOUBLE)+0.5)/$n.0)*(a*(CAST(i AS DOUBLE)+0.5)/$n.0)*(a*(CAST(i AS DOUBLE)+0.5)/$n.0))))) AS age,
+           |    ($tH/0.6774) * (1.0/$n.0) * list_sum(list_transform(range(0, $n),
+           |      i -> sqrt(1.0*(CAST(i AS DOUBLE)+0.5)/$n.0)
+           |           / sqrt(0.3089 + (1.0-0.3089)*((1.0*(CAST(i AS DOUBLE)+0.5)/$n.0)*(1.0*(CAST(i AS DOUBLE)+0.5)/$n.0)*(1.0*(CAST(i AS DOUBLE)+0.5)/$n.0))))) AS age0,
+           |    ($dH/0.6774) * (z/$n.0) * list_sum(list_transform(range(0, $n),
+           |      i -> 1.0 / sqrt(0.3089*((1.0 + z*(CAST(i AS DOUBLE)+0.5)/$n.0)*(1.0 + z*(CAST(i AS DOUBLE)+0.5)/$n.0)*(1.0 + z*(CAST(i AS DOUBLE)+0.5)/$n.0)) + (1.0-0.3089)))) AS dcom
+           |  FROM q
+           |)
+           |SELECT z,
+           |  floor(age*1000000 + 0.5)/1000000 AS age_gyr,
+           |  floor((age0 - age)*1000000 + 0.5)/1000000 AS lookback_gyr,
+           |  floor(dcom*1000000 + 0.5)/1000000 AS dcom_mpc
+           |FROM terms ORDER BY z""".stripMargin
+      }),
+
     // --- whole-field reductions (dask sum/mean/min/max/std analogue) ---
     "field_stats" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d).agg(

@@ -93,6 +93,37 @@ class CosmologySpec extends SparkSpec {
     assert(c.omega0.exists(v => math.abs(v - (0.256 + 0.0486)) < 1e-12))
   }
 
+  test("derived quantities: quadrature matches the flat-LCDM closed form (cosmology.py:154)") {
+    val c = Cosmology(h = 0.6774, omega0 = Some(0.3089),
+      omegaBaryon = Some(0.0486), redshift = 1.0)
+    // age of the universe today ≈ 13.80 Gyr for Planck-ish params
+    assert(math.abs(c.ageGyr(0.0) - 13.8) < 0.05)
+    // quadrature vs independent closed form: 512 midpoint steps land
+    // well inside 1e-4 relative everywhere on the z grid
+    for (z <- Seq(0.0, 0.5, 1.0, 2.0, 5.0, 10.0)) {
+      val q = c.ageGyr(z)
+      val cf = Cosmology.ageGyrClosed(z, 0.6774, 0.3089)
+      assert(math.abs(q - cf) / cf < 1e-4, s"z=$z: $q vs closed $cf")
+    }
+    // lookback identities: 0 at z=0, monotone, bounded by age(0)
+    assert(c.lookbackGyr(0.0) == 0.0)
+    assert(c.lookbackGyr(1.0) > 0 && c.lookbackGyr(2.0) > c.lookbackGyr(1.0))
+    assert(c.lookbackGyr(10.0) < c.ageGyr(0.0))
+    // comoving distance: 0 at z=0, monotone; z=1 ≈ 3395 Mpc for
+    // these params (astropy FlatLambdaCDM cross-check value)
+    assert(c.comovingDistanceMpc(0.0) == 0.0)
+    assert(math.abs(c.comovingDistanceMpc(1.0) - 3395.0) < 5.0)
+    // column forms replay the scalar quadrature exactly (same terms)
+    import spark.implicits._
+    val got = Seq(0.5, 2.0).toDF("z")
+      .select(Cosmology.ageGyrCol(col("z"), 0.6774, 0.3089).as("age"),
+        Cosmology.comovingDistanceMpcCol(col("z"), 0.6774, 0.3089).as("d"))
+      .as[(Double, Double)].collect()
+    assert(got(0)._1 == c.ageGyr(0.5) && got(1)._1 == c.ageGyr(2.0))
+    assert(got(0)._2 == c.comovingDistanceMpc(0.5) &&
+      got(1)._2 == c.comovingDistanceMpc(2.0))
+  }
+
   test("GraftDataset carries cosmology through transforms and into info") {
     val dir = snapshotWith(gadgetHeader)
     val c = Cosmology.fromAttrs(ChunkedHdf5.attrs(dir)).get
