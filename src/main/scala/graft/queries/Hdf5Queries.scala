@@ -30,12 +30,13 @@ object Hdf5Queries {
   private val FixtureUnitMass = 1.989e43 // 1e10 Msun/h [g]
   private val FixtureUnitVelocity = 1e5 // km/s [cm/s]
 
-  /** One snapshot per (JVM, dataset dir): fixture generation collects
-    * the orders table on the driver — acceptable for writing a test
-    * fixture (production snapshots pre-exist on disk) but not
-    * something the measured query path should repeat, so both bench
-    * passes and all queries sharing the fixture reuse the first
-    * write. */
+  /** One snapshot per (JVM, dataset dir): fixture generation runs the
+    * DISTRIBUTED chunked writer (Hdf5Save — executors write their
+    * chunks in parallel, the driver collects nothing), with row ids
+    * assigned by the scalable PrefixSum (no one-task window). Both
+    * bench passes and all queries sharing the fixture reuse the first
+    * write — in production the snapshot pre-exists on disk; the
+    * measured operator is the DataSource V2 READ. */
   private val snapCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ordersSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
@@ -46,80 +47,64 @@ object Hdf5Queries {
   private def particleSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
     partCache.computeIfAbsent(d, _ => writeParticleSnapshot(s, d))
 
+  /** Contiguous 0..N-1 row index in o_orderkey order via the scalable
+    * PrefixSum (bucketed range partitioning + per-bucket cumsum — no
+    * one-task window), the precondition of Hdf5Save's chunk layout. */
+  private def indexedOrders(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.operators.PrefixSum.exclusive(
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_orderkey", lit(1L), buckets = 32, outCol = "__row")
+
   /** A TNG-shaped particle snapshot: arepo family markers
     * (`Git_commit` in /Header, customs/arepo/dataset.py:230), a
     * cosmological header, and — crucially — NO unit attributes on any
     * dataset, exactly how TNG/Illustris snapshots ship. Field values
-    * derive from orders columns so the DuckDB oracle can replay them. */
+    * derive from orders columns so the DuckDB oracle can replay them.
+    * Written by the DISTRIBUTED chunked writer (Hdf5Save). */
   private def writeParticleSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_h5_part_" + Integer.toHexString(d.hashCode))
-    dir.mkdirs()
-    dir.listFiles().foreach(f => if (f.getName.endsWith(".hdf5")) f.delete())
-    val rows = Tables.orders(s, d)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("o_orderkey")
-      .collect()
-    val nChunks = 2
-    val per = (rows.length + nChunks - 1) / nChunks
-    (0 until nChunks).foreach { k =>
-      val slice = rows.slice(k * per, math.min((k + 1) * per, rows.length))
-      val root = Hdf5Writer.Group(children = Seq(
-        "Header" -> Hdf5Writer.Group(attrs = Seq(
-          "Time" -> (1.0 / (1.0 + FixtureRedshift)),
-          "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
-          "Git_commit" -> "0badc0de", // arepo family marker
-          // the snapshot's code-unit system (standard TNG values):
-          // kpc/h in cm, 1e10 Msun/h in g, km/s in cm/s
-          "UnitLength_in_cm" -> FixtureUnitLength,
-          "UnitMass_in_g" -> FixtureUnitMass,
-          "UnitVelocity_in_cm_per_s" -> FixtureUnitVelocity,
-          "NumPart_ThisFile" -> Array(slice.length.toLong, 0L, 0L, 0L, 0L, 0L),
-          "NumFilesPerSnapshot" -> nChunks.toLong)),
-        "PartType0" -> Hdf5Writer.Group(children = Seq(
-          "OrderKey" -> Hdf5Writer.I64(slice.map(_.getLong(0))),
-          "Coordinates" -> Hdf5Writer.F64(slice.map(_.getDouble(2))),
-          "Masses" -> Hdf5Writer.F64(slice.map(_.getLong(1).toDouble)),
-          "Velocities" -> Hdf5Writer.F64(slice.map(r => (r.getLong(0) % 997).toDouble)),
-          "StarFormationRate" -> Hdf5Writer.F64(slice.map(_.getDouble(2))),
-          // gas thermodynamics for the Temperature derived field:
-          // x_e in [0, 1.188], u in the Gadget (km/s)^2 convention
-          "ElectronAbundance" -> Hdf5Writer.F64(
-            slice.map(r => (r.getLong(1) % 100) * 0.012)),
-          "InternalEnergy" -> Hdf5Writer.F64(slice.map(_.getDouble(2)))))))
-      Hdf5Writer.write(new File(dir, s"snap.$k.hdf5").getPath, root)
-    }
+    val df = indexedOrders(s, d).select(col("__row"),
+      col("o_orderkey").as("OrderKey"),
+      col("o_totalprice").as("Coordinates"),
+      col("o_custkey").cast("double").as("Masses"),
+      (col("o_orderkey") % 997).cast("double").as("Velocities"),
+      col("o_totalprice").as("StarFormationRate"),
+      // gas thermodynamics for the Temperature derived field:
+      // x_e in [0, 1.188], u in the Gadget (km/s)^2 convention
+      ((col("o_custkey") % 100).cast("double") * lit(0.012))
+        .as("ElectronAbundance"),
+      col("o_totalprice").as("InternalEnergy"))
+    graft.sources.hdf5.Hdf5Save.save(df, "__row", dir.getPath,
+      group = "PartType0", chunkRows = 1 << 13, filePrefix = "snap",
+      headerAttrs = Seq(
+        "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+        "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
+        "Git_commit" -> "0badc0de", // arepo family marker
+        // the snapshot's code-unit system (standard TNG values):
+        // kpc/h in cm, 1e10 Msun/h in g, km/s in cm/s
+        "UnitLength_in_cm" -> FixtureUnitLength,
+        "UnitMass_in_g" -> FixtureUnitMass,
+        "UnitVelocity_in_cm_per_s" -> FixtureUnitVelocity))
     dir.getPath
   }
 
-  /** Write orders as a 4-chunk Gadget-shaped HDF5 snapshot; returns
-    * the snapshot directory. Deterministic: rows ordered by
-    * o_orderkey, fixed chunking, fixed header attrs. */
+  /** Write orders as a chunked Gadget-shaped HDF5 snapshot via the
+    * distributed writer; returns the snapshot directory.
+    * Deterministic: rows indexed in o_orderkey order, fixed chunking,
+    * fixed header attrs. */
   private def writeOrdersSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_h5_orders_" + Integer.toHexString(d.hashCode))
-    dir.mkdirs()
-    dir.listFiles().foreach(f => if (f.getName.endsWith(".hdf5")) f.delete())
-    val rows = Tables.orders(s, d)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("o_orderkey")
-      .collect()
-    val nChunks = 4
-    val per = (rows.length + nChunks - 1) / nChunks
-    (0 until nChunks).foreach { k =>
-      val slice = rows.slice(k * per, math.min((k + 1) * per, rows.length))
-      val root = Hdf5Writer.Group(children = Seq(
-        "Header" -> Hdf5Writer.Group(attrs = Seq(
-          "Time" -> (1.0 / (1.0 + FixtureRedshift)),
-          "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
-          "NumPart_ThisFile" -> Array(slice.length.toLong, 0L, 0L, 0L, 0L, 0L),
-          "NumFilesPerSnapshot" -> nChunks.toLong)),
-        "PartType0" -> Hdf5Writer.Group(children = Seq(
-          "OrderKey" -> Hdf5Writer.I64(slice.map(_.getLong(0))),
-          "CustKey" -> Hdf5Writer.I64(slice.map(_.getLong(1))),
-          "TotalPrice" -> Hdf5Writer.F64(slice.map(_.getDouble(2)))))))
-      Hdf5Writer.write(new File(dir, s"snap.$k.hdf5").getPath, root)
-    }
+    val df = indexedOrders(s, d).select(col("__row"),
+      col("o_orderkey").as("OrderKey"),
+      col("o_custkey").as("CustKey"),
+      col("o_totalprice").as("TotalPrice"))
+    graft.sources.hdf5.Hdf5Save.save(df, "__row", dir.getPath,
+      group = "PartType0", chunkRows = 1 << 12, filePrefix = "snap",
+      headerAttrs = Seq(
+        "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+        "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble))
     dir.getPath
   }
 
