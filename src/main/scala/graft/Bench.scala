@@ -55,15 +55,20 @@ object Bench {
     // probes stayed under threshold). probes[i] precedes segment i;
     // a query in segment i is suspect when
     // max(probes[i], probes[i+1]) > 1.5x the recorded probe_sec.
-    def probe(): Double = {
+    def probeOnce(): Double = {
       val t0 = System.nanoTime()
       // xxhash64 per row = fixed CPU work; % bounds the ANSI-checked sum
       spark.range(0L, 1L << 28, 1L, cpus.toInt)
         .selectExpr("sum(xxhash64(id) % 100000)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // best-of-2 per probe point: single probe runs carry scheduler
+    // jitter that would false-flag clean segments at the 1.5x rule
+    def probe(): Double = math.min(probeOnce(), probeOnce())
 
     exec("groupby_agg") // warmup: JVM + codegen + parquet footer caches
+    probe() // warmup the probe plan too — its own first-run codegen
+    // (~0.3 s) would otherwise false-flag segment 0 as load
     // best-of-n passes (default 2, SPARK_GRAFT_BENCH_RUNS to raise):
     // single runs carry up to ±25% noise from codegen compilation and
     // machine load; the min approximates steady-state capability

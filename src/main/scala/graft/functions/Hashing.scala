@@ -116,8 +116,17 @@ object Hashing {
     * columns (`idCol`, `sigCol` array). Shuffle is on band keys only.
     */
   def lshCandidates(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
-    val e = df.select(col(idCol), explode(col(bandsCol)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    // materialization barrier: the self-join references this frame
+    // TWICE, and without it each branch re-evaluates the entire
+    // signature pipeline upstream (64 minhashes per doc + band-key
+    // hashing) — measured at ~2x the whole stage's cost. The cached
+    // frame is tiny ((id, band, key) longs, bands rows per doc);
+    // CacheScope releases it when the query's action completes. At
+    // 100 TB the analogue is writing the band-key table once and
+    // self-joining the at-rest copy.
+    val e = graft.CacheScope.track(
+      df.select(col(idCol), explode(col(bandsCol)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key")))
     val l = e.toDF(s"${idCol}_a", "band", "key")
     val r = e.toDF(s"${idCol}_b", "band", "key")
     l.join(r, Seq("band", "key"))

@@ -225,6 +225,34 @@ object Cosmology {
     } yield Cosmology(h = h, omega0 = om0, omegaBaryon = ob0, redshift = z)
   }
 
+  /** Cosmology recovery from SIBLING files — scida
+    * `_try_cosmology_from_alternative_files` (cosmology.py:223):
+    * some formats (Illustris `groups_*` catalogs) carry no
+    * cosmological parameters in their own header while other files in
+    * the same snapshot directory (`fof_subhalo_tab_*`, `snap_*`) do.
+    * Try the reference's alternative prefixes in its preference
+    * order; each try is one (memoized) chunk-0 header read. Returns
+    * None when nothing resolves — the caller keeps going without a
+    * cosmology, as scida does. */
+  def fromAlternativeFiles(path: String): Option[Cosmology] = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) return None
+    val names = Option(dir.list()).getOrElse(Array.empty[String]).toSeq
+    // prefix of a file named like "<word>_<digits>..." (cosmology.py
+    // :247 `^(\w*)_(\d*)`)
+    val available = names.flatMap { n =>
+      val m = "^([A-Za-z0-9_]*?)_\\d".r.findFirstMatchIn(n)
+      m.map(_.group(1))
+    }.toSet
+    Seq("fof_subhalo_tab", "fof_subhalo", "snap").iterator
+      .filter(available.contains)
+      .flatMap { pfx =>
+        try fromAttrs(graft.sources.hdf5.ChunkedHdf5.attrs(path, pfx))
+        catch { case _: Exception => None }
+      }
+      .nextOption()
+  }
+
   /** Is this snapshot a cosmological (comoving) run? — the
     * CosmologyMixin.validate logic (cosmology.py:85-130): an explicit
     * /Config ComovingIntegrationOn=1 wins; otherwise "legacy"

@@ -115,6 +115,73 @@ object Load {
     }
   }
 
+  /** Named-dataset resolution — scida `find_path`
+    * (convenience.py:183) minus its download half (network-bound,
+    * out of scope in a zero-egress build): resolve a user-supplied
+    * dataset NAME or short path to a concrete on-disk path through a
+    * JSON config registry (scida reads the same structure from
+    * `~/.config/scida/config.yaml`):
+    *
+    * {{{
+    * { "datafolders": ["/data/sims", "~/datasets"],
+    *   "resources": { "tng": { "tng50-4": { "path": "/data/tng50-4" } } } }
+    * }}}
+    *
+    *  - an existing filesystem path resolves to itself;
+    *  - `backend://name` looks up `resources[backend][name].path`
+    *    (convenience.py:262-272; http/https backends raise — the
+    *    download path is deliberately unsupported here);
+    *  - otherwise each `datafolders` entry is probed for
+    *    `<folder>/<path>` (convenience.py:274-283), first hit wins;
+    *  - anything else fails with the reference's error message.
+    */
+  def findPath(path: String,
+      configPath: String = defaultConfigPath): String = {
+    def expand(p: String): String =
+      if (p == "~") sys.props("user.home")
+      else if (p.startsWith("~/")) sys.props("user.home") + p.drop(1)
+      else p
+    val p = expand(path)
+    if (new File(p).exists()) return p
+    val cfg = loadConfig(expand(configPath))
+    if (p.contains("://")) {
+      val Array(backend, name) = p.split("://", 2)
+      if (backend == "http" || backend == "https")
+        sys.error("remote datasets are not supported in this build " +
+          "(zero-egress); mount the data and pass its path")
+      val resources = cfg.get("resources")
+        .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+        .getOrElse(Map.empty[String, Any])
+      val r = resources.get(backend)
+        .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+        .getOrElse(sys.error(s"Unknown resource '$backend'"))
+      val entry = r.get(name)
+        .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+        .getOrElse(sys.error(s"Unknown dataset '$name' in resource '$backend'"))
+      entry.get("path").collect { case s: String => expand(s) }
+        .getOrElse(sys.error(s"resource '$backend/$name' has no path"))
+    } else {
+      val folders = cfg.get("datafolders")
+        .collect { case xs: Seq[Any @unchecked] => xs.collect { case s: String => s } }
+        .getOrElse(Seq.empty)
+      folders.iterator.map(f => new File(expand(f), p))
+        .find(_.exists()).map(_.getPath)
+        .getOrElse(sys.error(s"Specified path '$path' unknown."))
+    }
+  }
+
+  private def defaultConfigPath: String =
+    sys.env.getOrElse("GRAFT_CONFIG_PATH",
+      sys.props("user.home") + "/.config/graft/config.json")
+
+  private def loadConfig(path: String): Map[String, Any] = {
+    val f = new File(path)
+    if (!f.isFile) return Map.empty
+    try graft.sources.zarr.MiniJson.parse(Files.readString(f.toPath))
+      .asInstanceOf[Map[String, Any]]
+    catch { case _: Exception => Map.empty }
+  }
+
   /** Simulation-family detection from metadata markers — scida's
     * per-class `validate_path` votes re-expressed as one inspection
     * (reference: src/scida/customs/swift/dataset.py:55 `/Code
@@ -175,6 +242,10 @@ object Load {
     val attrs = attrsOf(fmt, path)
     attrs.filter(Cosmology.isCosmological)
       .flatMap(Cosmology.fromAttrs)
+      // header carries no usable cosmology (Illustris groups_* files):
+      // recover it from sibling fof_subhalo_tab_*/snap_* headers —
+      // cosmology.py:223 _try_cosmology_from_alternative_files
+      .orElse(if (fmt == Hdf5) Cosmology.fromAlternativeFiles(path) else None)
       .foreach(c => ds = ds.withCosmology(c))
     // the file's own code-unit system (UnitLength_in_cm family) —
     // scida units="code"/"cgs" load modes (units.py _get_default_units)

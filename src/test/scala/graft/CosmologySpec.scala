@@ -93,6 +93,32 @@ class CosmologySpec extends SparkSpec {
     assert(c.omega0.exists(v => math.abs(v - (0.256 + 0.0486)) < 1e-12))
   }
 
+  test("cosmology recovers from sibling fof_subhalo_tab files (cosmology.py:223)") {
+    // a groups_* catalog whose own header carries NO cosmology, next
+    // to a fof_subhalo_tab_* file that does — the Illustris layout
+    val dir = Files.createTempDirectory("graft_altcosmo").toString
+    Hdf5Writer.write(s"$dir/groups_135.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> Hdf5Writer.Group(attrs = Seq("Ngroups_Total" -> 5L)),
+      "Group" -> Hdf5Writer.Group(children = Seq(
+        "GroupMass" -> Hdf5Writer.F64(Array(1.0, 2.0)))))))
+    Hdf5Writer.write(s"$dir/fof_subhalo_tab_135.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> Hdf5Writer.Group(attrs = Seq(
+        "Time" -> 0.25, "Redshift" -> 3.0, "HubbleParam" -> 0.6774,
+        "Omega0" -> 0.3089)),
+      "Subhalo" -> Hdf5Writer.Group(children = Seq(
+        "SubhaloMass" -> Hdf5Writer.F64(Array(1.0)))))))
+    val c = Cosmology.fromAlternativeFiles(dir)
+    assert(c.isDefined && c.get.h == 0.6774 && c.get.redshift == 3.0)
+    assert(c.get.omega0.contains(0.3089))
+    // a dir with no alternative-prefix files yields None, not an error
+    val bare = Files.createTempDirectory("graft_altnone").toString
+    Hdf5Writer.write(s"$bare/groups_1.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> Hdf5Writer.Group(attrs = Seq("Ngroups_Total" -> 1L)),
+      "Group" -> Hdf5Writer.Group(children = Seq(
+        "GroupMass" -> Hdf5Writer.F64(Array(1.0)))))))
+    assert(Cosmology.fromAlternativeFiles(bare).isEmpty)
+  }
+
   test("derived quantities: quadrature matches the flat-LCDM closed form (cosmology.py:154)") {
     val c = Cosmology(h = 0.6774, omega0 = Some(0.3089),
       omegaBaryon = Some(0.0486), redshift = 1.0)

@@ -108,4 +108,31 @@ class LoadSpec extends SparkSpec {
     // plain parquet: no cosmology, still loads
     assert(Load.dataset(spark, parquetDir).cosmology.isEmpty)
   }
+
+  test("findPath resolves names through the config registry (convenience.py:183)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_findpath")
+    val dataFolder = root.resolve("sims"); java.nio.file.Files.createDirectories(dataFolder)
+    val simDir = dataFolder.resolve("tng50-4"); java.nio.file.Files.createDirectories(simDir)
+    val cfg = root.resolve("config.json")
+    java.nio.file.Files.writeString(cfg,
+      s"""{"datafolders": ["$dataFolder"],
+         | "resources": {"tng": {"mini": {"path": "$simDir"}}}}""".stripMargin)
+    // an existing path resolves to itself, no config needed
+    assert(Load.findPath(simDir.toString, cfg.toString) == simDir.toString)
+    // a bare name resolves through datafolders (first hit wins)
+    assert(Load.findPath("tng50-4", cfg.toString) == simDir.toString)
+    // backend://name resolves through resources
+    assert(Load.findPath("tng://mini", cfg.toString) == simDir.toString)
+    // the reference's error messages for the unknown cases
+    val e1 = intercept[RuntimeException](Load.findPath("nope://x", cfg.toString))
+    assert(e1.getMessage.contains("Unknown resource"))
+    val e2 = intercept[RuntimeException](Load.findPath("tng://nope", cfg.toString))
+    assert(e2.getMessage.contains("Unknown dataset"))
+    val e3 = intercept[RuntimeException](Load.findPath("missing-name", cfg.toString))
+    assert(e3.getMessage.contains("unknown"))
+    // the download half is deliberately unsupported (zero egress)
+    val e4 = intercept[RuntimeException](
+      Load.findPath("https://example.org/data.tar.gz", cfg.toString))
+    assert(e4.getMessage.contains("zero-egress"))
+  }
 }
