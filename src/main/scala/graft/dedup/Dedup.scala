@@ -605,21 +605,30 @@ object Dedup {
     * case. */
   def embCosPairsFromCells(cells: DataFrame, embs: DataFrame, id: String,
       vec: String, minCos: Double): DataFrame = {
-    val cand = cells.toDF("id_a", "cell")
-      .join(cells.toDF("id_b", "cell"), Seq("cell"))
+    // Vectors ride THROUGH the cell self-join: one join keyed by cell
+    // (at scale: the IVF cell-partitioned at-rest layout — vectors
+    // co-located by cell, the same shape ann/IvfPq stores), cosine +
+    // threshold evaluated INSIDE the join's codegen stage, and only
+    // the tiny surviving pair set pays a distinct (a pair sharing
+    // several probed cells computes its cosine once per shared cell —
+    // identical value, deduped after the filter). The previous
+    // formulation distinct-shuffled MILLIONS of candidate id pairs
+    // and then joined the vectors back twice — three shuffles of the
+    // candidate volume versus none here.
+    val normed = embs.select(col(id).as("__id"), col(vec).as("__v"))
+      .withColumn("__nrm", sqrt(VectorOps.dotFast(col("__v"), col("__v"))))
+    val withVec = cells.toDF("__id", "cell").join(normed, Seq("__id"))
+    val a = withVec.select(col("cell"), col("__id").as("id_a"),
+      col("__v").as("v_a"), col("__nrm").as("nrm_a"))
+    val b = withVec.select(col("cell"), col("__id").as("id_b"),
+      col("__v").as("v_b"), col("__nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val normed = embs.select(col(id), col(vec))
-      .withColumn("nrm", sqrt(VectorOps.dotFast(col(vec), col(vec))))
-    val a = normed.select(col(id).as("id_a"), col(vec).as("v_a"),
-      col("nrm").as("nrm_a"))
-    val b = normed.select(col(id).as("id_b"), col(vec).as("v_b"),
-      col("nrm").as("nrm_b"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("cos", VectorOps.roundAt(
         VectorOps.dotFast(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (label,
