@@ -235,6 +235,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(pc.contains("graft_cm_estimate"), pc.take(1200))
   }
 
+  test("dedup_embcos: cosine rides inside the cell join stage — no pre-verify distinct of candidates") {
+    val p = plan("dedup_embcos")
+    // the cell self-join must evaluate cosine+threshold in its own
+    // stage; a HashAggregate BELOW the dot-product projection would
+    // mean the old shape (distinct-shuffle millions of id pairs, then
+    // join vectors back) regressed. The surviving-pair distinct above
+    // the filter is fine — it sees only thresholded rows.
+    val dotIdx = p.indexOf("graft_dot")
+    assert(dotIdx >= 0, "cosine must use the native dot expression:\n" + p.take(1200))
+    // plan strings print parents first: everything after the cosine
+    // projection is its input subtree — scans and the cell join only
+    assert(!p.substring(dotIdx).contains("HashAggregate"),
+      "candidate distinct crept below the cosine stage:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("salted_join: hot set is a collected literal — no sample/detection subtree in either branch") {
     val p = plan("salted_join")
     // hot-key detection runs ONCE at build time as a bounded

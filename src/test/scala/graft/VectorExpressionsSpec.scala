@@ -19,6 +19,30 @@ class VectorExpressionsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(slow))
   }
 
+  test("graft_nearest_cells: p=1 equals graft_nearest_centroid; ordered, distinct, in-range") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir).limit(200)
+    val cents = typedLit(Seq(
+      Seq.fill(64)(0.1), Seq.fill(64)(-0.1),
+      (0 until 64).map(i => math.sin(i.toDouble)),
+      (0 until 64).map(i => math.cos(i.toDouble))))
+    val rows = e.select(
+      call_function("graft_nearest_centroid", col("embedding"), cents).as("nc"),
+      call_function("graft_nearest_cells", col("embedding"), cents, lit(1)).as("p1"),
+      call_function("graft_nearest_cells", col("embedding"), cents, lit(3)).as("p3"))
+      .as[(Int, Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (nc, p1, p3) =>
+      assert(p1 == Seq(nc), "p=1 must equal the single-cell assignment")
+      assert(p3.head == nc, "nearest-first ordering")
+      assert(p3.distinct == p3 && p3.forall(c => c >= 0 && c < 4))
+      assert(p3.length == 3)
+    }
+    // p > k clamps to k cells
+    val clamped = e.limit(1).select(
+      call_function("graft_nearest_cells", col("embedding"), cents, lit(9)))
+      .as[Seq[Int]].head()
+    assert(clamped.sorted == Seq(0, 1, 2, 3))
+  }
+
   test("graft_cosine == HOF cosine on testdata embeddings, bitwise") {
     val e = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
     val pairs = e.crossJoin(e.select(col("embedding").as("e2"), col("vec_id").as("v2")))
