@@ -170,6 +170,13 @@ object Load {
     }
   }
 
+  /** Open a dataset BY NAME — scida `get_dataset_by_name`
+    * (convenience.py:399): resolve through the config registry, then
+    * the full auto-detected `dataset` load with mixins attached. */
+  def datasetByName(spark: SparkSession, name: String, group: String = "",
+      configPath: String = defaultConfigPath): GraftDataset =
+    dataset(spark, findPath(name, configPath), group)
+
   private def defaultConfigPath: String =
     sys.env.getOrElse("GRAFT_CONFIG_PATH",
       sys.props("user.home") + "/.config/graft/config.json")

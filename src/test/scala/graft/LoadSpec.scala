@@ -135,4 +135,14 @@ class LoadSpec extends SparkSpec {
       Load.findPath("https://example.org/data.tar.gz", cfg.toString))
     assert(e4.getMessage.contains("zero-egress"))
   }
+
+  test("datasetByName opens a registered dataset end-to-end (convenience.py:399)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsname")
+    val cfg = root.resolve("config.json")
+    java.nio.file.Files.writeString(cfg,
+      s"""{"resources": {"sims": {"demo": {"path": "$hdf5Dir"}}}}""")
+    val ds = Load.datasetByName(spark, "sims://demo", configPath = cfg.toString)
+    assert(ds.cosmology.map(_.redshift).contains(1.0))
+    assert(ds.fieldNames.contains("Masses"))
+  }
 }
