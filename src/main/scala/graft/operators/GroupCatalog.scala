@@ -39,7 +39,16 @@ object GroupCatalog {
       .select(col(groupKey), col("__goff"))
     val inGroup = Window.partitionBy(groupKey).orderBy(subKey)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    subhalos
+    // RANGE-partition the subhalo side by parent: RangePartitioning
+    // (groupKey) satisfies the window's ClusteredDistribution
+    // (groupKey) — same key, same partition, by binary search on the
+    // key — so the window adds NO further exchange, and the output
+    // leaves here range-partitioned by group and sorted
+    // (groupKey, subKey) inside each partition (the window's own
+    // sort order), i.e. globally ordered across ascending partition
+    // ids. Callers wanting ordered output `sortWithinPartitions`
+    // instead of paying a global re-sort.
+    subhalos.repartitionByRange(buckets, col(groupKey))
       .withColumn("local_offset", sum(subLen).over(inGroup) - subLen)
       .join(goff, Seq(groupKey))
       .withColumn("offset", col("__goff") + col("local_offset"))

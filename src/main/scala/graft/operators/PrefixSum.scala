@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Scale-out exclusive prefix sum (the offset-table primitive behind
   * scida's `get_groupoffsets`, reference: src/scida/customs/arepo/
@@ -10,54 +10,115 @@ import org.apache.spark.sql.functions._
   *
   * A single `Window.orderBy(key)` computes this but serializes the
   * whole table into ONE task ("WindowExec: No Partition Defined").
-  * Here the classic two-phase scan, expressed as ONE Spark action:
+  * Here the classic two-phase scan:
   *
-  *   1. range-partition by key (`repartitionByRange` — Spark's own
-  *      RangePartitioner sampling picks the boundaries; ordered,
-  *      deterministically seeded, and its sample job runs inside the
-  *      consuming action, not as a separate driver call),
-  *   2. cumulative sum WITHIN each range partition in parallel
-  *      (window partitioned by `spark_partition_id()`),
-  *   3. per-partition totals (<= `buckets` rows after a map-side-
-  *      combined aggregate) get their exclusive scan through a
-  *      single-task window — bounded by the bucket count, never the
-  *      data — and flow back as a BROADCAST join, still inside the
-  *      same plan.
+  *   1. range-partition by key, sort within each partition, and stamp
+  *      each row with its frozen bucket id (`spark_partition_id()`
+  *      evaluated once, at cache materialization) — the layout this
+  *      operator trusts is IN the cached data, not in task ids,
+  *   2. per-bucket totals — ONE bounded driver collect (<= `buckets`
+  *      values, a partition STATISTIC, never data), exclusive-scanned
+  *      driver-side,
+  *   3. a narrow `mapPartitions` carries the running sum; each row's
+  *      own bucket stamp selects its prefix base, so the pass is
+  *      immune to whatever the CONSUMER does to task boundaries
+  *      (a `coalesce(1)` before a single-file write concatenates
+  *      buckets into one task — task-id-based bases would silently
+  *      zero; row-stamp-based bases survive).
   *
-  * Earlier revisions drove steps 1 and 3 as separate driver actions
-  * (`approxQuantile` + `collect`); folding them into the consumer's
-  * plan removes two driver round-trips per call — the dominant cost
-  * at bench scale, and two fewer synchronization barriers at any
-  * scale.
+  * Why imperative here and not a window: an earlier revision kept
+  * phases 2-3 declarative (cumsum window partitioned by the bucket
+  * stamp + a broadcast join of bucket prefixes), but Catalyst cannot
+  * know that the stamp column IS the partitioning — it inserted a
+  * hash exchange for the window, AQE coalesced the tiny shuffle into
+  * ONE task, and the whole query ran as 12 jobs (measured with
+  * JobPeek: half the wall time was inter-stage scheduling barriers).
+  * Per-partition running state is the textbook genuine
+  * `mapPartitions` case; this form runs 3 jobs and shuffles nothing
+  * after the range partitioning. At 1e8+ groups nothing serializes:
+  * the collect is `buckets` longs, everything else is
+  * partition-parallel.
   */
 object PrefixSum {
 
   /** Adds `outCol` = exclusive prefix sum of `len` in ascending
     * numeric-`key` order. Keys must be unique (one row per group, as
-    * in an offset catalog). */
+    * in an offset catalog). `len` must be integral (lengths/counts);
+    * nulls count as 0 (as SQL `sum` would skip them).
+    *
+    * Output layout contract: range-partitioned by `key` with rows
+    * sorted by `key` inside every partition, i.e. GLOBALLY key-ordered
+    * across ascending partition ids. A caller that wants ordered
+    * output should `sortWithinPartitions(key)` (a near-no-op local
+    * pass over already-sorted runs), never `orderBy(key)` — a global
+    * sort would resample + reshuffle what is already in order. */
   def exclusive(dfIn: DataFrame, key: String, len: Column, buckets: Int,
       outCol: String = "offset"): DataFrame = {
-    // The ranged frame feeds two consumers (in-partition cumsum, the
-    // totals subtree) — materialize it once so both see the SAME
-    // partitioning (spark_partition_id is only meaningful against a
-    // frozen layout; at 100 TB this is "write the bucketed catalog
-    // once", the move scida also makes). CacheScope-tracked: the
-    // harness unpersists after the consuming query's action.
+    val lenType = dfIn.select(len).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(lenType),
+      s"prefix-sum length must be integral (a count/length), got $lenType")
+    // Materialize the input ONCE: repartitionByRange's boundary
+    // sampling executes the child subtree a second time (the
+    // RangePartitioner sketches the lineage), so an uncached
+    // aggregate feeding this operator would run twice. CacheScope
+    // releases both handles after the consuming query's action.
+    val in = graft.CacheScope.track(dfIn.withColumn("__len", len.cast(LongType)))
+    // The bucket stamp is evaluated when THIS cache materializes and
+    // is frozen thereafter — phases 2 and 3 both read the stamp from
+    // the cached rows, so they can never disagree about the layout
+    // (MEMORY_AND_DISK spills rather than evicts; within one query
+    // action the materialization is single).
     val ranged = graft.CacheScope.track(
-      dfIn.repartitionByRange(buckets, col(key)).withColumn("__b", spark_partition_id()))
-    val inBucket = Window.partitionBy("__b").orderBy(key)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = ranged.withColumn("__cum", sum(len).over(inBucket))
-    // exclusive scan over the per-bucket totals: the single-task
-    // window touches <= `buckets` rows, and sum(len)'s type (long for
-    // counts) carries through — no double round-trip (2^53 hazard)
-    val overBuckets = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pre = ranged.groupBy("__b").agg(sum(len).as("__tot"))
-      .select(col("__b"), coalesce(
-        sum(col("__tot")).over(overBuckets), lit(0L).cast("long")).as("__pre"))
-    cum.join(broadcast(pre), Seq("__b"))
-      .withColumn(outCol, col("__pre") + col("__cum") - len)
-      .drop("__b", "__cum", "__pre")
+      in.repartitionByRange(buckets, col(key)).sortWithinPartitions(key)
+        .withColumn("__b", spark_partition_id()))
+    // phase 2: per-bucket totals, aggregated per task then merged
+    // driver-side — no shuffle, bounded by the bucket count
+    val totals: Map[Int, Long] = ranged.select(col("__b"), col("__len")).rdd
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Int, Long]
+        it.foreach { r =>
+          if (!r.isNullAt(1))
+            m.update(r.getInt(0), m.getOrElse(r.getInt(0), 0L) + r.getLong(1))
+        }
+        m.iterator
+      }.collect()
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val prefixes: Map[Int, Long] = {
+      var run = 0L
+      totals.toArray.sortBy(_._1).map { case (b, tot) =>
+        val p = b -> run; run += tot; p
+      }.toMap
+    }
+    // phase 3: narrow streaming pass; the running counter restarts at
+    // each row's OWN bucket base. Buckets arrive as contiguous sorted
+    // runs (a task is one bucket, or `coalesce` concatenates whole
+    // buckets in order); the closed-set check turns any violated
+    // assumption into a loud failure instead of silent bad offsets.
+    val outSchema = StructType(
+      ranged.schema.fields.filterNot(f => f.name == "__len" || f.name == "__b") :+
+        StructField(outCol, LongType, nullable = false))
+    val keep = ranged.schema.fields.zipWithIndex
+      .filterNot(f => f._1.name == "__len" || f._1.name == "__b").map(_._2)
+    val lenIdx = ranged.schema.fieldIndex("__len")
+    val bIdx = ranged.schema.fieldIndex("__b")
+    ranged.mapPartitions { it =>
+      var cur = -1
+      var run = 0L
+      val closed = scala.collection.mutable.BitSet.empty
+      it.map { r =>
+        val b = r.getInt(bIdx)
+        if (b != cur) {
+          require(!closed.contains(b),
+            s"prefix-sum bucket $b seen non-contiguously — layout violated")
+          if (cur >= 0) closed += cur
+          cur = b
+          run = prefixes.getOrElse(b, 0L)
+        }
+        val l = if (r.isNullAt(lenIdx)) 0L else r.getLong(lenIdx)
+        val off = run
+        run += l
+        Row.fromSeq(keep.map(r.get).toSeq :+ off)
+      }
+    }(Encoders.row(outSchema))
   }
 }

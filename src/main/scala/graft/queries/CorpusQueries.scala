@@ -203,7 +203,9 @@ object CorpusQueries {
             when(col("n_tokens") === 0, lit(0L)).otherwise(
               expr(s"(start_tok + n_tokens - 1) div $ctx - start_tok div $ctx"))
               .as("n_splits"))
-          .orderBy("doc_id")
+          // PrefixSum's contract: range-partitioned + key-sorted —
+          // local sort pins the order without a second range shuffle
+          .sortWithinPartitions("doc_id")
       },
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -270,7 +270,11 @@ object ScidaQueries {
           .groupBy("l_orderkey").agg(count(lit(1)).as("len")),
         "l_orderkey", col("len"), buckets = 32)
         .select("l_orderkey", "len", "offset")
-        .orderBy("l_orderkey"),
+        // PrefixSum's contract: already range-partitioned + sorted by
+        // key — the local sort just pins the ordering Catalyst can't
+        // see (a global orderBy would resample + reshuffle a frame
+        // that is already in order)
+        .sortWithinPartitions("l_orderkey"),
       """SELECT l_orderkey, len,
         |  CAST(sum(len) OVER (ORDER BY l_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS BIGINT) AS offset
@@ -316,7 +320,11 @@ object ScidaQueries {
           grp, "o_custkey", col("glen"), sub, "o_orderkey", col("slen"))
           .select(col("o_custkey"), col("o_orderkey"), col("slen"),
             col("local_offset"), col("offset"))
-          .orderBy("o_custkey", "o_orderkey")
+          // subhaloOffsets leaves the frame range-partitioned by
+          // group and window-sorted (group, subhalo) per partition —
+          // the local sort pins the global order without a second
+          // range shuffle
+          .sortWithinPartitions("o_custkey", "o_orderkey")
       },
       """WITH sub AS (
         |  SELECT o_custkey, o_orderkey, count(*) AS slen

@@ -75,24 +75,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"sessionize should shuffle once, got $hashEx")
   }
 
-  test("group_offsets: two-phase prefix sum, no unpartitioned window") {
+  test("group_offsets: two-phase prefix sum — range buckets, no window, no join") {
     val p = plan("group_offsets")
-    // every Window must be partitioned (on the range bucket) — a
-    // global Window.orderBy serializes the catalog into one task
-    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.nonEmpty, p.take(800))
-    windows.foreach(w =>
-      assert(!w.contains("No Partition") && w.contains("__b"),
-        s"window must partition on the range bucket: $w"))
     // buckets are Spark's own range partitioning (its sample job runs
     // inside the consuming action — no separate driver quantile pass)
     assert(p.contains("rangepartitioning"), p.take(1200))
-    // bucket prefixes (exclusive scan over <= `buckets` totals rows)
-    // come back as a BROADCAST join inside the same plan — never a
-    // shuffled join of the catalog, and no extra driver action
-    assert(p.contains("BroadcastHashJoin"), p.take(1200))
-    assert(!p.contains("SortMergeJoin"),
-      "bucket prefix must broadcast, not shuffle:\n" + p.take(1200))
+    // the cumsum is a narrow per-bucket streaming pass (mapPartitions
+    // with row-stamped bucket bases) — NO window anywhere (a window
+    // partitioned by the bucket stamp re-exchanges because Catalyst
+    // can't see the stamp IS the partitioning; measured 12 jobs), and
+    // no join bringing prefixes back
+    assert(!p.contains("Window"),
+      "prefix sum must not plan a window:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "bucket prefixes ride the task closure, never a join:\n" + p.take(1200))
+    // ordered output comes from the range layout + a LOCAL sort above
+    // the streaming pass — never a second global (sampled) sort: the
+    // consumer-side plan (everything above the cached range layout)
+    // must be exchange-free, and every sort in it local
+    val top = p.linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
+    assert(!top.exists(_.contains("Exchange")),
+      "no exchange above the cached range layout:\n" + top.mkString("\n"))
+    assert(top.filter(_.contains("Sort [")).forall(_.contains("false, 0")),
+      "only local sorts above the prefix pass:\n" + top.mkString("\n"))
   }
 
   test("subhalo_offsets: every window partitioned (no one-task catalog scan)") {
@@ -169,16 +174,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "probe top-k must be a k-heap")
   }
 
-  test("pack_sequences: stream offsets via bucketed prefix sum, windows stay partitioned") {
+  test("pack_sequences: stream offsets via bucketed prefix sum, no global window") {
     val p = plan("pack_sequences")
-    // the only window is the in-bucket cumsum — partitioned by the
-    // range bucket; a global Window.orderBy(doc_id) would serialize
-    // the whole corpus into one task
-    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.nonEmpty, p.take(800))
-    windows.foreach(w =>
-      assert(!w.contains("No Partition") && w.contains("__b"),
-        s"window must partition on the range bucket: $w"))
+    // token start offsets come from the bucketed two-phase prefix
+    // sum — a narrow streaming pass over range buckets; a global
+    // Window.orderBy(doc_id) would serialize the whole corpus into
+    // one task
+    assert(!p.contains("Window"),
+      "prefix sum must not plan a window:\n" + p.take(1200))
     assert(p.contains("rangepartitioning"),
       "bucketing must be a range exchange (sampled inside the action)")
   }
