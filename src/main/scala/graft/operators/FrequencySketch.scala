@@ -54,8 +54,34 @@ object FrequencySketch {
     * SAFE for salting (it just isn't salted, AQE still covers it);
     * a false positive is also safe (a cold key gets harmless salts) —
     * any hot-key superset/subset yields identical join output. */
+  /** φ-heavy-hitters: keys whose frequency is at least `minFraction`
+    * of the table's rows — the standard definition, with N counted
+    * inside the SAME bounded pass (no separate count job). Survival
+    * guarantee holds whenever minFraction >= 1/capacity. A fixed
+    * absolute `minCount` is the wrong contract for skew detection:
+    * what overflows a reducer is a FRACTION of the table, and an
+    * absolute cutoff tuned at one SF silently marks half the keys
+    * hot at another (measured: minCount=6 at sf0.1 made ~40k keys
+    * "hot" — a 1.2 MB In-literal and an 8x fan-out of half the build
+    * side). */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int,
+      minFraction: Double): Array[Long] = {
+    require(minFraction >= 1.0 / capacity,
+      s"minFraction $minFraction below the 1/capacity survival guarantee")
+    val withTotal = heavyHittersWithCounts(df, keyCol, capacity)
+    val thresh = (withTotal._2 * minFraction).toLong.max(2L)
+    withTotal._1.iterator.filter(_._2 >= thresh).map(_._1).toArray.sorted
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, capacity: Int,
       minCount: Long): Array[Long] = {
+    val (m, _) = heavyHittersWithCounts(df, keyCol, capacity)
+    m.iterator.filter(_._2 >= minCount).map(_._1).toArray.sorted
+  }
+
+  /** The shared summary pass: (bounded key->count summary, total N). */
+  private def heavyHittersWithCounts(df: DataFrame, keyCol: String,
+      capacity: Int): (scala.collection.mutable.LongMap[Long], Long) = {
     import scala.collection.mutable
     def trim(m: mutable.LongMap[Long]): mutable.LongMap[Long] =
       if (m.size <= capacity) m
@@ -77,17 +103,17 @@ object FrequencySketch {
       if (keys.queryExecution.toRdd.getNumPartitions < target)
         keys.repartition(target, col("__k"))
       else keys
-    val merged = spreadKeys
+    val (merged, total) = spreadKeys
       .queryExecution.toRdd.map(_.getLong(0))
-      .treeAggregate(mutable.LongMap.empty[Long])(
-        (m, k) => {
+      .treeAggregate((mutable.LongMap.empty[Long], 0L))(
+        { case ((m, n), k) =>
           m(k) = m.getOrElse(k, 0L) + 1L
-          if (m.size > cap * 2) trim(m) else m
+          (if (m.size > cap * 2) trim(m) else m, n + 1L)
         },
-        (a, b) => {
+        { case ((a, na), (b, nb)) =>
           b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
-          trim(a)
+          (trim(a), na + nb)
         })
-    merged.iterator.filter(_._2 >= minCount).map(_._1).toArray.sorted
+    (merged, total)
   }
 }

@@ -29,7 +29,13 @@ object RelationalQueries {
     hotKeyMemo.computeIfAbsent((d + "/" + table, key), _ =>
       graft.operators.FrequencySketch.heavyHitters(
         Tables.lineitem(s, d).select(key), key,
-        capacity = 1 << 16, minCount = 6))
+        // φ-heavy-hitters: hot = holds >= 1/256 of the table's rows —
+        // the keys that would overflow a reducer. (TPC-H lineitem has
+        // NO such keys, so the hot set is empty here and the salt
+        // path no-ops — the skewed-data path is pinned by
+        // OperatorsSpec's Skew.saltedJoin test instead. An absolute
+        // minCount tuned at one SF mis-fires at every other.)
+        capacity = 1 << 16, minFraction = 1.0 / 256))
 
   def defs: Map[String, QueryDef] = Map(
     // --- groupBy + agg (TPC-H Q1 shape; scida grouped().sum() analogue) ---
@@ -417,22 +423,43 @@ object RelationalQueries {
         // immutable set, which the collected literal guarantees by
         // construction (PlanAuditSpec pins "no sample subtree").
         val hotKeys: Array[Long] = hotKeysOf(s, d, "lineitem", "l_orderkey")
-        val hot = hotKeys.toSeq.toDF("hotkey")
+        // The hot set rides as an In/InSet LITERAL predicate — fully
+        // codegen'd in both scan stages, no broadcast build job, no
+        // join operator. (A heavy-hitter set is small by definition:
+        // at most size/threshold keys exist.)
+        val isHot = col("l_orderkey").isInCollection(hotKeys)
+        val isHotO = col("o_orderkey").isInCollection(hotKeys)
+        // Aggregate BELOW the join: revenue is per-lineitem and the
+        // join key functionally determines the orders columns, so the
+        // fact side collapses to one partial row per (key, salt)
+        // BEFORE the join — map-side combined, and the salt splits
+        // hot keys across reducers in this very aggregate (the skew
+        // protection applies to the agg shuffle too). The join then
+        // moves |orders|-scale rows, not |lineitem|-scale — at 100 TB
+        // this is the difference between shuffling the fact table and
+        // shuffling a rollup of it.
         val l = Tables.lineitem(s, d)
-          .join(broadcast(hot), col("l_orderkey") === col("hotkey"), "left")
-          .withColumn("salt", when(col("hotkey").isNotNull,
+          .withColumn("salt", when(isHot,
             pmod(hash(col("l_linenumber")), lit(nSalt))).otherwise(lit(0)))
-          .drop("hotkey")
+          .groupBy("l_orderkey", "salt")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("prev"),
+            count(lit(1)).as("pn"))
         val o = Tables.orders(s, d)
-          .join(broadcast(hot), col("o_orderkey") === col("hotkey"), "left")
-          .withColumn("salt", explode(when(col("hotkey").isNotNull,
+          .withColumn("salt", explode(when(isHotO,
             sequence(lit(0), lit(nSalt - 1))).otherwise(array(lit(0)))))
-          .drop("hotkey")
-        l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        // shuffle-HASH, not sort-merge: the salted build side is
+        // bounded per partition BY CONSTRUCTION (salting splits every
+        // hot key across nSalt reducers — the exact precondition SHJ
+        // needs); the agg side arrives already hash-partitioned on
+        // (key, salt), so only the orders replica shuffles here
+        l.join(o.hint("shuffle_hash"),
+            l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
           .groupBy("o_orderpriority")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-            count(lit(1)).as("n"))
-          .orderBy("o_orderpriority")
+          .agg(round(sum(col("prev")), 2).as("revenue"),
+            sum(col("pn")).as("n"))
+          // 5-row result: a local sort on one partition — a global
+          // orderBy would plan a sampled range exchange (2 extra jobs)
+          .coalesce(1).sortWithinPartitions("o_orderpriority")
       },
       """SELECT o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

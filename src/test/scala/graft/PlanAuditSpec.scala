@@ -258,13 +258,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("salted_join")
     // hot-key detection runs ONCE at build time as a bounded
     // Space-Saving tree-aggregate (FrequencySketch.heavyHitters) and
-    // enters the plan as a LocalRelation-backed broadcast; a Sample
-    // node (the old sampled-groupBy detector) or any detection
-    // aggregate inside the executed join would mean each branch
-    // re-evaluates detection and the branches can race to disagree on
-    // the hot set, silently dropping rows
+    // enters the plan as a literal In/InSet predicate; a Sample node
+    // (the old sampled-groupBy detector) or any detection aggregate
+    // inside the executed join would mean each branch re-evaluates
+    // detection and the branches can race to disagree on the hot
+    // set, silently dropping rows
     assert(!p.contains("Sample"),
       "sample subtree leaked into the join plan:\n" + p.take(1500))
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the join itself is a shuffle-HASH join (no sort-merge: the
+    // salted build side is bounded per partition by construction),
+    // fed by an aggregate pushed BELOW the join on the fact side
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "salted join must not sort to merge:\n" + p.take(1200))
   }
 }
