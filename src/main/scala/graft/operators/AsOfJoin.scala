@@ -26,10 +26,11 @@ object AsOfJoin {
     * the right row's time through the window and filtering after —
     * same single shuffle. */
   def asofTolerance(left: DataFrame, right: DataFrame, key: String,
-      time: String, payload: Seq[String], tolerance: Long): DataFrame = {
+      time: String, payload: Seq[String], tolerance: Long,
+      rangeBuckets: Int = 0): DataFrame = {
     val rtCol = "__rt"
     val r = right.withColumn(rtCol, col(time))
-    val joined = asof(left, r, key, time, payload :+ rtCol)
+    val joined = asof(left, r, key, time, payload :+ rtCol, rangeBuckets)
     val within = col(rtCol).isNotNull && (col(time) - col(rtCol) <= tolerance)
     payload.foldLeft(joined) { (df, p) =>
       df.withColumn(p, when(within, col(p)))
@@ -39,29 +40,42 @@ object AsOfJoin {
   /** Forward as-of: earliest right row with time >= left.time. Same
     * composition on negated time (order flips, bounds flip). */
   def asofForward(left: DataFrame, right: DataFrame, key: String,
-      time: String, payload: Seq[String]): DataFrame = {
+      time: String, payload: Seq[String],
+      rangeBuckets: Int = 0): DataFrame = {
     val neg = "__negt"
     val l = left.withColumn(neg, -col(time))
     val r = right.withColumn(neg, -col(time))
-    asof(l, r, key, neg, payload).drop(neg)
+    asof(l, r, key, neg, payload, rangeBuckets).drop(neg)
   }
 
   /** @param left  rows to enrich; must contain `key` and `time`
     * @param right rows providing `payload` columns; must contain
     *              `key`, `time`, and `payload`
+    * @param rangeBuckets when > 0, the union is RANGE-partitioned by
+    *              `key` into this many buckets instead of letting the
+    *              window plan a hash exchange — same single shuffle,
+    *              but the output leaves key-range-clustered, so a
+    *              caller can pin a (key, ...) display order with a
+    *              LOCAL sort instead of a second global sort
     * @return left rows + `payload` columns as-of left.time (inclusive),
     *         null when no prior right row exists */
   def asof(left: DataFrame, right: DataFrame,
-      key: String, time: String, payload: Seq[String]): DataFrame = {
+      key: String, time: String, payload: Seq[String],
+      rangeBuckets: Int = 0): DataFrame = {
     val leftCols = left.columns
     // side=0 sorts right rows before left rows at equal times → a
     // right row at exactly left.time is visible (inclusive as-of).
     val l = left.withColumn("__side", lit(1))
     val r = right.select(col(key), col(time), struct(payload.map(col): _*).as("__p"))
       .withColumn("__side", lit(0))
-    val unioned = l.withColumn("__p", lit(null).cast(r.schema("__p").dataType))
+    val unioned0 = l.withColumn("__p", lit(null).cast(r.schema("__p").dataType))
       .select((leftCols.map(col) :+ col("__side") :+ col("__p")): _*)
       .unionByName(r, allowMissingColumns = true)
+    // RangePartitioning(key) satisfies the window's
+    // ClusteredDistribution(key) — same key, same partition — so the
+    // window adds no further exchange on top of it
+    val unioned = if (rangeBuckets > 0)
+      unioned0.repartitionByRange(rangeBuckets, col(key)) else unioned0
     // final tie-break on the payload's string form: multiple right
     // rows at the same (key, time) would otherwise resolve by shuffle
     // order — run-to-run nondeterminism the oracle hash would catch

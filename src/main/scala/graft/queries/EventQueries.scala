@@ -43,13 +43,20 @@ object EventQueries {
     // nanosecond parquet timestamps to its microsecond TIMESTAMP, so
     // the oracle can't see nanos — `ts_ns div 1000` matches exactly.
     "sessionize" -> QueryDef.sql(
+      // ONE range exchange feeds the whole pipeline: both session
+      // windows AND the per-session rollup cluster on user_id, which
+      // RangePartitioning(user_id) satisfies — no hash exchange, no
+      // global output sort (local sort over the range layout pins the
+      // order). Explicit bucket count keeps the windows parallel
+      // instead of AQE-coalescing a ~MB shuffle into one task.
       (s, d) => Sessionize.sessions(
-        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+          .repartitionByRange(32, col("user_id")),
         "user_id", col("ts_us"), GapUs, col("value"))
         .select(col("user_id"), col("session_seq"), col("n_events"),
           (col("t_end") - col("t_start")).as("dur_us"),
           roundAt(col("value_sum"), 2).as("value_sum"))
-        .orderBy("user_id", "session_seq"),
+        .sortWithinPartitions("user_id", "session_seq"),
       s"""WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
@@ -81,11 +88,16 @@ object EventQueries {
           .select("event_id", "user_id", "ts_us")
         val views = e.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
-        AsOfJoin.asof(clicks, views, "user_id", "ts_us", Seq("view_value"))
+        // one RANGE exchange total: the union enters the as-of window
+        // range-partitioned by user, and the (user_id, event_id)
+        // display order is pinned with a local sort over that layout
+        // (the old orderBy(event_id) re-sorted the output globally)
+        AsOfJoin.asof(clicks, views, "user_id", "ts_us", Seq("view_value"),
+            rangeBuckets = 32)
           .filter(col("view_value").isNotNull)
           .select(col("event_id"), col("user_id"),
             roundAt(col("view_value"), 2).as("view_value"))
-          .orderBy("event_id")
+          .sortWithinPartitions("user_id", "event_id")
       },
       """SELECT a.event_id, a.user_id,
         |  floor(b.view_value*100 + 0.5)/100 AS view_value
@@ -94,7 +106,7 @@ object EventQueries {
         |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
         |           WHERE event_type = 'view') b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
-        |ORDER BY a.event_id""".stripMargin),
+        |ORDER BY a.user_id, a.event_id""".stripMargin),
 
     // --- as-of with a tolerance bound (pandas merge_asof tolerance):
     // matches further than 48 hours in the past are nulled; output
@@ -107,11 +119,11 @@ object EventQueries {
         val views = e.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
         AsOfJoin.asofTolerance(clicks, views, "user_id", "ts_us",
-            Seq("view_value"), TolUs)
+            Seq("view_value"), TolUs, rangeBuckets = 32)
           .filter(col("view_value").isNotNull)
           .select(col("event_id"), col("user_id"),
             roundAt(col("view_value"), 2).as("view_value"))
-          .orderBy("event_id")
+          .sortWithinPartitions("user_id", "event_id")
       },
       s"""SELECT a.event_id, a.user_id,
          |  floor(b.view_value*100 + 0.5)/100 AS view_value
@@ -121,7 +133,7 @@ object EventQueries {
          |           WHERE event_type = 'view') b
          |  ON a.user_id = b.user_id AND b.ts <= a.ts
          |WHERE epoch_us(a.ts) - epoch_us(b.ts) <= $TolUs
-         |ORDER BY a.event_id""".stripMargin),
+         |ORDER BY a.user_id, a.event_id""".stripMargin),
 
     // --- forward as-of: the EARLIEST view at-or-after each click
     // (lead-time attribution). Same composition on negated time. ---
@@ -132,11 +144,12 @@ object EventQueries {
           .select("event_id", "user_id", "ts_us")
         val views = e.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts_us"), col("value").as("view_value"))
-        AsOfJoin.asofForward(clicks, views, "user_id", "ts_us", Seq("view_value"))
+        AsOfJoin.asofForward(clicks, views, "user_id", "ts_us",
+            Seq("view_value"), rangeBuckets = 32)
           .filter(col("view_value").isNotNull)
           .select(col("event_id"), col("user_id"),
             roundAt(col("view_value"), 2).as("view_value"))
-          .orderBy("event_id")
+          .sortWithinPartitions("user_id", "event_id")
       },
       """SELECT a.event_id, a.user_id,
         |  floor(b.view_value*100 + 0.5)/100 AS view_value
@@ -145,6 +158,6 @@ object EventQueries {
         |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
         |           WHERE event_type = 'view') b
         |  ON a.user_id = b.user_id AND b.ts >= a.ts
-        |ORDER BY a.event_id""".stripMargin)
+        |ORDER BY a.user_id, a.event_id""".stripMargin)
   )
 }

@@ -182,10 +182,18 @@ object RelationalQueries {
         val w = Window.partitionBy("o_custkey")
           .orderBy("o_orderdate", "o_orderkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.orders(s, d)
+        // ONE range exchange does double duty: RangePartitioning
+        // (o_custkey) satisfies the window's ClusteredDistribution
+        // (same key -> same partition, by boundary binary search), so
+        // the window adds no hash exchange, and the range layout makes
+        // the display order pinnable with a LOCAL sort — the old
+        // hash-window + global orderBy planned two shuffles + a
+        // sampled sort of the full output. Explicit bucket count so
+        // AQE never coalesces the window into one task.
+        Tables.orders(s, d).repartitionByRange(32, col("o_custkey"))
           .select(col("o_custkey"), col("o_orderkey"),
             round(sum(col("o_totalprice")).over(w), 2).as("running"))
-          .orderBy("o_custkey", "o_orderkey")
+          .sortWithinPartitions("o_custkey", "o_orderkey")
       },
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (

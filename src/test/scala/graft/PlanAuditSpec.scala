@@ -61,18 +61,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("group_quantity_join").contains("BroadcastHashJoin"))
   }
 
-  test("asof_join: one hash exchange on the key (plus the output sort)") {
+  test("asof_join: ONE exchange total — range by key, local output sort") {
     val p = plan("asof_join")
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashEx == 1, s"as-of should shuffle once on user_id, got $hashEx:\n${p.take(1200)}")
+    // the union enters the as-of window range-partitioned by user_id
+    // (satisfies the window's clustering), and the display order is a
+    // LOCAL sort over that layout — one shuffle for the whole query
+    val ex = "Exchange ".r.findAllIn(p).length
+    assert(ex == 1, s"as-of should shuffle exactly once, got $ex:\n${p.take(1200)}")
+    assert(p.contains("Exchange rangepartitioning(user_id"), p.take(1200))
+    assert(p.linesIterator.filter(_.contains("Sort ["))
+      .forall(_.contains("false, 0")), // global=false ⇒ local sorts only
+      "only local sorts expected:\n" + p.take(1200))
   }
 
-  test("sessionize: both windows share one exchange on the key") {
+  test("sessionize: windows AND rollup share one range exchange on the key") {
     val p = plan("sessionize")
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    // lag-window, cumsum-window, and the session groupBy all key on
-    // user_id — Catalyst must reuse a single hash exchange
-    assert(hashEx == 1, s"sessionize should shuffle once, got $hashEx")
+    // lag-window, cumsum-window, and the session groupBy all cluster
+    // on user_id — all satisfied by the single range exchange
+    val ex = "Exchange ".r.findAllIn(p).length
+    assert(ex == 1, s"sessionize should shuffle once, got $ex:\n${p.take(1200)}")
+    assert(p.contains("Exchange rangepartitioning(user_id"), p.take(1200))
   }
 
   test("group_offsets: two-phase prefix sum — range buckets, no window, no join") {
