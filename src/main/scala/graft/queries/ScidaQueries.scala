@@ -363,15 +363,21 @@ object ScidaQueries {
     // --- broadcast group quantity onto members (arepo/dataset.py:519) ---
     "group_quantity_join" -> QueryDef.sql(
       (s, d) => {
+        // Range-partition the FACT first: the sort-boundary sampling
+        // then reads two pruned int columns off the raw scan instead
+        // of re-executing the whole broadcast join (orderBy-last
+        // measured the join running twice — once for sampling, once
+        // for real). The broadcast join preserves the range layout,
+        // so a local sort pins the output order with no second
+        // exchange. Same row movement at 100 TB: the fact shuffles
+        // once either way; the dim broadcasts either way.
         val l = Tables.lineitem(s, d)
+          .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
         val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
-        // no sortBarrier here: caching the full 600k-row joined fact
-        // output measured no cheaper than letting the ORDER BY's
-        // sampling replay the (broadcast, map-side) join
         l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey"), col("l_linenumber"),
             round(col("o_totalprice"), 2).as("group_totalprice"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .sortWithinPartitions("l_orderkey", "l_linenumber")
       },
       """SELECT l_orderkey, l_linenumber,
         |  round(o_totalprice, 2) AS group_totalprice
@@ -547,14 +553,19 @@ object ScidaQueries {
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
         val bound = o.filter(col("o_totalprice") > 150000.0)
           .select("o_custkey", "o_orderkey")
+        // range-partition the fact FIRST (sampling reads two pruned
+        // ints, not the whole broadcast-join chain twice); both
+        // broadcast joins preserve the layout, so a local sort pins
+        // the output order — same move as group_quantity_join
         graft.operators.GroupCatalog.localSubhaloIndex(
           Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+            .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
             .join(broadcast(o.select("o_orderkey", "o_custkey")),
               col("l_orderkey") === col("o_orderkey")),
           "l_orderkey", bound, "o_custkey", "o_orderkey")
           .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
             col("local_subhalo_idx").cast("int").as("local_subhalo_idx"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .sortWithinPartitions("l_orderkey", "l_linenumber")
       },
       """WITH bound AS (
         |  SELECT o_custkey, o_orderkey,
