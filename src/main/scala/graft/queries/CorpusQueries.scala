@@ -51,16 +51,15 @@ object CorpusQueries {
           lit(" call "), when(did % 3 === 0, phone).otherwise(lit("")),
           lit(" ip "), ip)
         val (ne, np, ni) = TextOps.piiCounts(aug)
-        // KEEP the global orderBy here (measured): Catalyst plans the
-        // regex projection ABOVE the sort — the range exchange moves
-        // raw text, the sampling job reads only pruned doc_id, and
-        // the redaction runs once, parallel, post-shuffle. The
-        // local-sort substitution used elsewhere would serialize the
-        // regex chain onto the single scan split (0.23s -> 0.45s).
+        // sorted-at-rest + narrow chain: local sort. JobPeek showed
+        // the global orderBy ran the regex chain TWICE (the range
+        // boundary sampling executes the projection with the child,
+        // 0.38s each pass); the local sort runs it once on the scan
+        // split (0.88s -> 0.43s)
         Tables.documents(s, d).select(did,
           ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"),
           TextOps.redactPii(aug).as("redacted"))
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_emails,

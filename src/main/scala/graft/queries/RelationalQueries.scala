@@ -107,7 +107,11 @@ object RelationalQueries {
         val su = Tables.supplier(s, d)
         val n = Tables.nation(s, d)
         val r = Tables.region(s, d)
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
+        // shuffle-HASH for the one genuine shuffle join: the orders
+        // build side hashes ~|orders|/partitions rows per task —
+        // bounded — and SMJ's sort of the 4x-larger fact side is pure
+        // overhead before an aggregation that destroys order anyway
+        l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(c),
             col("o_custkey") === col("c_custkey") &&

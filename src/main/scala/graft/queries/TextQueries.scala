@@ -180,9 +180,14 @@ object TextQueries {
     "pipeline_clean" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val kept = docs
+        // kept feeds BOTH branches of the semi join; a self-join
+        // re-evaluates the whole subtree per branch (no CSE across
+        // branches), so without the barrier the langid + stopword
+        // expressions run twice — materialize once, both branches
+        // read the cache (CacheScope releases it at query end)
+        val kept = graft.CacheScope.track(docs
           .filter(TextOps.langId(col("text")) === "en")
-          .filter(roundAt(TextOps.stopwordRatio(col("text")), 6) >= 0.05)
+          .filter(roundAt(TextOps.stopwordRatio(col("text")), 6) >= 0.05))
         val keep = kept
           .groupBy(TextOps.exactHash(col("text")).as("h"))
           .agg(min("doc_id").as("doc_id"))
