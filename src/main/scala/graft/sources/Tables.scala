@@ -17,10 +17,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEvents(df) else df
-  }
+  // In-session catalog: `spark.read.parquet` runs a driver-side
+  // schema/footer job on EVERY call — ~40-80 ms per query that a real
+  // deployment pays once at catalog registration (metastore), not per
+  // query. DataFrames are immutable plans, safe to share; keyed by
+  // session too so a restarted session never leaks stale plans.
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    catalog.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEvents(df) else df
+    })
 
   /** events.parquet stores `ts` as TIMESTAMP(NANOS) which arrives as
     * an epoch-nano long (see GraftSession nanosAsLong). Expose both
