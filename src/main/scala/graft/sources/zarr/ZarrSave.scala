@@ -59,6 +59,7 @@ object ZarrSave {
 
     // driver-side metadata, executor-side chunk data
     val root = new File(path)
+    ZarrStore.assertSaveTarget(root) // scida save() overwrite safety
     root.mkdirs()
     Files.writeString(new File(root, ".zgroup").toPath, """{"zarr_format": 2}""")
     attrs.get("/").foreach(a => Files.writeString(

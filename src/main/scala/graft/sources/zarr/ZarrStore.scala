@@ -46,6 +46,26 @@ object ZarrStore {
   final case class Store(path: String, arrays: Seq[ArrayMeta],
       attrs: Map[String, Map[String, Any]])
 
+  /** Save-target safety (reference: src/scida/interface.py:311-320 —
+    * scida's save() refuses to clobber a directory it did not write):
+    * an EXISTING, NON-EMPTY target must already be a zarr group/array
+    * (.zgroup or .zarray present); an empty dir or a fresh path is
+    * fine. A regular-file target is always an error (zarr stores are
+    * directories). Shared by ZarrSave (distributed) and ZarrWriter
+    * (driver-side). */
+  def assertSaveTarget(root: File): Unit = {
+    if (!root.exists()) return
+    require(root.isDirectory,
+      s"${root.getPath} exists and is not a directory — zarr stores are directories")
+    val entries = root.listFiles()
+    if (entries != null && entries.nonEmpty) {
+      val isZarr = new File(root, ".zgroup").exists() ||
+        new File(root, ".zarray").exists()
+      require(isZarr, s"Directory '${root.getPath}' exists and is not a " +
+        "zarr group. Refusing to overwrite for safety.")
+    }
+  }
+
   /** Open a store directory: every descendant directory containing
     * `.zarray` is an array; `.zattrs` files become attrs keyed by
     * store-relative path ("/" for root, "/name" per array). */

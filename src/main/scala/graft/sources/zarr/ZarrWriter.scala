@@ -39,6 +39,7 @@ object ZarrWriter {
       attrs: Map[String, Map[String, Any]] = Map.empty,
       chunkRows: Int = 1 << 16, compress: Boolean = true): Unit = {
     val root = new File(path)
+    ZarrStore.assertSaveTarget(root) // scida save() overwrite safety
     root.mkdirs()
     Files.writeString(new File(root, ".zgroup").toPath, """{"zarr_format": 2}""")
     attrs.get("/").foreach(a =>

@@ -78,4 +78,42 @@ class ZarrSaveSpec extends SparkSpec {
       sum("l_orderkey").as("a"), sum("l_quantity").as("b")).head()
     assert(sums == want)
   }
+
+  test("save() overwrite safety (interface.py:311-320, test_save_safety.py)") {
+    val base = Files.createTempDirectory("graft_zsafe").toString
+    val df = spark.range(5).select(col("id"), (col("id") * 1.5).as("v"))
+
+    // refuses a non-empty directory that is not a zarr group
+    val notZarr = new File(base, "mydir"); notZarr.mkdirs()
+    Files.writeString(new File(notZarr, "important.txt").toPath, "data")
+    val e = intercept[IllegalArgumentException] {
+      ZarrSave.save(df, "id", notZarr.getPath)
+    }
+    assert(e.getMessage.contains("is not a zarr group"))
+    assert(Files.readString(new File(notZarr, "important.txt").toPath) == "data")
+
+    // allows an empty directory
+    val empty = new File(base, "emptydir"); empty.mkdirs()
+    ZarrSave.save(df, "id", empty.getPath)
+    assert(new File(empty, ".zgroup").exists())
+
+    // allows overwriting an existing zarr group
+    ZarrSave.save(df, "id", empty.getPath)
+    assert(spark.read.format("graft-zarr").load(empty.getPath).count() == 5)
+
+    // a regular-file target is a clear error, not an NPE
+    val f = new File(base, "plainfile")
+    Files.writeString(f.toPath, "x")
+    val e2 = intercept[IllegalArgumentException] {
+      ZarrSave.save(df, "id", f.getPath)
+    }
+    assert(e2.getMessage.contains("not a directory"))
+
+    // driver-side writer shares the guard
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sources.zarr.ZarrWriter.write(notZarr.getPath,
+        Seq("x" -> graft.sources.zarr.ZarrWriter.F64(Array(1.0))))
+    }
+    assert(e3.getMessage.contains("is not a zarr group"))
+  }
 }
