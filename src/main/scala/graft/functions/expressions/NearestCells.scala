@@ -84,11 +84,18 @@ object NearestCells {
     val used = new Array[Boolean](k)
     var t = 0
     while (t < take) {
+      // seed with the first unused index instead of a MaxValue
+      // sentinel: a NaN/+Inf distance (corrupt vector, overflowed
+      // norm) never wins a `<` comparison, and an all-NaN row would
+      // leave a sentinel-seeded `best` at -1 and crash — seeded, such
+      // rows deterministically take the lowest-index unused cells
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = 0.0
       var m = 0
       while (m < k) {
-        if (!used(m) && dist(m) < bestD) { bestD = dist(m); best = m }
+        if (!used(m) && (best == -1 || dist(m) < bestD)) {
+          bestD = dist(m); best = m
+        }
         m += 1
       }
       used(best) = true

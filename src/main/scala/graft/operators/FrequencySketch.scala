@@ -45,15 +45,20 @@ object FrequencySketch {
     * sample + groupBy + collect — was an extra full-scan-shaped
     * shuffle job whose output size was unbounded).
     *
-    * Guarantees: returned keys are those whose summary count reaches
-    * `minCount`. Per-partition counts are exact until a partition sees
-    * more than 2x`capacity` distinct keys, after which the smallest
-    * entries are trimmed (lossy — a batch-amortized variant of
-    * Space-Saving's per-insert min-eviction); keys with true count
-    * > rows/capacity always survive. Missing a merely-warm key is
-    * SAFE for salting (it just isn't salted, AQE still covers it);
-    * a false positive is also safe (a cold key gets harmless salts) —
-    * any hot-key superset/subset yields identical join output. */
+    * Guarantees (Misra-Gries invariant, preserved under merges —
+    * Agarwal et al., "Mergeable Summaries", PODS 2012): summary
+    * counts are one-sided UNDERestimates of true counts, each short
+    * by at most N/(capacity+1); hence every key with true count
+    * > N/(capacity+1) is present in the final summary. The trim is
+    * the batch Misra-Gries step — drop beyond-capacity smallest
+    * entries AND debit the survivors by the largest dropped count —
+    * NOT a plain top-k truncation, which would discard eviction mass
+    * and void the bound under adversarial interleavings. `minCount`
+    * thresholds apply to summary counts (i.e. conservatively).
+    * Missing a merely-warm key is SAFE for salting (it just isn't
+    * salted, AQE still covers it); a false positive is also safe (a
+    * cold key gets harmless salts) — any hot-key superset/subset
+    * yields identical join output. */
   /** φ-heavy-hitters: keys whose frequency is at least `minFraction`
     * of the table's rows — the standard definition, with N counted
     * inside the SAME bounded pass (no separate count job). Survival
@@ -69,7 +74,12 @@ object FrequencySketch {
     require(minFraction >= 1.0 / capacity,
       s"minFraction $minFraction below the 1/capacity survival guarantee")
     val withTotal = heavyHittersWithCounts(df, keyCol, capacity)
-    val thresh = (withTotal._2 * minFraction).toLong.max(2L)
+    // summary counts under-estimate by <= N/(capacity+1), so the
+    // fraction threshold is debited by the same bound: every true
+    // phi-hitter clears it (near-threshold false positives are the
+    // safe direction for every caller of this detector)
+    val thresh = (withTotal._2 *
+      (minFraction - 1.0 / (capacity + 1))).toLong.max(2L)
     withTotal._1.iterator.filter(_._2 >= thresh).map(_._1).toArray.sorted
   }
 
@@ -83,9 +93,23 @@ object FrequencySketch {
   private def heavyHittersWithCounts(df: DataFrame, keyCol: String,
       capacity: Int): (scala.collection.mutable.LongMap[Long], Long) = {
     import scala.collection.mutable
+    // batch Misra-Gries: keep the top `capacity` entries debited by
+    // d = the largest dropped count (dropped entries all have count
+    // <= d, so this is "decrement every counter by d" with the
+    // non-positive ones removed). Each trim removes >= (capacity+1)*d
+    // of counted mass, so the total debit any key ever takes is
+    // <= N/(capacity+1) — the survival bound documented above.
     def trim(m: mutable.LongMap[Long]): mutable.LongMap[Long] =
       if (m.size <= capacity) m
-      else mutable.LongMap(m.toSeq.sortBy(-_._2).take(capacity): _*)
+      else {
+        val sorted = m.toSeq.sortBy(-_._2)
+        val d = sorted(capacity)._2
+        val kept = mutable.LongMap.empty[Long]
+        sorted.iterator.take(capacity).foreach { case (k, c) =>
+          if (c > d) kept(k) = c - d
+        }
+        kept
+      }
     val cap = capacity
     val keys = df.select(col(keyCol).cast("long").as("__k"))
       .filter(col("__k").isNotNull)

@@ -77,8 +77,12 @@ object PrefixSum {
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[Int, Long]
         it.foreach { r =>
-          if (!r.isNullAt(1))
-            m.update(r.getInt(0), m.getOrElse(r.getInt(0), 0L) + r.getLong(1))
+          // a null length counts as 0 but must still REGISTER the
+          // bucket: a bucket whose rows are all null-length would
+          // otherwise be absent from `totals`, and phase 3 would
+          // start it at base 0 instead of the prior buckets' sum
+          val add = if (r.isNullAt(1)) 0L else r.getLong(1)
+          m.update(r.getInt(0), m.getOrElse(r.getInt(0), 0L) + add)
         }
         m.iterator
       }.collect()

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * the hot build rows — uniform full-side replication is the 100 TB
   * anti-pattern. Detection: integral keys take ONE bounded-state
   * map-side pass (FrequencySketch.heavyHitters — no sample job, no
-  * shuffle, hot set bounded ≤ its broadcast budget by construction);
-  * other key types fall back to a seeded-sample aggregate. Both join
+  * shuffle, hot set bounded ≤ its broadcast budget by construction)
+  * under the φ-fraction contract (hot = ≥1/256 of fact rows;
+  * `hotThreshold` does not apply to this path); other key types fall
+  * back to a seeded-sample aggregate, where `hotThreshold` is the
+  * minimum SAMPLED count. Both join
   * branches read the hot-key set from one immutable literal/persisted
   * plan, so they cannot disagree on the set; correctness does not
   * depend on WHICH keys are called hot — any set yields the same join
@@ -34,9 +37,15 @@ object Skew {
       case _ => false
     }
     val hot: DataFrame = if (integralKey) {
-      // threshold applies to FULL counts (no sample scaling)
+      // phi-fraction contract, NOT the absolute `hotThreshold`: an
+      // absolute count threshold against full counts marks nearly
+      // every repeated key hot (threshold 2 on TPC-H lineitem ≈ all
+      // keys, trimmed arbitrarily at the summary capacity — uniform
+      // replication, the exact anti-pattern this operator exists to
+      // avoid). Hot = holds >= 1/256 of the fact rows; what overflows
+      // a reducer is a FRACTION of the table, not a fixed count.
       FrequencySketch.heavyHitters(fact.select(factKey), factKey,
-        capacity = 1 << 16, minCount = hotThreshold)
+        capacity = 1 << 16, minFraction = 1.0 / 256)
         .toSeq.toDF("__hotkey")
     } else graft.CacheScope.track(
       fact.sample(withReplacement = false, sampleFraction, seed)

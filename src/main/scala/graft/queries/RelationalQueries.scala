@@ -28,7 +28,7 @@ object RelationalQueries {
       table: String, key: String): Array[Long] =
     hotKeyMemo.computeIfAbsent((d + "/" + table, key), _ =>
       graft.operators.FrequencySketch.heavyHitters(
-        Tables.lineitem(s, d).select(key), key,
+        Tables(s, d, table).select(key), key,
         // φ-heavy-hitters: hot = holds >= 1/256 of the table's rows —
         // the keys that would overflow a reducer. (TPC-H lineitem has
         // NO such keys, so the hot set is empty here and the salt

@@ -247,12 +247,21 @@ object Load {
     val df = dataFrame(spark, path, group)
     var ds = GraftDataset(df)
     val attrs = attrsOf(fmt, path)
-    attrs.filter(Cosmology.isCosmological)
+    // the cosmological gate applies to the dataset's OWN metadata; the
+    // sibling-file fallback below only recovers missing PARAMETERS for
+    // a dataset that already validated (reference: the mixin is
+    // attached by validate() first, cosmology.py:83, and only its
+    // __init__ consults alternatives, cosmology.py:46 — a
+    // non-cosmological run must not have comoving units re-attached
+    // from a sibling's header)
+    val cosmoValidated = attrs.exists(Cosmology.isCosmological)
+    attrs.filter(_ => cosmoValidated)
       .flatMap(Cosmology.fromAttrs)
       // header carries no usable cosmology (Illustris groups_* files):
       // recover it from sibling fof_subhalo_tab_*/snap_* headers —
       // cosmology.py:223 _try_cosmology_from_alternative_files
-      .orElse(if (fmt == Hdf5) Cosmology.fromAlternativeFiles(path) else None)
+      .orElse(if (cosmoValidated && fmt == Hdf5)
+        Cosmology.fromAlternativeFiles(path) else None)
       .foreach(c => ds = ds.withCosmology(c))
     // the file's own code-unit system (UnitLength_in_cm family) —
     // scida units="code"/"cgs" load modes (units.py _get_default_units)

@@ -25,11 +25,21 @@ object Tables {
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    catalog.computeIfAbsent((spark, dir, name), _ => {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val k = (spark, dir, name)
+    val hit = catalog.get(k)
+    if (hit != null) return hit
+    // miss path (once per session x table): sweep entries whose
+    // session has stopped — without this a JVM that recycles sessions
+    // (suite-per-session test runs, long-lived services) pins every
+    // dead session's plans and file indexes in this static map forever
+    val it = catalog.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    catalog.computeIfAbsent(k, _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") normalizeEvents(df) else df
     })
+  }
 
   /** events.parquet stores `ts` as TIMESTAMP(NANOS) which arrives as
     * an epoch-nano long (see GraftSession nanosAsLong). Expose both

@@ -160,7 +160,11 @@ object Hdf5Save {
       throw e
     }
 
-    // job succeeded — publish: drop old snapshot files, move new in
+    // job succeeded — publish: drop old snapshot files, move new in.
+    // On a mid-publish move failure the temp dir is PRESERVED: it
+    // holds the only copy of the not-yet-moved chunks (the old
+    // snapshot is already gone), so deleting it would turn a
+    // recoverable fault into data loss.
     try {
       out.listFiles().foreach(f =>
         if (f.getName.endsWith(".hdf5")) f.delete())
@@ -169,9 +173,11 @@ object Hdf5Save {
           new File(out, f.getName).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-    } finally {
-      tmp.listFiles().foreach(_.delete())
-      tmp.delete()
+    } catch { case e: Throwable =>
+      throw new java.io.IOException(
+        s"hdf5 save publish failed mid-move; unmoved chunks remain in " +
+          s"$tmp — recover by moving them into $out manually", e)
     }
+    tmp.delete() // success: every chunk was moved out
   }
 }

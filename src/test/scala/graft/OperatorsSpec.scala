@@ -129,11 +129,14 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("FrequencySketch.heavyHitters finds hot keys in one bounded pass") {
-    // key 7 occurs 500x, key 9 occurs 40x, 1..1000 occur once each
+    // key 7 occurs 500x, key 9 occurs 40x, 1..1000 occur once each.
+    // Summary counts are Misra-Gries UNDERestimates (short by up to
+    // N/(capacity+1) ≈ 23 here), so the threshold sits below key 9's
+    // worst-case summary count, not at its true count.
     val df = (Seq.fill(500)(7L) ++ Seq.fill(40)(9L) ++ (1L to 1000L))
       .toDF("k")
     val hot = graft.operators.FrequencySketch
-      .heavyHitters(df, "k", capacity = 64, minCount = 30)
+      .heavyHitters(df, "k", capacity = 64, minCount = 10)
     assert(hot.toSet == Set(7L, 9L), s"got ${hot.mkString(",")}")
     // bounded capacity never reports a merely-warm key above threshold
     val none = graft.operators.FrequencySketch

@@ -41,6 +41,13 @@ class VectorExpressionsSpec extends SparkSpec {
       call_function("graft_nearest_cells", col("embedding"), cents, lit(9)))
       .as[Seq[Int]].head()
     assert(clamped.sorted == Seq(0, 1, 2, 3))
+    // corrupt vectors (NaN components → every distance NaN) still get
+    // a deterministic, valid assignment instead of crashing the task
+    val bad = Seq(Seq.fill(64)(Double.NaN)).toDF("embedding")
+    val badCells = bad.select(
+      call_function("graft_nearest_cells", col("embedding"), cents, lit(2)))
+      .as[Seq[Int]].head()
+    assert(badCells == Seq(0, 1), "NaN rows take lowest-index cells")
   }
 
   test("graft_cosine == HOF cosine on testdata embeddings, bitwise") {
