@@ -42,9 +42,11 @@ import org.apache.spark.sql.types._
 object PrefixSum {
 
   /** Adds `outCol` = exclusive prefix sum of `len` in ascending
-    * numeric-`key` order. Keys must be unique (one row per group, as
-    * in an offset catalog). `len` must be integral (lengths/counts);
-    * nulls count as 0 (as SQL `sum` would skip them).
+    * `key` order (any range-partitionable type — numeric group ids,
+    * hash-shuffle string keys). Keys must be unique (one row per
+    * group, as in an offset catalog). `len` must be integral
+    * (lengths/counts); nulls count as 0 (as SQL `sum` would skip
+    * them).
     *
     * Output layout contract: range-partitioned by `key` with rows
     * sorted by `key` inside every partition, i.e. GLOBALLY key-ordered

@@ -227,6 +227,47 @@ object CorpusQueries {
          |  start_tok % 512 AS seq_off,
          |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
          |    ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 END AS n_splits
-         |FROM cum ORDER BY doc_id""".stripMargin)
+         |FROM cum ORDER BY doc_id""".stripMargin),
+
+    // --- deterministic training-shard export: the final step of a
+    // pipeline — break source-locality (md5-keyed pseudo-shuffle, the
+    // standard seedable global shuffle that needs no RNG state) and
+    // cut the shuffled stream into shards of a fixed token budget.
+    // Shard assignment is an exclusive prefix sum of token counts in
+    // hash order — the scalable PrefixSum primitive again (range-
+    // partitioned two-phase scan, never a one-task global window; at
+    // 100 TB each shard then writes as one task, nothing serializes).
+    // The md5 key carries the zero-padded doc_id as a tiebreak so the
+    // walk order is total on BOTH engines even under hash collisions.
+    // Output: per-shard manifest (docs, tokens) — integer arithmetic,
+    // bit-exact across engines. ---
+    "shuffle_export" -> QueryDef.sql(
+      (s, d) => {
+        val budget = 4096L
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tokens"),
+          concat_ws("-", md5(col("doc_id").cast("string")),
+            lpad(col("doc_id").cast("string"), 8, "0")).as("h"))
+        graft.operators.PrefixSum.exclusive(toks, "h", col("n_tokens"),
+            buckets = 32, outCol = "start_tok")
+          .select(col("n_tokens"), expr(s"start_tok div $budget").as("shard"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+          .orderBy("shard")
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) || '-' ||
+         |      lpad(CAST(doc_id AS VARCHAR), 8, '0') AS h
+         |  FROM documents),
+         |cum AS (
+         |  SELECT n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT start_tok // 4096 AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+         |FROM cum GROUP BY shard ORDER BY shard""".stripMargin)
   )
 }

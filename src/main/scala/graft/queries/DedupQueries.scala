@@ -35,6 +35,35 @@ object DedupQueries {
   private def embcosCellPath(d: String): String =
     "/tmp/graft_embcos_cells_" + Integer.toHexString(d.hashCode)
 
+  // dedup_semantic persists TWO artifacts the oracle replays from:
+  // the single-nearest cluster assignment and the quantizer itself
+  // (cell -> centroid), so the centroid-cosine ranking is computed by
+  // DuckDB from the same doubles the Spark plan carries as a literal
+  private val semCellPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_sem_cells_default")
+  private def semCellPath(d: String): String =
+    "/tmp/graft_sem_cells_" + Integer.toHexString(d.hashCode)
+  private val semCentPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_sem_cents_default")
+  private def semCentPath(d: String): String =
+    "/tmp/graft_sem_cents_" + Integer.toHexString(d.hashCode)
+
+  // DuckDB replay of VectorOps.cosineFast over two float embedding
+  // rows (cast each element to double; products and strict
+  // left-to-right sums in double; floor-rounded at 6 dp) — the
+  // engine-stable cosine every embedding oracle compares on
+  private def cosSql(a: String, b: String): String =
+    s"""floor((
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))
+       |      *1000000 + 0.5)/1000000""".stripMargin
+
   // Shared SQL fragment: per-doc distinct 3-shingle list (matches
   // Hashing.shingles(k=3) incl. the short-doc whole-text fallback).
   private val shingleCte =
@@ -328,6 +357,66 @@ object DedupQueries {
          |  JOIN embeddings a ON a.vec_id = c.id_a
          |  JOIN embeddings b ON b.vec_id = c.id_b)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // --- SemDeDup pruning (arXiv:2303.09540): k-means cells +
+    // within-cell dominance drop — the KEEP/DROP decision operator on
+    // top of the pair-finding machinery. Both the cluster assignment
+    // and the quantizer are persisted; DuckDB recomputes every
+    // centroid cosine, the rank, the within-cell dominance EXISTS and
+    // the surviving set from those tables — the whole distributed
+    // half (assignment pass, cell self-join, rank filter placement,
+    // anti-join) is hash-gated. ---
+    "dedup_semantic" -> QueryDef.sql(
+      (s, d) => {
+        val p = semCellPath(d)
+        val pc = semCentPath(d)
+        semCellPathRef.set(p)
+        semCentPathRef.set(pc)
+        val embs = Tables.embeddings(s, d)
+        val (indexed, centers) = graft.ann.Ivf.build(
+          embs, "vec_id", "embedding", nCells = 8)
+        indexed.select("vec_id", "cell")
+          .write.mode("overwrite").parquet(p)
+        import s.implicits._
+        centers.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(pc)
+        graft.dedup.SemDedup.pruneFromCells(
+            s.read.parquet(p), embs, "vec_id", "embedding",
+            centers, minCos = 0.4)
+          .orderBy("vec_id")
+      },
+      s"""WITH asg AS (
+         |  SELECT vec_id, cell FROM read_parquet('${semCellPathRef.get}/*.parquet')
+         |), cents AS (
+         |  SELECT cell, centroid FROM read_parquet('${semCentPathRef.get}/*.parquet')
+         |), v AS (
+         |  SELECT a.vec_id, a.cell,
+         |    floor((
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> c.centroid[i] * c.centroid[i])))))
+         |      *1000000 + 0.5)/1000000 AS cent_cos
+         |  FROM asg a
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN cents c ON c.cell = a.cell
+         |), dom AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM v x
+         |  JOIN v y ON x.cell = y.cell
+         |    AND (x.cent_cos < y.cent_cos
+         |         OR (x.cent_cos = y.cent_cos AND x.vec_id < y.vec_id))
+         |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+         |  WHERE ${cosSql("ea", "eb")} >= 0.4
+         |)
+         |SELECT vec_id, cell, cent_cos FROM v
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+         |ORDER BY vec_id""".stripMargin)
   )
 }

@@ -109,4 +109,29 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Int, Int, Int)].collect().toSeq
     assert(spans == Seq((10L, 2, 8, 7), (20L, 0, 6, 7)))
   }
+
+  test("prefix sum over a hash-shuffle STRING key: shard walk is the driver cumsum") {
+    // the shuffle_export shape: md5-keyed pseudo-shuffle order, token
+    // budget cuts — PrefixSum's range partitioning must hold for
+    // string keys exactly as for numeric group ids
+    val budget = 100L
+    val docs = (1L to 500L).map(i => (i, 1L + i % 37)).toDF("doc_id", "n")
+      .select(col("doc_id"), col("n"),
+        concat_ws("-", md5(col("doc_id").cast("string")),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("h"))
+    val out = graft.operators.PrefixSum.exclusive(docs, "h", col("n"),
+        buckets = 8, outCol = "start")
+      .select(col("h"), col("n"), col("start"),
+        expr(s"start div $budget").as("shard"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    out.foreach { case (h, n, start, shard) =>
+      assert(start == run, s"offset at $h: $start != $run")
+      assert(shard == run / budget)
+      run += n
+    }
+    // shards are contiguous 0..max and every one is non-empty
+    val shards = out.map(_._4).distinct.sorted
+    assert(shards.head == 0L && shards.toSeq == (0L to shards.last).toSeq)
+  }
 }

@@ -149,4 +149,43 @@ class DedupAnnSpec extends SparkSpec {
     // false positive, bounded well under the 1% design point x slack
     assert(survivors <= 50, s"bloom should prune novel hashes, kept $survivors")
   }
+
+  test("semdedup prune == brute-force dominance rule on testdata") {
+    import spark.implicits._
+    val (indexed, centers) = graft.ann.Ivf.build(
+      embs, "vec_id", "embedding", nCells = 8)
+    val kept = graft.dedup.SemDedup.pruneFromCells(
+        indexed.select("vec_id", "cell"), embs, "vec_id", "embedding",
+        centers, minCos = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+
+    // driver-side oracle: same rounding, same double math, all pairs
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val rows = indexed
+      .select(col("vec_id"), col("cell"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val rank = rows.map { case (id, cell, v) =>
+      id -> (r6(cos(v, centers(cell))), id)
+    }.toMap
+    val expected = rows.filter { case (id, cell, v) =>
+      !rows.exists { case (oid, ocell, ov) =>
+        ocell == cell && Ordering[(Double, Long)].lt(rank(oid), rank(id)) &&
+          r6(cos(ov, v)) >= 0.4
+      }
+    }.map(_._1).toSet
+    assert(kept == expected)
+    assert(kept.size < rows.length, "planted near-dups must prune rows")
+    // the SemDeDup diversity rule: nothing ranks before a cell's
+    // farthest-from-centroid member, so it is ALWAYS kept
+    rows.groupBy(_._2).foreach { case (_, cellRows) =>
+      val first = cellRows.map(_._1).minBy(rank)
+      assert(kept(first), s"cell-minimum $first must survive")
+    }
+  }
 }
