@@ -128,6 +128,54 @@ object AnnQueries {
       },
       ORACLE_RECALL),
 
+    // --- batched exact top-k: MANY query vectors at once — the
+    // similarity-JOIN shape real retrieval/dedup pipelines run (one
+    // query vector is the demo case; production scores a whole query
+    // table per pass). Queries broadcast, cosines computed map-side
+    // in the scan stage, per-query top-k via GroupTopK's two-phase
+    // reduction (local sort + first-k stream filter per partition,
+    // exact window only over <= partitions x queries x k survivors —
+    // never a global sort, never one-reducer-per-query). At larger
+    // query counts the same plan blocks by IVF cell first (ann_ivf's
+    // at-rest layout) instead of crossing the full corpus. ---
+    "ann_batch" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = e.filter(col("vec_id") >= 10)
+        val scored = c.crossJoin(broadcast(q))
+          .withColumn("cos", graft.functions.VectorOps.roundAt(
+            graft.functions.VectorOps.cosineFast(col("embedding"), col("q_emb")), 6))
+          .select(col("q_id"), col("vec_id"), col("cos"))
+        graft.operators.GroupTopK.topK(scored, Seq("q_id"),
+            Seq(col("cos").desc, col("vec_id")), k = 3)
+          .orderBy("q_id", "rk")
+      },
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10
+        |), p AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    floor((
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))))
+        |      *1000000 + 0.5)/1000000 AS cos
+        |  FROM c CROSS JOIN q
+        |), r AS (
+        |  SELECT q_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        |  FROM p)
+        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin),
+
     // --- random-hyperplane LSH bucketed ANN — recall-verdict oracled
     // (spec additionally measures candidate-set pruning) ---
     "ann_lsh" -> QueryDef.sql(
