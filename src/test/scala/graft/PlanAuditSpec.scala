@@ -280,4 +280,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "salted join must not sort to merge:\n" + p.take(1200))
   }
+
+  test("dedup_semantic: native cosines in the cell join, anti-join survivors, no window") {
+    val p = plan("dedup_semantic")
+    // survivors = corpus minus dominated rows — a LeftAnti against
+    // the (small) dominated set, never a ranking window over the
+    // corpus (which would one-task at scale)
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("Window"),
+      "semdedup must not plan a window:\n" + p.take(1200))
+    assert(p.contains("graft_cosine"),
+      "pair + centroid cosines must be the native expression:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("shuffle_export: bucketed prefix sum feeds a partial-agg manifest, no window") {
+    val p = plan("shuffle_export")
+    // the shard cut is PrefixSum's range layout + streaming pass —
+    // a global cumsum window would serialize the corpus at 100 TB
+    assert(p.contains("rangepartitioning"), p.take(1200))
+    assert(!p.contains("Window"),
+      "shard assignment must not plan a window:\n" + p.take(1200))
+    // the per-shard manifest combines map-side before its exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(1200))
+  }
+
+  test("ann_batch: query table broadcast; top-k window fed by the survivor filter only") {
+    val p = plan("ann_batch")
+    // the scoring join must broadcast the QUERY table over the corpus
+    // scan (map-side cosines) — never shuffle or cartesian the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the exact ranking window sees only GroupTopK's survivors (the
+    // per-partition first-k stream filter, a MapPartitions node below
+    // the window), and is always partitioned by query id
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, p.take(800))
+    assert(p.substring(wIdx).contains("MapPartitions"),
+      "window must rank survivors, not the full scored set:\n" + p.take(1500))
+    p.linesIterator.filter(_.contains("Window")).foreach(w =>
+      assert(!w.contains("No Partition"), s"unpartitioned window: $w"))
+  }
 }
