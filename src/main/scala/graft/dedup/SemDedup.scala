@@ -36,7 +36,8 @@ object SemDedup {
     * artifact is written once beside the corpus, and both this
     * operator and the verifying oracle read the identical table).
     *
-    * @param cells    (id, cell) single-nearest assignments
+    * @param cells    assignment table carrying columns `id` and
+    *                 `cell` (single-nearest; resolved BY NAME)
     * @param embs     corpus with `id` and `vec` columns
     * @param centers  the quantizer (index = cell id, 0-based)
     * @param minCos   semantic-duplicate threshold on rounded cosine
@@ -52,7 +53,7 @@ object SemDedup {
     // self-join read it — without the barrier the cosine pass would
     // re-run per branch (no cross-branch CSE in Catalyst).
     val ranked = graft.CacheScope.track(
-      cells.toDF("__id", "cell")
+      cells.select(col(id).as("__id"), col("cell"))
         .join(embs.select(col(id).as("__id"), col(vec).as("__v")), Seq("__id"))
         .withColumn("cent_cos", VectorOps.roundAt(
           VectorOps.cosineFast(col("__v"), element_at(centLit, col("cell") + 1)), 6)))
@@ -63,11 +64,19 @@ object SemDedup {
     // dominated = rows with a similar-enough same-cell neighbor that
     // ranks before them; cosine + rank evaluated INSIDE the join's
     // codegen stage, only surviving ids pay the distinct
+    // NaN guard: a zero/corrupt vector yields NaN cosines, and BOTH
+    // engines order NaN above every number (Spark and DuckDB alike) —
+    // so without the explicit isnan() a corrupt vector would count as
+    // "similar to everything" and be silently pruned. Undefined
+    // similarity must never drop data: NaN pairs are NOT duplicates
+    // (the oracle and the driver-side spec oracle agree by the same
+    // explicit rule).
+    val pairCos = VectorOps.roundAt(
+      VectorOps.cosineFast(col("v_a"), col("v_b")), 6)
     val dominated = a.join(b, Seq("cell"))
       .filter(col("cc_a") < col("cc_b") ||
         (col("cc_a") === col("cc_b") && col("id_a") < col("id_b")))
-      .filter(VectorOps.roundAt(
-        VectorOps.cosineFast(col("v_a"), col("v_b")), 6) >= minCos)
+      .filter(!isnan(pairCos) && pairCos >= minCos)
       .select(col("id_b").as("__id")).distinct()
     ranked.join(dominated, Seq("__id"), "left_anti")
       .select(col("__id").as(id), col("cell"), col("cent_cos"))

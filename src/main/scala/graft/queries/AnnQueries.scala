@@ -63,15 +63,8 @@ object AnnQueries {
           e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q)),
           "vec_id", "embedding", col("q_vec"), k = 10)
       },
-      """SELECT e.vec_id,
-        |  floor((
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, 65),
-        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, 65),
-        |         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))))
-        |    *1000000 + 0.5)/1000000 AS cos
+      s"""SELECT e.vec_id,
+        |  ${QueryDef.cosSql("e.embedding", "q.embedding")} AS cos
         |FROM embeddings e
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id != 0
@@ -152,21 +145,14 @@ object AnnQueries {
             Seq(col("cos").desc, col("vec_id")), k = 3)
           .orderBy("q_id", "rk")
       },
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         |  WHERE vec_id < 10
         |), c AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10
         |), p AS (
         |  SELECT q.q_id, c.vec_id,
-        |    floor((
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(range(1, 65),
-        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(range(1, 65),
-        |           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))))
-        |      *1000000 + 0.5)/1000000 AS cos
+        |    ${QueryDef.cosSql("c.embedding", "q.q_emb")} AS cos
         |  FROM c CROSS JOIN q
         |), r AS (
         |  SELECT q_id, vec_id, cos,

@@ -50,19 +50,7 @@ object DedupQueries {
   private def semCentPath(d: String): String =
     "/tmp/graft_sem_cents_" + Integer.toHexString(d.hashCode)
 
-  // DuckDB replay of VectorOps.cosineFast over two float embedding
-  // rows (cast each element to double; products and strict
-  // left-to-right sums in double; floor-rounded at 6 dp) — the
-  // engine-stable cosine every embedding oracle compares on
-  private def cosSql(a: String, b: String): String =
-    s"""floor((
-       |      list_sum(list_transform(range(1, 65),
-       |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
-       |      / (sqrt(list_sum(list_transform(range(1, 65),
-       |           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform(range(1, 65),
-       |           i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))
-       |      *1000000 + 0.5)/1000000""".stripMargin
+  // shared engine-stable cosine fragment — see QueryDef.cosSql
 
   // Shared SQL fragment: per-doc distinct 3-shingle list (matches
   // Hashing.shingles(k=3) incl. the short-doc whole-text fallback).
@@ -345,14 +333,7 @@ object DedupQueries {
          |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
          |), p AS (
          |  SELECT c.id_a, c.id_b,
-         |    floor((
-         |      list_sum(list_transform(range(1, 65),
-         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         |      / (sqrt(list_sum(list_transform(range(1, 65),
-         |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-         |       * sqrt(list_sum(list_transform(range(1, 65),
-         |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
-         |      *1000000 + 0.5)/1000000 AS cos
+         |    ${QueryDef.cosSql("a.embedding", "b.embedding")} AS cos
          |  FROM cand c
          |  JOIN embeddings a ON a.vec_id = c.id_a
          |  JOIN embeddings b ON b.vec_id = c.id_b)
@@ -405,15 +386,22 @@ object DedupQueries {
          |  FROM asg a
          |  JOIN embeddings e ON e.vec_id = a.vec_id
          |  JOIN cents c ON c.cell = a.cell
-         |), dom AS (
-         |  SELECT DISTINCT y.vec_id
+         |), pc AS (
+         |  SELECT y.vec_id AS y_id,
+         |    ${QueryDef.cosSql("ea.embedding", "eb.embedding")} AS c
          |  FROM v x
          |  JOIN v y ON x.cell = y.cell
          |    AND (x.cent_cos < y.cent_cos
          |         OR (x.cent_cos = y.cent_cos AND x.vec_id < y.vec_id))
          |  JOIN embeddings ea ON ea.vec_id = x.vec_id
          |  JOIN embeddings eb ON eb.vec_id = y.vec_id
-         |  WHERE ${cosSql("ea", "eb")} >= 0.4
+         |), dom AS (
+         |  -- NaN cosines (zero/corrupt vectors) are NOT duplicates:
+         |  -- both engines order NaN above every number, so without
+         |  -- the explicit isnan a corrupt vector would be pruned as
+         |  -- "similar to everything" (the build applies the same rule)
+         |  SELECT DISTINCT y_id AS vec_id FROM pc
+         |  WHERE NOT isnan(c) AND c >= 0.4
          |)
          |SELECT vec_id, cell, cent_cos FROM v
          |WHERE vec_id NOT IN (SELECT vec_id FROM dom)

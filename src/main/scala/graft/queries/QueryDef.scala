@@ -41,6 +41,24 @@ object QueryDef {
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** DuckDB replay of VectorOps.cosineFast over two 64-dim embedding
+    * column refs (e.g. `"e.embedding"`, `"q.q_emb"`): cast each
+    * element to double, products and strict left-to-right sums in
+    * double, floor-rounded at 6 dp — the engine-stable cosine every
+    * embedding oracle compares on. ONE definition: a drift in dims,
+    * rounding or cast order is an oracle-wide change, never a
+    * per-query one. NaN policy is the CALLER's: wrap in
+    * `NOT isnan(...)` where undefined similarity must not match. */
+  def cosSql(a: String, b: String): String =
+    s"""floor((
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))
+       |      *1000000 + 0.5)/1000000""".stripMargin
+
   /** Materialization barrier for the deterministic ORDER BY on a
     * MAP-ONLY result: orderBy is a range exchange whose
     * boundary-sampling job re-executes the child, and a map-only
