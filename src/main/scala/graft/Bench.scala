@@ -33,6 +33,10 @@ object Bench {
     // benchQueries: identical to SparkEntry.queries except the sketch
     // family, whose correctness gate computes the EXACT answer beside
     // the sketch — here the sketch operator is timed alone
+    // failure reasons ride IN the JSON line: the driver keeps only the
+    // tail of the run's output, so stderr messages from early queries
+    // are lost — round 6's three sentinel rows arrived reason-less
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def exec(name: String): Double = CacheScope.withScope {
       val t0 = System.nanoTime()
       try {
@@ -41,6 +45,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val msg = String.valueOf(e.getMessage).takeWhile(_ != '\n').take(80)
+          .replaceAll("""[\\"\p{Cntrl}]""", " ")
+        errors(name) = msg
         1e9
       }
     }
@@ -85,11 +92,22 @@ object Bench {
     }
     probes += probe()
     val probeSec = probes.min
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) formatting: the driver records only the TAIL
+    // of the run's output, and full-precision doubles pushed the JSON
+    // line past that window (round 6 lost the `total` and the early
+    // queries to truncation). 0.1 ms is far below run-to-run noise.
+    def fmt(v: Double): String =
+      if (v >= 1e8) "1.0E9" // keep the failure sentinel exact
+      // Locale.ROOT: a comma decimal separator would break the JSON
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val ps = probes.mkString("[", ",", "]")
+    val ps = probes.map(fmt).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":$probeSec,"probes":$ps,"probe_seg":$probeSeg,"cpus":${cpus.toInt},"runs":$runs}""")
+    val errs = if (errors.isEmpty) "" else errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":${fmt(probeSec)},"probes":$ps,"probe_seg":$probeSeg,"cpus":${cpus.toInt},"runs":$runs$errs}""")
     spark.stop()
   }
 }

@@ -41,16 +41,26 @@ object Tables {
     })
   }
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which arrives as
-    * an epoch-nano long (see GraftSession nanosAsLong). Expose both
-    * the raw nanos (`ts_ns`) and a microsecond-precision timestamp
-    * (`ts`) — analysis at 100 TB wants the long for cheap arithmetic
-    * and the timestamp for window functions. */
-  private def normalizeEvents(df: DataFrame): DataFrame = df
-    .withColumnRenamed("ts", "ts_ns")
-    // integer division — `/` would cast the ~1.7e18 nano value to
-    // double (> 2^53) and round, putting ~13% of timestamps off by 1us
-    .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  /** events.parquet's `ts` arrives in one of two physical layouts
+    * depending on the generator: TIMESTAMP(NANOS) read as an
+    * epoch-nano long (GraftSession nanosAsLong), or a plain
+    * microsecond timestamp (naive parquet micros → TIMESTAMP_NTZ).
+    * Normalize both to the SAME logical pair: raw epoch nanos
+    * (`ts_ns`) for cheap integer arithmetic at 100 TB, and a
+    * microsecond TimestampType (`ts`) for window functions. The NTZ
+    * cast is exact because the session time zone is pinned to UTC —
+    * the same naive-as-UTC reading DuckDB's epoch_us/epoch_ns use. */
+  private def normalizeEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+        .withColumnRenamed("ts", "ts_ns")
+        // integer division — `/` would cast the ~1.7e18 nano value to
+        // double (> 2^53) and round, putting ~13% of ts off by 1us
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => df
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
