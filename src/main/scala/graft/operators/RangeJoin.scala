@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed point-in-interval join.
+  *
+  * Spark plans a raw inequality join (`p.t BETWEEN i.start AND i.end`)
+  * as a broadcast-nested-loop / cartesian — O(points × intervals),
+  * a scale-killer the moment neither side broadcasts. The classic
+  * fix (the "bin join" used by range-join extensions in several SQL
+  * engines) turns containment into an EQUI-join on a time bucket:
+  * each interval is exploded to the buckets it overlaps, each point
+  * maps to exactly one bucket, and the exact predicate re-filters
+  * after the hash join. Cost: intervals fan out by
+  * ceil(len/bucketWidth)+1 rows, the join shuffles on
+  * (key, bucket) — partition-parallel, AQE-skew-splittable, no
+  * nested loop anywhere.
+  *
+  * `bucketWidth` should be on the order of the TYPICAL interval
+  * length: much smaller explodes intervals into many buckets; much
+  * larger packs unrelated rows into one bucket and shifts work onto
+  * the post-join filter. Both only hurt constants, never correctness.
+  *
+  * Times are integral (epoch micros/nanos); `div` keeps bucket ids in
+  * exact integer arithmetic (double division would round near bucket
+  * edges at 1e15-scale epochs). Reference semantics: scida has no
+  * interval join; this extends the event side of the engine the same
+  * way AsOfJoin does (batch equivalent of the streaming interval
+  * join in streaming/EventStreams.scala).
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to the `intervals` rows that contain them:
+    * same `key`, and tCol ∈ [startCol, endCol] (inclusive ends).
+    * Times must be non-negative integers in the same unit. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      key: String, tCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", expr(s"$tCol div ${bucketWidth}L"))
+    val i = intervals.withColumn("__bucket", explode(sequence(
+      expr(s"$startCol div ${bucketWidth}L"),
+      expr(s"$endCol div ${bucketWidth}L"))))
+    p.join(i, Seq(key, "__bucket"))
+      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps.roundAt
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import graft.sources.Tables
 
 /** Event-time operators over the `events` table: tumbling-window
@@ -23,6 +23,9 @@ object EventQueries {
   // 35 h, so the bound genuinely splits rows). ONE constant feeds
   // both the Spark build and the oracle SQL — the sides cannot drift.
   private val TolUs = 172800000000L
+  // interval-join window: each view opens a 72 h attribution window.
+  // Bucket width = window length, so every interval spans <= 2 buckets.
+  private val WinUs = 259200000000L
 
   def defs: Map[String, QueryDef] = Map(
     // --- tumbling-window aggregation (batch equiv of streaming agg) ---
@@ -158,6 +161,38 @@ object EventQueries {
         |ASOF JOIN (SELECT user_id, ts, value AS view_value FROM events
         |           WHERE event_type = 'view') b
         |  ON a.user_id = b.user_id AND b.ts >= a.ts
-        |ORDER BY a.user_id, a.event_id""".stripMargin)
+        |ORDER BY a.user_id, a.event_id""".stripMargin),
+
+    // --- bounded interval (point-in-range) join: every click joins
+    // the same-user views whose 72 h attribution window contains it.
+    // A raw BETWEEN join plans as a nested loop — operators.RangeJoin
+    // rewrites it as an EQUI-join on (user_id, time-bucket) with the
+    // exact containment re-filtered after the hash join, so the plan
+    // shuffles instead of looping (bucket width = window length ⇒
+    // each interval lands in at most 2 buckets). ---
+    "interval_join" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("v_start"),
+            (col("ts_us") + lit(WinUs)).as("v_end"), col("value"))
+        RangeJoin.pointInInterval(clicks, views,
+            "user_id", "ts_us", "v_start", "v_end", bucketWidth = WinUs)
+          .groupBy("event_id", "user_id")
+          .agg(count(lit(1)).as("n_views"),
+            roundAt(sum("value"), 2).as("view_value_sum"))
+          .orderBy("event_id")
+      },
+      s"""SELECT a.event_id, a.user_id, count(*) AS n_views,
+         |  floor(sum(b.value)*100 + 0.5)/100 AS view_value_sum
+         |FROM (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+         |      WHERE event_type = 'click') a
+         |JOIN (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + $WinUs AS e,
+         |        value FROM events WHERE event_type = 'view') b
+         |  ON a.user_id = b.user_id AND a.t >= b.s AND a.t <= b.e
+         |GROUP BY a.event_id, a.user_id
+         |ORDER BY a.event_id""".stripMargin)
   )
 }

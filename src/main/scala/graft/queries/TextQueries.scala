@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.functions.VectorOps.roundAt
@@ -248,6 +249,61 @@ object TextQueries {
       """SELECT doc_id, md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fp_bag
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // --- per-document TF-IDF top terms: the cross-document term
+    // weighting the rest of the text family lacks (every other text
+    // op is map-side per-doc). idf is the LINEAR rarity ratio
+    // n_docs/df, not a log: ln() is not IEEE-identical across
+    // engines, while int-product + one double division is — and a
+    // monotone transform of idf never changes per-doc term ranking.
+    // Plan shape at 100 TB: explode → two hash aggregations (partial
+    // map-side), a SHUFFLE join on term (both sides are vocabulary-
+    // sized — broadcast would not hold), the corpus size as a
+    // broadcast scalar, then a doc-partitioned window for top-k —
+    // every stage partition-parallel, no driver action. ---
+    "tfidf_topterms" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = docs.select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score", floor((col("tf") * col("n_docs")).cast("double")
+            / col("df").cast("double") * 1000000 + 0.5) / 1000000)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE length(term) > 0 GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    floor((tf.tf * n.n_docs)::DOUBLE / df.df::DOUBLE * 1000000 + 0.5)
+        |      / 1000000 AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rk
+        |  FROM sc
+        |)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
   )
 }

@@ -175,4 +175,27 @@ class OperatorsSpec extends SparkSpec {
     // normalization upstream (documented limitation, as in the Zones
     // paper's basic form)
   }
+
+  test("RangeJoin.pointInInterval == brute-force BETWEEN join") {
+    // intervals chosen to cross bucket edges (width 10): [5,25] spans
+    // 3 buckets, [18,22] spans 2; ends are inclusive on both sides
+    val points = Seq((1L, 101L, 5L), (1L, 102L, 10L), (1L, 103L, 25L),
+      (1L, 104L, 26L), (2L, 201L, 20L), (3L, 301L, 20L))
+      .toDF("k", "pid", "t")
+    val ivals = Seq((1L, 5L, 25L, "a"), (1L, 18L, 22L, "b"),
+      (2L, 0L, 19L, "c"), (2L, 20L, 20L, "d"))
+      .toDF("k", "s", "e", "tag")
+    val got = RangeJoin.pointInInterval(points, ivals, "k", "t", "s", "e", 10L)
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    val brute = points.join(ivals.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    assert(got == brute && got == Set((101L, "a"), (102L, "a"), (103L, "a"),
+      (201L, "d")))
+    // the rewrite must not duplicate a (point, interval) pair even
+    // when the interval spans several buckets: a point lives in
+    // exactly one bucket, so each pair joins at most once
+    val n = RangeJoin.pointInInterval(points, ivals, "k", "t", "s", "e", 10L).count()
+    assert(n == 4L)
+  }
 }

@@ -334,4 +334,41 @@ class PlanAuditSpec extends SparkSpec {
     p.linesIterator.filter(_.contains("Window")).foreach(w =>
       assert(windowPartitioned(w), s"unpartitioned window: $w"))
   }
+
+  test("interval_join: bucketed rewrite plans a hash equi-join, never a nested loop") {
+    val p = plan("interval_join")
+    // the whole point of RangeJoin: a BETWEEN join must NOT fall back
+    // to BroadcastNestedLoopJoin/CartesianProduct — at 100 TB neither
+    // side broadcasts and a loop join is O(points x intervals). The
+    // rewrite gives the optimizer EQUI-keys (key, bucket); at test
+    // scale stats pick BroadcastHashJoin, at scale the same keys
+    // shuffle into SMJ/SHJ — either is the partition-parallel shape.
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected an equi-join on (key, bucket):\n" + p.take(1200))
+    // the containment predicate survives as the join's post-condition
+    assert(p.contains(">= v_start") && p.contains("<= v_end"), p.take(1200))
+    // the per-click rollup combines map-side before its exchange
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("tfidf_topterms: doc-partitioned top-k window over an equi term join") {
+    val p = plan("tfidf_topterms")
+    // the term join must be an equi-join (hash/sort-merge — broadcast
+    // at test scale, shuffled at corpus scale where the vocabulary
+    // doesn't fit); the ONLY nested-loop allowed is the single-row
+    // corpus-count cross broadcast
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1200))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the scalar n_docs cross may nest-loop, got $bnlj")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    p.linesIterator.filter(_.contains("Window")).foreach(w =>
+      assert(windowPartitioned(w), s"unpartitioned window: $w"))
+    // partial aggregation below both exchanges (tf and df), and the
+    // rank-limit pushdown keeps only k rows per doc ahead of the
+    // window's shuffle
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
 }
