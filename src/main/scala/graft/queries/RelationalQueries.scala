@@ -241,6 +241,50 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem""".stripMargin),
 
+    // --- exact per-group discrete quantiles (p50/p90 per return
+    // flag). Scale shape: the heavy pass is a map-side-combined
+    // (group, value) COUNT — the window runs over that value
+    // histogram (groups x distinct values rows, thousands at most),
+    // never over raw rows. A Window.partitionBy(flag) on raw
+    // lineitem would serialize 1/3 of the table per task at 3-key
+    // cardinality; this form is how per-group quantiles stay
+    // partition-parallel at 100 TB. Discrete selection (smallest
+    // value with cumulative count >= ceil(q*n)) keeps every compare
+    // in integer/exact arithmetic — no interpolation formula to
+    // drift between engines. ---
+    "group_percentiles" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val counts = li.groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        val cum = counts.withColumn("cum", sum("c").over(w))
+        val tot = counts.groupBy("l_returnflag").agg(sum("c").as("n"))
+        cum.join(broadcast(tot), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            min(when(col("cum") >= ceil(col("n") * 0.5), col("l_quantity"))).as("p50"),
+            min(when(col("cum") >= ceil(col("n") * 0.9), col("l_quantity"))).as("p90"),
+            max("n").as("n"))
+          .orderBy("l_returnflag")
+      },
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |), cc AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum
+        |  FROM c
+        |), t AS (
+        |  SELECT l_returnflag, sum(c) AS n FROM c GROUP BY l_returnflag
+        |)
+        |SELECT cc.l_returnflag,
+        |  min(CASE WHEN cum >= ceil(n*0.5) THEN l_quantity END) AS p50,
+        |  min(CASE WHEN cum >= ceil(n*0.9) THEN l_quantity END) AS p90,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM cc JOIN t ON cc.l_returnflag = t.l_returnflag
+        |GROUP BY cc.l_returnflag ORDER BY cc.l_returnflag""".stripMargin),
+
     // --- approximate sketches: the 100 TB-native forms of distinct
     // count (HyperLogLog++) and quantiles (constant-size state, one
     // pass, map-side mergeable) — rows-only (sketch algorithms differ
