@@ -576,6 +576,57 @@ object Dedup {
       .drop("__isl")
   }
 
+  /** Substring-level scrub — the REMOVAL stage on top of
+    * `substringSpans` (the public exact-substring dedup recipe:
+    * find duplicated spans, then delete all but one copy). Rule,
+    * deterministic and SQL-replayable: a word position is scrubbed
+    * when it is covered by a cross-doc duplicated k-shingle whose
+    * keeper (the minimum doc id over that shingle hash) is a
+    * DIFFERENT document — the earliest document keeps its copy,
+    * every later copy loses the covered words. Output per doc:
+    * original word count, kept word count, and the md5 of the
+    * scrubbed text (the fingerprint stands in for shipping the
+    * rewritten corpus through the correctness gate).
+    *
+    * Scale shape: shingle hashing is the one-pass native expression
+    * in the scan stage; the keeper resolution is a window over the
+    * HASH key (high cardinality — partition-parallel); covered
+    * positions explode by at most k per scrubbed occurrence; the
+    * rewrite is an anti join on (doc, position) plus one per-doc
+    * aggregation. No stage keys on anything lower-cardinality than
+    * the corpus itself. */
+  def substringScrub(docs: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"minimum span length must be >= 2 words, got $k")
+    val occ = docs.select(col(id),
+      posexplode(call_function("graft_pos_shingles", col(text), lit(k)))
+        .as(Seq("pos", "h")))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val covered = occ
+      .withColumn("__keeper", min(col(id)).over(byHash))
+      .filter(col("__keeper") < col(id))
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("wpos"))
+      .distinct()
+    val words = docs.select(col(id),
+      posexplode(split(col(text), " ")).as(Seq("wpos", "w")))
+    val kept = words.join(covered, Seq(id, "wpos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        // ordered reassembly without a sort shuffle: per-doc buffer,
+        // struct sort by position, then re-join — bounded by doc
+        // length, the same per-doc assumption the rest of the corpus
+        // family makes
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wpos"), col("w")))),
+          s => s.getField("w")))).as("fp"))
+    docs.select(col(id), size(split(col(text), " ")).as("n_words"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("fp"), md5(lit(""))).as("fp"))
+  }
+
   /** Multi-probe IVF cell assignments: (id, cell) with one row per
     * (vector, probed cell) — each vector lands in its `nProbe`
     * nearest of the trained centroids, so boundary-spanning near-dup

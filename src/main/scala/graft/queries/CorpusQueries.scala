@@ -173,6 +173,48 @@ object CorpusQueries {
         |FROM i GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin),
 
+    // --- substring-level SCRUB: the removal stage on top of span
+    // finding (public exact-substring dedup removes all but one copy
+    // of each duplicated passage). Keeper = minimum doc id per
+    // shingle hash; later copies lose the covered words; the md5 of
+    // each rewritten doc rides through the gate instead of the full
+    // text. Oracle replays shingle → keeper → coverage → anti-join →
+    // ordered reassembly in SQL. ---
+    "substring_scrub" -> QueryDef.sql(
+      (s, d) => Dedup.substringScrub(Tables.documents(s, d),
+        "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(ws)-8+2, 1)),
+        |        i -> struct_pack(pos := i-1,
+        |               h := md5(array_to_string(ws[i:i+8-1], ' '))))) AS u
+        |      FROM t),
+        |o AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM s),
+        |kp AS (SELECT doc_id, pos,
+        |        min(doc_id) OVER (PARTITION BY h) AS keeper
+        |      FROM o),
+        |cov AS (SELECT DISTINCT kp.doc_id, kp.pos + g.i AS wpos
+        |        FROM kp, generate_series(0, 7) AS g(i)
+        |        WHERE kp.keeper < kp.doc_id),
+        |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+        |        i -> struct_pack(wpos := i-1, w := ws[i]))) AS u
+        |      FROM t),
+        |ww AS (SELECT doc_id, u.wpos AS wpos, u.w AS w FROM w),
+        |kept AS (
+        |  SELECT ww.doc_id, ww.wpos, ww.w
+        |  FROM ww LEFT JOIN cov ON ww.doc_id = cov.doc_id AND ww.wpos = cov.wpos
+        |  WHERE cov.wpos IS NULL),
+        |ka AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(w, ' ' ORDER BY wpos)) AS fp
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_words,
+        |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(ka.fp, md5('')) AS fp
+        |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
+
     // --- deterministic stratified sample (data mixing): per-language
     // keep fractions, membership a pure function of doc_id (hash
     // threshold) — reproducible across retries, partitionings, and

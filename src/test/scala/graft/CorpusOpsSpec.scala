@@ -110,6 +110,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(spans == Seq((10L, 2, 8, 7), (20L, 0, 6, 7)))
   }
 
+  test("substringScrub keeps the earliest copy and rewrites later ones") {
+    val passage = "p0 p1 p2 p3 p4 p5 p6" // 7 words, duplicated 1 -> 2
+    val docs = Seq(
+      (1L, s"$passage a0 a1"),          // keeper: untouched
+      (2L, s"b0 b1 $passage b2"),       // loses the 7 covered words
+      (3L, "c0 c1 c2 c3 c4 c5 c6 c7"))  // unique: untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    // md5 fingerprints must equal the md5 of the expected rewritten text
+    def fp(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(
+      (1L, 9, 9L, fp(s"$passage a0 a1")),
+      (2L, 10, 3L, fp("b0 b1 b2")),
+      (3L, 8, 8L, fp("c0 c1 c2 c3 c4 c5 c6 c7"))))
+  }
+
+  test("substringScrub: a fully-duplicated later doc scrubs to empty, not absent") {
+    val docs = Seq(
+      (1L, "q0 q1 q2 q3 q4"),
+      (2L, "q0 q1 q2 q3 q4")).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    def fp(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq((1L, 5, 5L, fp("q0 q1 q2 q3 q4")),
+      (2L, 5, 0L, fp(""))))
+  }
+
   test("prefix sum over a hash-shuffle STRING key: shard walk is the driver cumsum") {
     // the shuffle_export shape: md5-keyed pseudo-shuffle order, token
     // budget cuts — PrefixSum's range partitioning must hold for
