@@ -25,7 +25,16 @@ class PlanAuditSpec extends SparkSpec {
     * always keyed by its partition spec, so it passes by node type. */
   private def windowPartitioned(line: String): Boolean =
     line.contains("WindowGroupLimit") ||
-      "\\], \\[".r.findAllIn(line).length >= 2
+      "\\], \\[".r.findAllIn(line).length >= 2 || {
+        // two top-level bracket groups is ambiguous: a partitioned
+        // UNORDERED window (`Window [fns], [partCols]` — fine) prints
+        // exactly like an unpartitioned ordered one (`Window [fns],
+        // [order]` — the scale hazard) except that order specs carry
+        // sort directions; a plain column list never does
+        val second = line.substring(line.indexOf("], [") + 4)
+        line.contains("], [") &&
+          !(second.contains(" ASC") || second.contains(" DESC"))
+      }
 
   test("load_project: column pruning reaches the scan") {
     val p = plan("load_project")
@@ -333,6 +342,18 @@ class PlanAuditSpec extends SparkSpec {
       "window must rank survivors, not the full scored set:\n" + p.take(1500))
     p.linesIterator.filter(_.contains("Window")).foreach(w =>
       assert(windowPartitioned(w), s"unpartitioned window: $w"))
+  }
+
+  test("substring_scrub: keeper window on the hash key, anti join, no cartesian") {
+    val p = plan("substring_scrub")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // keeper resolution must window on the high-cardinality shingle
+    // hash — a doc-keyed window here would serialize whole documents'
+    // occurrence lists through single tasks at corpus scale
+    p.linesIterator.filter(_.contains("Window")).foreach(w =>
+      assert(windowPartitioned(w), s"unpartitioned window: $w"))
+    assert(p.contains("LeftAnti"), p.take(1200))
   }
 
   test("interval_join: bucketed rewrite plans a hash equi-join, never a nested loop") {
