@@ -220,6 +220,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("j"))
   }
 
+  /** Incremental NEAR-dup maintenance — the LSH twin of
+    * `incrementalKeep`: a new batch is deduplicated against an
+    * already-deduped base WITHOUT recomputing the base. At scale the
+    * base is represented by its persisted artifacts — the band-key
+    * table (id, band, key) and the shingle table — maintained
+    * append-only across batches; each increment computes signatures
+    * for the BATCH only, probes the base index with one equi-join on
+    * the band key, and exact-verifies the candidate sliver. Batch
+    * cost is O(batch + matches), never O(base). (Here both sides
+    * derive inline because the fixture has no persisted index; the
+    * join shape is identical.) A batch doc survives iff no base doc
+    * reaches `minJ` exact Jaccard against it. */
+  def minhashIncrementalKeep(base: DataFrame, batch: DataFrame, id: String,
+      text: String, k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
+    require(sigLen % bands == 0, "bands must divide signature length")
+    val shB = persisted(withShingles(spread(base), id, text, k))
+    val shN = persisted(withShingles(spread(batch), id, text, k))
+    def bandTable(sh: DataFrame): DataFrame =
+      Hashing.minhashSignatures(sh, id, "sh", sigLen)
+        .select(col(id),
+          explode(Hashing.bandKeys(col("sig"), bands, sigLen / bands)).as("bk"))
+        .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandTable(shN).toDF("doc_n", "band", "key")
+      .join(bandTable(shB).toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .select("doc_n", "doc_b").distinct()
+    val dropped = cand
+      .join(shN.toDF("doc_n", "sh_n"), Seq("doc_n"))
+      .join(shB.toDF("doc_b", "sh_b"), Seq("doc_b"))
+      .withColumn("j",
+        VectorOps.roundAt(Hashing.jaccard(col("sh_n"), col("sh_b")), 6))
+      .filter(col("j") >= minJ)
+      .select(col("doc_n").as(id)).distinct()
+    batch.select(col(id)).join(dropped, Seq(id), "left_anti")
+  }
+
   /** SimHash signatures of a corpus: (id, sim) with sim the 64-bit
     * one-pass map-side signature. Split out from `simhashPairs` so a
     * signature table can be persisted and the band join replayed from

@@ -118,6 +118,38 @@ object DedupQueries {
         |WHERE h NOT IN (SELECT h FROM base)
         |GROUP BY h ORDER BY h""".stripMargin),
 
+    // --- incremental NEAR-dup (the LSH twin of dedup_incremental):
+    // the batch (doc_id % 3 == 0) probes the base's persisted
+    // band-key index with one equi-join, the candidate sliver is
+    // exact-verified, and a batch doc survives iff no base doc
+    // reaches J >= 0.8. Batch cost is O(batch + matches), never
+    // O(base) — corpus maintenance without recomputing the corpus.
+    // Oracle: the exact cross Jaccard join (the LSH banding's
+    // candidate completeness at 0.8 is the same property the
+    // dedup_minhash gate proves pairwise). ---
+    "dedup_minhash_incremental" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashIncrementalKeep(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+          .orderBy("doc_id")
+      },
+      shingleCte +
+        """
+        |, xp AS (
+        |  SELECT a.doc_id AS doc_n, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |  HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_n FROM xp)
+        |ORDER BY doc_id""".stripMargin),
+
     // --- bloom-prefiltered incremental dedup: same semantics (and
     // oracle) as dedup_incremental, but the base hash set rides as a
     // Bloom filter so only true duplicates + the fpp sliver pay the
