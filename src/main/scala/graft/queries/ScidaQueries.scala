@@ -204,6 +204,45 @@ object ScidaQueries {
         |  count(*) AS n
         |FROM lineitem""".stripMargin),
 
+    // --- per-group Pearson correlation between two fields, from
+    // ONE-PASS moment sums (n, Σx, Σy, Σx², Σy², Σxy): the map-side-
+    // combinable shape — never a two-pass mean-centered scan, never a
+    // value-buffering corr() whose accumulation order differs across
+    // engines. Both fields are integer-valued, so every sum is EXACT
+    // in double regardless of order, and the final sqrt/divide is
+    // IEEE-identical on both engines. ---
+    "field_corr" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").as("x"),
+          col("l_linenumber").cast("double").as("y"))
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("l_returnflag"),
+            col("n").cast("long").as("n"),
+            (floor(((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              * 1000000 + 0.5) / 1000000).as("corr_qty_line"))
+          .orderBy("l_returnflag")
+      },
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*)::DOUBLE AS n,
+        |    sum(l_quantity) AS sx, sum(l_linenumber::DOUBLE) AS sy,
+        |    sum(l_quantity*l_quantity) AS sxx,
+        |    sum(l_linenumber::DOUBLE*l_linenumber::DOUBLE) AS syy,
+        |    sum(l_quantity*l_linenumber::DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  floor(((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))
+        |    *1000000 + 0.5)/1000000 AS corr_qty_line
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
     // --- 1D histogram (fixed-width binning) ---
     "histogram1d" -> QueryDef.sql(
       (s, d) => Histograms.hist1d(Tables.lineitem(s, d), col("l_extendedprice"), 5000.0),
