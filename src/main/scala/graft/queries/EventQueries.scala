@@ -26,6 +26,7 @@ object EventQueries {
   // interval-join window: each view opens a 72 h attribution window.
   // Bucket width = window length, so every interval spans <= 2 buckets.
   private val WinUs = 259200000000L
+  private val DayUs = 86400000000L
 
   def defs: Map[String, QueryDef] = Map(
     // --- tumbling-window aggregation (batch equiv of streaming agg) ---
@@ -193,6 +194,77 @@ object EventQueries {
          |        value FROM events WHERE event_type = 'view') b
          |  ON a.user_id = b.user_id AND a.t >= b.s AND a.t <= b.e
          |GROUP BY a.event_id, a.user_id
-         |ORDER BY a.event_id""".stripMargin)
+         |ORDER BY a.event_id""".stripMargin),
+
+    // --- ORDERED funnel (view → click → purchase, strictly later
+    // steps): per user, the earliest view anchors the funnel, the
+    // first click AFTER it advances it, the first purchase after
+    // that completes it. Three cascaded per-user min-aggregations,
+    // each a user-keyed shuffle of a filtered slice — never a
+    // collect-events-per-user buffer, so a power user with millions
+    // of events costs the same as anyone else. All comparisons on
+    // integer micros. ---
+    "event_funnel" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        def slice(t: String) = e.filter(col("event_type") === t)
+          .select(col("user_id"), col("ts_us"))
+        val v = slice("view").groupBy("user_id").agg(min("ts_us").as("t1"))
+        val c = slice("click").join(v, "user_id")
+          .filter(col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val p = slice("purchase").join(c, "user_id")
+          .filter(col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_full")))
+      },
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        |  GROUP BY e.user_id
+        |)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full""".stripMargin),
+
+    // --- weekly cohort retention matrix: users grouped by the week
+    // of their FIRST event; each cell counts distinct users from
+    // cohort week cw active wk weeks later. Integer day/week
+    // arithmetic on epoch micros end to end; one user-keyed shuffle
+    // for the first-activity anchor, one (cohort, offset)-keyed
+    // count-distinct. ---
+    "retention_cohort" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), expr(s"(ts_ns div 1000) div $DayUs").as("day"))
+        val first = e.groupBy("user_id").agg(min("day").as("d0"))
+        e.join(first, "user_id")
+          .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
+            expr("(day - d0) div 7").as("offset_week"))
+          .groupBy("cohort_week", "offset_week")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "offset_week")
+      },
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events
+         |), f AS (
+         |  SELECT user_id, min(day) AS d0 FROM e GROUP BY user_id
+         |)
+         |SELECT f.d0 // 7 AS cohort_week, (e.day - f.d0) // 7 AS offset_week,
+         |  count(DISTINCT e.user_id) AS n_users
+         |FROM e JOIN f ON e.user_id = f.user_id
+         |GROUP BY cohort_week, offset_week
+         |ORDER BY cohort_week, offset_week""".stripMargin)
   )
 }
