@@ -33,7 +33,20 @@ object ExactQuantiles {
     * named by `names` (rounded to `scale` dp, engine-portable). */
   def quantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
       names: Seq[String], partitions: Int = 32, scale: Int = 4): DataFrame = {
-    require(probs.nonEmpty && probs.size == names.size)
+    require(probs.size == names.size)
+    val spark = df.sparkSession
+    val vals = values(df, valueCol, probs, partitions, scale)
+    spark.createDataFrame(
+      java.util.List.of(Row(vals: _*)),
+      StructType(names.map(StructField(_, DoubleType, nullable = false))))
+  }
+
+  /** The quantile VALUES, driver-side (<= 2·|probs| doubles leave the
+    * executors) — for consumers that feed them back into a plan as
+    * literals (equi-depth binning, boundary-based pruning). */
+  def values(df: DataFrame, valueCol: String, probs: Seq[Double],
+      partitions: Int = 32, scale: Int = 4): Seq[Double] = {
+    require(probs.nonEmpty, "probs must be non-empty")
     require(probs.forall(p => p >= 0.0 && p <= 1.0), "probs must be in [0,1]")
     val spark = df.sparkSession
     // the sorted frame feeds two passes (counts, rank extraction)
@@ -64,7 +77,7 @@ object ExactQuantiles {
       }
     }.collect().toMap
     // driver-side linear interpolation — percentile()/quantile_cont's rule
-    val vals = targets.map { t =>
+    targets.map { t =>
       val lo = picked(t.floor.toLong)
       val hi = picked(t.ceil.toLong)
       val v = lo + (hi - lo) * (t - t.floor)
@@ -73,8 +86,5 @@ object ExactQuantiles {
       // percentile()-based form this replaces)
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    spark.createDataFrame(
-      java.util.List.of(Row(vals: _*)),
-      StructType(names.map(StructField(_, DoubleType, nullable = false))))
   }
 }

@@ -243,6 +243,35 @@ object ScidaQueries {
         |    *1000000 + 0.5)/1000000 AS corr_qty_line
         |FROM m ORDER BY l_returnflag""".stripMargin),
 
+    // --- equi-DEPTH histogram: bins at the exact quartile boundaries
+    // (rounded 4 dp — the `percentiles` gate proves the rounded
+    // values equal across engines, so binning at them is engine-
+    // stable). Boundaries come back as <= 2·|probs| driver doubles
+    // (ExactQuantiles.values — the same bounded driver state the
+    // quantile operator itself uses) and ride into a one-pass
+    // map-side CASE over the scan; the count shuffle is O(bins). ---
+    "histogram_equidepth" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bs = graft.operators.ExactQuantiles.values(
+          li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        val v = col("l_extendedprice")
+        li.select(when(v <= bs(0), 0).when(v <= bs(1), 1)
+            .when(v <= bs(2), 2).otherwise(3).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .orderBy("bin")
+      },
+      """WITH b AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS b0,
+        |         round(quantile_cont(l_extendedprice, 0.5), 4) AS b1,
+        |         round(quantile_cont(l_extendedprice, 0.75), 4) AS b2
+        |  FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice <= b0 THEN 0
+        |            WHEN l_extendedprice <= b1 THEN 1
+        |            WHEN l_extendedprice <= b2 THEN 2
+        |            ELSE 3 END AS bin, count(*) AS n
+        |FROM lineitem, b GROUP BY bin ORDER BY bin""".stripMargin),
+
     // --- 1D histogram (fixed-width binning) ---
     "histogram1d" -> QueryDef.sql(
       (s, d) => Histograms.hist1d(Tables.lineitem(s, d), col("l_extendedprice"), 5000.0),
