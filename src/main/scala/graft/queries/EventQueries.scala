@@ -265,6 +265,54 @@ object EventQueries {
          |  count(DISTINCT e.user_id) AS n_users
          |FROM e JOIN f ON e.user_id = f.user_id
          |GROUP BY cohort_week, offset_week
-         |ORDER BY cohort_week, offset_week""".stripMargin)
+         |ORDER BY cohort_week, offset_week""".stripMargin),
+
+    // --- semi-structured extraction: the JSON `props` payload parsed
+    // map-side at scan speed (codegen'd path extraction, no UDF) and
+    // reduced per type — the event-log shape where every record
+    // carries a JSON blob nobody pre-flattened. At 100 TB the parse
+    // rides the scan stage; the shuffle is O(types). ---
+    "json_extract_agg" -> QueryDef.sql(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // --- path analysis: the most common ADJACENT event-type
+    // transitions per user timeline (top-10 bigrams). One user-keyed
+    // window for the lead, map-side partial counts, TakeOrdered for
+    // the global top-k — no global sort. Ordering ties on (ts,
+    // event_id) so the lead is engine-invariant. ---
+    "event_paths" -> QueryDef.sql(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("event_type"), col("next_type"))
+          .limit(10)
+      },
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY n DESC, event_type, next_type LIMIT 10""".stripMargin)
   )
 }
