@@ -54,7 +54,7 @@ object EventQueries {
       // order). Explicit bucket count keeps the windows parallel
       // instead of AQE-coalescing a ~MB shuffle into one task.
       (s, d) => Sessionize.sessions(
-        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        Tables.events(s, d)
           .repartitionByRange(32, col("user_id")),
         "user_id", col("ts_us"), GapUs, col("value"))
         .select(col("user_id"), col("session_seq"), col("n_events"),
@@ -87,7 +87,7 @@ object EventQueries {
         // micros, not nanos: DuckDB's ASOF compares micro-truncated
         // timestamps, so a same-micro later-nano view must count as
         // "at or before" on the Spark side too
-        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val e = Tables.events(s, d)
         val clicks = e.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts_us")
         val views = e.filter(col("event_type") === "view")
@@ -117,7 +117,7 @@ object EventQueries {
     // keeps only within-tolerance matches. Same single key shuffle. ---
     "asof_tolerance" -> QueryDef.sql(
       (s, d) => {
-        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val e = Tables.events(s, d)
         val clicks = e.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts_us")
         val views = e.filter(col("event_type") === "view")
@@ -143,7 +143,7 @@ object EventQueries {
     // (lead-time attribution). Same composition on negated time. ---
     "asof_forward" -> QueryDef.sql(
       (s, d) => {
-        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val e = Tables.events(s, d)
         val clicks = e.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts_us")
         val views = e.filter(col("event_type") === "view")
@@ -173,7 +173,7 @@ object EventQueries {
     // each interval lands in at most 2 buckets). ---
     "interval_join" -> QueryDef.sql(
       (s, d) => {
-        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val e = Tables.events(s, d)
         val clicks = e.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts_us"))
         val views = e.filter(col("event_type") === "view")
@@ -206,13 +206,20 @@ object EventQueries {
     // integer micros. ---
     "event_funnel" -> QueryDef.sql(
       (s, d) => {
-        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val e = Tables.events(s, d)
         def slice(t: String) = e.filter(col("event_type") === t)
           .select(col("user_id"), col("ts_us"))
-        val v = slice("view").groupBy("user_id").agg(min("ts_us").as("t1"))
-        val c = slice("click").join(v, "user_id")
-          .filter(col("ts_us") > col("t1"))
-          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        // v feeds c AND the final count, c feeds p AND the final
+        // count — Catalyst shares no subplans across branches, so
+        // without barriers the events scan + user shuffles run twice;
+        // the cached frames are one row per funnel user (CacheScope
+        // releases them when the query's action completes)
+        val v = graft.CacheScope.track(
+          slice("view").groupBy("user_id").agg(min("ts_us").as("t1")))
+        val c = graft.CacheScope.track(
+          slice("click").join(v, "user_id")
+            .filter(col("ts_us") > col("t1"))
+            .groupBy("user_id").agg(min("ts_us").as("t2")))
         val p = slice("purchase").join(c, "user_id")
           .filter(col("ts_us") > col("t2"))
           .groupBy("user_id").agg(min("ts_us").as("t3"))
@@ -280,10 +287,14 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
+      // TRY_CAST mirrors Spark's null-on-miscast semantics: if a
+      // future data regeneration emits a non-integer k, BOTH engines
+      // aggregate over NULLs instead of the oracle aborting while the
+      // Spark side tolerates it
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
-        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(TRY_CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // --- path analysis: the most common ADJACENT event-type
@@ -296,7 +307,6 @@ object EventQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts_us", "event_id")
         Tables.events(s, d)
-          .withColumn("ts_us", expr("ts_ns div 1000"))
           .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
           .withColumn("next_type", lead("event_type", 1).over(w))
           .filter(col("next_type").isNotNull)

@@ -45,13 +45,16 @@ object Tables {
     * depending on the generator: TIMESTAMP(NANOS) read as an
     * epoch-nano long (GraftSession nanosAsLong), or a plain
     * microsecond timestamp (naive parquet micros → TIMESTAMP_NTZ).
-    * Normalize both to the SAME logical pair: raw epoch nanos
-    * (`ts_ns`) for cheap integer arithmetic at 100 TB, and a
-    * microsecond TimestampType (`ts`) for window functions. The NTZ
-    * cast is exact because the session time zone is pinned to UTC —
-    * the same naive-as-UTC reading DuckDB's epoch_us/epoch_ns use. */
+    * Normalize both to the SAME logical triple: raw epoch nanos
+    * (`ts_ns`) and micros (`ts_us`) for cheap integer arithmetic at
+    * 100 TB, and a microsecond TimestampType (`ts`) for window
+    * functions. The NTZ cast is exact because the session time zone
+    * is pinned to UTC — the same naive-as-UTC reading DuckDB's
+    * epoch_us/epoch_ns use. ONE derivation site: every event query
+    * reads `ts_us` instead of re-spelling the micros/nanos
+    * convention, so a third physical layout is a one-line change. */
   private def normalizeEvents(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
+    (df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
         .withColumnRenamed("ts", "ts_ns")
         // integer division — `/` would cast the ~1.7e18 nano value to
@@ -60,7 +63,7 @@ object Tables {
       case _ => df
         .withColumn("ts", col("ts").cast("timestamp"))
         .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
-    }
+    }).withColumn("ts_us", expr("ts_ns div 1000"))
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

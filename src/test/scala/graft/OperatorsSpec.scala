@@ -70,7 +70,6 @@ class OperatorsSpec extends SparkSpec {
 
   test("sessionize agrees with Spark's builtin session_window on real events") {
     val e = graft.sources.Tables.events(spark, sfDir)
-      .withColumn("ts_us", expr("ts_ns div 1000"))
     val gapUs = 1800L * 1000 * 1000
     val ours = Sessionize.sessions(e, "user_id", col("ts_us"), gapUs, col("value"))
       .select("user_id", "n_events")

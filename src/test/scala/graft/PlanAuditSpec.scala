@@ -15,26 +15,19 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  /** A partitioned WindowExec line prints THREE top-level bracket
-    * groups — `Window [fns], [partCols], [order]` — an unpartitioned
-    * one only two (`Window [fns], [order]`). ("No Partition Defined"
-    * is WindowExec's runtime WARNING text and never appears in plan
-    * strings, so asserting on it checks nothing.) WindowGroupLimit
-    * (the rank-limit pushdown that pre-filters top-k per partition)
-    * prints `[partCols], [order], fn, k` — one bracket pair — and is
-    * always keyed by its partition spec, so it passes by node type. */
-  private def windowPartitioned(line: String): Boolean =
-    line.contains("WindowGroupLimit") ||
-      "\\], \\[".r.findAllIn(line).length >= 2 || {
-        // two top-level bracket groups is ambiguous: a partitioned
-        // UNORDERED window (`Window [fns], [partCols]` — fine) prints
-        // exactly like an unpartitioned ordered one (`Window [fns],
-        // [order]` — the scale hazard) except that order specs carry
-        // sort directions; a plain column list never does
-        val second = line.substring(line.indexOf("], [") + 4)
-        line.contains("], [") &&
-          !(second.contains(" ASC") || second.contains(" DESC"))
-      }
+  /** (windowCount, allPartitioned) for a query's OPTIMIZED LOGICAL
+    * plan: a Window with an empty partitionSpec serializes its whole
+    * input through one task at scale, which is the hazard these
+    * audits pin. Inspecting `Window.partitionSpec` directly replaces
+    * an earlier executed-plan-string heuristic (bracket-group
+    * counting) that both elided empty argument lists and depended on
+    * simpleString rendering staying stable across Spark versions. */
+  private def windowsPartitioned(name: String): (Int, Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val ws = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    (ws.size, ws.forall(_.partitionSpec.nonEmpty))
+  }
 
   test("load_project: column pruning reaches the scan") {
     val p = plan("load_project")
@@ -130,14 +123,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("subhalo_offsets: every window partitioned (no one-task catalog scan)") {
-    val p = plan("subhalo_offsets")
-    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.nonEmpty, p.take(800))
     // local offsets window on the parent group, prefix-sum window on
     // the range bucket — a global Window.orderBy would serialize the
     // whole subhalo catalog into a single task at 1e8 halos
-    windows.foreach(w =>
-      assert(windowPartitioned(w), s"unpartitioned window: $w"))
+    val (nw, ok) = windowsPartitioned("subhalo_offsets")
+    assert(nw > 0, "expected window nodes in the plan")
+    assert(ok, "unpartitioned window in subhalo_offsets")
   }
 
   test("grouped_chain: one key shuffle into sorted mapGroups") {
@@ -340,8 +331,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(wIdx >= 0, p.take(800))
     assert(p.substring(wIdx).contains("MapPartitions"),
       "window must rank survivors, not the full scored set:\n" + p.take(1500))
-    p.linesIterator.filter(_.contains("Window")).foreach(w =>
-      assert(windowPartitioned(w), s"unpartitioned window: $w"))
+    assert(windowsPartitioned("ann_batch")._2,
+      "unpartitioned window in ann_batch")
   }
 
   test("substring_scrub: keeper window on the hash key, anti join, no cartesian") {
@@ -351,8 +342,8 @@ class PlanAuditSpec extends SparkSpec {
     // keeper resolution must window on the high-cardinality shingle
     // hash — a doc-keyed window here would serialize whole documents'
     // occurrence lists through single tasks at corpus scale
-    p.linesIterator.filter(_.contains("Window")).foreach(w =>
-      assert(windowPartitioned(w), s"unpartitioned window: $w"))
+    val (nw, ok) = windowsPartitioned("substring_scrub")
+    assert(nw > 0 && ok, "unpartitioned window in substring_scrub")
     assert(p.contains("LeftAnti"), p.take(1200))
   }
 
@@ -384,8 +375,8 @@ class PlanAuditSpec extends SparkSpec {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnlj <= 1, s"only the scalar n_docs cross may nest-loop, got $bnlj")
     assert(!p.contains("CartesianProduct"), p.take(800))
-    p.linesIterator.filter(_.contains("Window")).foreach(w =>
-      assert(windowPartitioned(w), s"unpartitioned window: $w"))
+    val (nw, ok) = windowsPartitioned("tfidf_topterms")
+    assert(nw > 0 && ok, "unpartitioned window in tfidf_topterms")
     // partial aggregation below both exchanges (tf and df), and the
     // rank-limit pushdown keeps only k rows per doc ahead of the
     // window's shuffle
