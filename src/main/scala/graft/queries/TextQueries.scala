@@ -251,6 +251,42 @@ object TextQueries {
         |    string_split(lower(text), ' '))), ' ')) AS fp_bag
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // --- quantile (CDF) normalization of a per-doc feature: each
+    // doc's n_chars mapped to its corpus percentile, pct = (# docs
+    // strictly smaller) / n. Scale shape: the heavy pass is a
+    // map-side-combined VALUE HISTOGRAM; the CDF is the bucketed
+    // PrefixSum over distinct values (no global window — the same
+    // no-one-task discipline as group_offsets); each doc picks up
+    // its percentile via a broadcast join on the (small) histogram.
+    // Integer counts + one double division: engine-exact. ---
+    "quantile_normalize" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+        val cdf = graft.operators.PrefixSum.exclusive(hist, "v", col("c"),
+            buckets = 32, outCol = "cnt_lt")
+          .select(col("v"), col("cnt_lt"))
+        val n = docs.agg(count(lit(1)).as("n_total"))
+        docs.select(col("doc_id"), col("n_chars"))
+          .join(broadcast(cdf), col("n_chars") === col("v"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("n_chars"),
+            (floor(col("cnt_lt").cast("double") / col("n_total").cast("double")
+              * 1000000 + 0.5) / 1000000).as("pct"))
+          .orderBy("doc_id")
+      },
+      """WITH h AS (
+        |  SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+        |), cdf AS (
+        |  SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnt_lt
+        |  FROM h
+        |), n AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT d.doc_id, d.n_chars,
+        |  floor((cdf.cnt_lt::DOUBLE / n.n_total::DOUBLE)*1000000 + 0.5)/1000000 AS pct
+        |FROM documents d JOIN cdf ON d.n_chars = cdf.v CROSS JOIN n
+        |ORDER BY d.doc_id""".stripMargin),
+
     // --- per-document TF-IDF top terms: the cross-document term
     // weighting the rest of the text family lacks (every other text
     // op is map-side per-doc). idf is the LINEAR rarity ratio
