@@ -694,6 +694,47 @@ object ScidaQueries {
         |    round(s_acctbal, 2) AS acctbal FROM supplier
         |) ORDER BY snapshot, entity_id""".stripMargin),
 
+    // --- snapshot diff (series workflow: what changed between two
+    // members of a series — track growth/accretion between adjacent
+    // snapshots). One full-outer equi-join on the entity key (the
+    // shuffled shape that scales; both sides stream), null-side
+    // classification into added/removed/changed/same. The two
+    // "snapshots" are deterministic slices of the same table (keys %
+    // 3 / % 10, value perturbed by +1.0 on % 7 — an IEEE-exact
+    // change for any |v| < 2^52, so equality needs no rounding). ---
+    "snapshot_diff" -> QueryDef.sql(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val cur = c.filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+        val prev = c.filter(pmod(col("c_custkey"), lit(10)) =!= 0)
+          .select(col("c_custkey").as("k"),
+            when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 1.0)
+              .otherwise(col("c_acctbal")).as("pv"))
+        cur.join(prev, Seq("k"), "full_outer").agg(
+          sum(when(col("pv").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("v").isNotNull && col("pv").isNotNull
+            && col("v") =!= col("pv"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("v") === col("pv"), 1L).otherwise(0L)).as("n_same"))
+      },
+      """WITH cur AS (
+        |  SELECT c_custkey AS k, c_acctbal AS v FROM customer
+        |  WHERE c_custkey % 3 <> 0
+        |), prev AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0
+        |         ELSE c_acctbal END AS pv
+        |  FROM customer WHERE c_custkey % 10 <> 0
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN pv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN v IS NOT NULL AND pv IS NOT NULL AND v <> pv
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN v = pv THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |FROM cur FULL OUTER JOIN prev USING (k)""".stripMargin),
+
     // --- series member selection by metadata (series.py get_dataset) ---
     "series_select" -> QueryDef.sql(
       (s, d) => {
