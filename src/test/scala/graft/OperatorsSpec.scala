@@ -196,5 +196,30 @@ class OperatorsSpec extends SparkSpec {
     // exactly one bucket, so each pair joins at most once
     val n = RangeJoin.pointInInterval(points, ivals, "k", "t", "s", "e", 10L).count()
     assert(n == 4L)
+    // bucket width only shifts constants, never the result set: the
+    // same join at widths that under- and over-shoot the interval
+    // lengths must agree exactly
+    Seq(1L, 3L, 100L).foreach { w =>
+      val alt = RangeJoin.pointInInterval(points, ivals, "k", "t", "s", "e", w)
+        .select("pid", "tag").as[(Long, String)].collect().toSet
+      assert(alt == got, s"width $w diverged")
+    }
+  }
+
+  test("minhashIncrementalKeep drops batch docs near-dup to base, keeps the rest") {
+    // base doc 1 and batch doc 3 share identical text (J = 1.0);
+    // batch doc 6 is unique; batch docs are NOT deduped against each
+    // other (9 duplicates 6 but both survive — only base matches drop)
+    val mk = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk), (2L, "totally different base text here"),
+      (3L, mk), (6L, (100 until 140).map(i => s"u$i").mkString(" ")),
+      (9L, (100 until 140).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = graft.dedup.Dedup.minhashIncrementalKeep(
+      docs.filter($"doc_id" < 3), docs.filter($"doc_id" >= 3),
+      "doc_id", "text", k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+      .as[Long].collect().toSet
+    assert(kept == Set(6L, 9L))
   }
 }
