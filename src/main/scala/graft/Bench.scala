@@ -108,11 +108,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val ps = probes.map(fmt).mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // total = sum of SUCCESSFUL queries only: clamping a 1e9 sentinel
+    // into the sum made the real runtime unrecoverable (and two
+    // failures indistinguishable from one) — failures are counted
+    // separately in n_failed and named in errors
+    val ok = results.filterNot { case (k, _) => failed(k) }
+    val total = ok.map(_._2).sum
     val errs = if (errors.isEmpty) "" else errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","probe_sec":${fmt(probeSec)},"probes":$ps,"probe_seg":$probeSeg,"cpus":${cpus.toInt},"runs":$runs$errs}""")
+    // summary fields AFTER the per-query map, never before: the driver
+    // stores only the trailing ~2 KB of output, and a 107-entry map is
+    // wider than that window — r6/r7 lost `total` and the first ~30
+    // queries to front truncation. queries-first ordering keeps the
+    // surviving tail self-sufficient (total, probes, env, errors).
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"probe_sec":${fmt(probeSec)},"probes":$ps,"probe_seg":$probeSeg,"cpus":${cpus.toInt},"runs":$runs$errs"""
+    println(s"""{"queries":$qs,$summary}""")
+    // trailing compact line (fits the tail window whole): the 10
+    // slowest successful queries + the same summary — parseable on its
+    // own when the main line's head is gone
+    val slowest = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"slowest":$slowest,$summary}""")
     spark.stop()
   }
 }

@@ -33,7 +33,8 @@ final class GraftDataset private (
     units: Map[String, String],
     resolvePrefix: String = "",
     val cosmology: Option[Cosmology] = None,
-    val codeUnits: Option[CodeUnits] = None) {
+    val codeUnits: Option[CodeUnits] = None,
+    val catalogs: Map[String, GraftDataset] = Map.empty) {
 
   private def sep = GraftDataset.NsSep
 
@@ -65,14 +66,15 @@ final class GraftDataset private (
 
   /** Register a derived (virtual) field — scida fields.py:381. */
   def withDerived(path: String)(f: GraftDataset => Column): GraftDataset =
-    new GraftDataset(df, derived + (path -> f), units, resolvePrefix, cosmology, codeUnits)
+    new GraftDataset(df, derived + (path -> f), units, resolvePrefix, cosmology, codeUnits, catalogs)
 
   /** Rename-free alias — scida fields.py:531 (`add_alias`): the alias
     * resolves to the target field (physical or derived) with zero
     * copy; it's just another registry entry. */
   def withAlias(alias: String, target: String): GraftDataset =
     new GraftDataset(df, derived + (alias -> ((g: GraftDataset) => g.field(target))),
-      units ++ units.get(target).map(alias -> _), resolvePrefix, cosmology, codeUnits)
+      units ++ units.get(target).map(alias -> _), resolvePrefix, cosmology,
+      codeUnits, catalogs)
 
   /** Merge another dataset's fields (scida fields.py:224 merge).
     * scida merges containers that share an implicit row index; Spark
@@ -83,27 +85,49 @@ final class GraftDataset private (
   def merge(other: GraftDataset, on: Seq[String]): GraftDataset =
     new GraftDataset(df.join(other.df, on),
       derived ++ other.fieldDerived, units ++ other.fieldUnits, resolvePrefix,
-      cosmology.orElse(other.cosmology), codeUnits.orElse(other.codeUnits))
+      cosmology.orElse(other.cosmology), codeUnits.orElse(other.codeUnits),
+      catalogs ++ other.catalogs)
 
   private[model] def fieldDerived: Map[String, GraftDataset => Column] = derived
   private[model] def fieldUnits: Map[String, String] = units
 
   /** Attach a unit to a field — scida units mixin. */
   def withUnit(path: String, unit: String): GraftDataset =
-    new GraftDataset(df, derived, units + (path -> unit), resolvePrefix, cosmology, codeUnits)
+    new GraftDataset(df, derived, units + (path -> unit), resolvePrefix, cosmology, codeUnits, catalogs)
 
   /** Attach cosmology metadata — scida CosmologyMixin (reference:
     * src/scida/interfaces/mixins/cosmology.py:16): per-snapshot
     * scalars (z, a, h, Ω) derived from header attrs, carried on the
     * dataset and surfaced in `info`. */
   def withCosmology(c: Cosmology): GraftDataset =
-    new GraftDataset(df, derived, units, resolvePrefix, Some(c), codeUnits)
+    new GraftDataset(df, derived, units, resolvePrefix, Some(c), codeUnits, catalogs)
 
   /** Attach the snapshot's own code-unit system (UnitLength_in_cm
     * family — scida units="code"/"cgs" modes); `codeQ` then enters a
     * raw code-unit field into the cgs unit algebra. */
   def withCodeUnits(cu: CodeUnits): GraftDataset =
-    new GraftDataset(df, derived, units, resolvePrefix, cosmology, Some(cu))
+    new GraftDataset(df, derived, units, resolvePrefix, cosmology, Some(cu), catalogs)
+
+  /** Attach a catalog container — scida's auto-attached group catalog
+    * (customs/arepo/dataset.py:125 load_catalog): a SEPARATE dataset
+    * (its own row count — halos, not particles) hung off the snapshot
+    * under its container name ("Group", "Subhalo"), so halo data is
+    * just THERE after load, as in every reference tutorial's
+    * `ds.data["Group"][...]`. Catalogs are dimension-scale (orders of
+    * magnitude smaller than the snapshot) — the natural broadcast side
+    * of any particle join. */
+  def withCatalog(name: String, cat: GraftDataset): GraftDataset =
+    new GraftDataset(df, derived, units, resolvePrefix, cosmology, codeUnits,
+      catalogs + (name -> cat))
+
+  /** The named catalog container ("Group", "Subhalo"), attached by
+    * `Load.dataset`'s auto-discovery or `withCatalog`. */
+  def catalog(name: String): GraftDataset =
+    catalogs.getOrElse(name, throw new IllegalArgumentException(
+      s"no catalog container '$name'" + (if (catalogs.isEmpty)
+        " (no catalog attached — was the snapshot loaded with catalog=\"none\"," +
+          " or is there no sibling catalog directory?)"
+      else s"; have ${catalogs.keys.toSeq.sorted.mkString(", ")}")))
 
   /** A raw code-unit field as a cgs Quantity, converted by the FILE's
     * own unit system (one literal multiply; `.to(...)` from there). */
@@ -138,7 +162,7 @@ final class GraftDataset private (
   def withDerivedQ(path: String)(f: GraftDataset => Quantity): GraftDataset = {
     val u = f(this).unit
     new GraftDataset(df, derived + (path -> ((g: GraftDataset) => f(g).col)),
-      units + (path -> u.toString), resolvePrefix, cosmology, codeUnits)
+      units + (path -> u.toString), resolvePrefix, cosmology, codeUnits, catalogs)
   }
 
   /** Unit-aware scaling: returns the field converted by `factor` with
@@ -220,8 +244,9 @@ final class GraftDataset private (
       s"  ${f.name.replace(sep, "/")}: ${f.dataType.simpleString}$u"
     }
     val der = derived.keys.toSeq.sorted.map(k => s"  $k: <derived>")
+    val cats = catalogs.keys.toSeq.sorted.map(k => s"  catalog $k attached")
     (Seq(s"GraftDataset (${phys.length} physical, ${der.length} derived)") ++
-      cosmology.toSeq.flatMap(_.infoLines) ++ phys ++ der).mkString("\n")
+      cosmology.toSeq.flatMap(_.infoLines) ++ cats ++ phys ++ der).mkString("\n")
   }
 }
 

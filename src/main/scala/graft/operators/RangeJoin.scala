@@ -31,17 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  // backquote-quote a column name for splicing into expr() — names
+  // with dots/spaces parse as references, embedded backquotes double
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Inner-join `points` to the `intervals` rows that contain them:
     * same `key`, and tCol ∈ [startCol, endCol] (inclusive ends).
-    * Times must be non-negative integers in the same unit. */
+    * Times must be non-negative integers in the same unit. Column
+    * names must not collide across sides except `key` (a shared
+    * non-key name would make the joined output ambiguous), and
+    * neither side may already carry the internal `__bucket` column. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       key: String, tCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket", expr(s"$tCol div ${bucketWidth}L"))
+    require(!points.columns.contains("__bucket") &&
+      !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by pointInInterval; rename the input column")
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet) - key
+    require(shared.isEmpty,
+      s"non-key columns collide across sides (ambiguous after join): " +
+        shared.toSeq.sorted.mkString(", "))
+    val p = points.withColumn("__bucket",
+      expr(s"${q(tCol)} div ${bucketWidth}L"))
     val i = intervals.withColumn("__bucket", explode(sequence(
-      expr(s"$startCol div ${bucketWidth}L"),
-      expr(s"$endCol div ${bucketWidth}L"))))
+      expr(s"${q(startCol)} div ${bucketWidth}L"),
+      expr(s"${q(endCol)} div ${bucketWidth}L"))))
     p.join(i, Seq(key, "__bucket"))
       .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bucket")

@@ -287,14 +287,17 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
-      // TRY_CAST mirrors Spark's null-on-miscast semantics: if a
-      // future data regeneration emits a non-integer k, BOTH engines
-      // aggregate over NULLs instead of the oracle aborting while the
-      // Spark side tolerates it
+      // double TRY_CAST mirrors Spark's null-on-anything semantics:
+      // Spark's get_json_object returns NULL for BOTH malformed JSON
+      // and a non-integer k, while DuckDB's ->> ERRORS on malformed
+      // JSON — TRY_CAST(props AS JSON) first turns a bad blob into
+      // NULL (extraction of NULL is NULL), then TRY_CAST ... AS
+      // BIGINT covers the non-integer value case, so a generator
+      // regression can never abort the oracle where Spark tolerates
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(TRY_CAST(props->>'k' AS BIGINT)) AS min_k,
-        |  max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k
+        |  CAST(sum(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), 'k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), 'k') AS BIGINT)) AS min_k,
+        |  max(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), 'k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // --- path analysis: the most common ADJACENT event-type

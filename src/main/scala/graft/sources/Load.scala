@@ -102,17 +102,42 @@ object Load {
       .getOrElse(sys.error(s"no FITS file in $path"))
   }
 
-  private def soleHdf5Group(path: String): String = {
+  /** Data-bearing groups of a chunked-HDF5 snapshot (from chunk-0
+    * metadata only — no data read). */
+  def hdf5Groups(path: String): Seq[String] = {
     val chunk = ChunkedHdf5.discoverChunks(path).head
     val f = ChunkedHdf5.metadata(chunk)
-    val withData = f.groups.filter(g =>
+    f.groups.filter(g =>
       f.datasets.exists(d => d.path.startsWith(g + "/"))).map(_.stripPrefix("/"))
-    withData match {
+  }
+
+  private def soleHdf5Group(path: String): String =
+    hdf5Groups(path) match {
       case Seq(one) => one
       case many => sys.error(
         s"HDF5 snapshot $path has ${many.size} groups (${many.mkString(", ")}); " +
           "pass group=...")
     }
+
+  /** Discover the sibling group catalog of a snapshot path — scida
+    * ArepoSnapshot.discover_catalog (customs/arepo/dataset.py:254):
+    * derive candidate paths by the reference's substitution rules, IN
+    * ITS ORDER (dataset.py:264-271 — for Illustris, "groups" must
+    * precede "fof_subhalo_tab"), and take the first that exists and
+    * is not the snapshot itself. Covers the standard layouts:
+    * `snapdir_099` → `groups_099` (TNG), `snapshot_270` →
+    * `group_270`/`groups_270` (MTNG/others), `snap_099.hdf5` →
+    * `fof_subhalo_tab_099.hdf5`. */
+  def discoverCatalog(path: String): Option[String] = {
+    val p = new File(path).getPath
+    val candidates = Seq(
+      p.replace("snapshot", "group"),
+      p.replace("snapshot", "groups"),
+      p.replace("snap", "groups"),
+      p.replace("snap", "group"),
+      p.replace("snapdir", "groups").replace("snap", "groups"),
+      p.replace("snapdir", "groups").replace("snap", "fof_subhalo_tab"))
+    candidates.find(c => c != p && new File(c).exists())
   }
 
   /** Named-dataset resolution — scida `find_path`
@@ -242,7 +267,8 @@ object Load {
     * extract_units_from_attrs): each resolvable field gets its unit
     * recorded and a derived `<field>_cgs` quantity (raw × factor,
     * one literal multiply) registered. */
-  def dataset(spark: SparkSession, path: String, group: String = ""): GraftDataset = {
+  def dataset(spark: SparkSession, path: String, group: String = "",
+      catalog: String = "auto"): GraftDataset = {
     val fmt = detect(path)
     val df = dataFrame(spark, path, group)
     var ds = GraftDataset(df)
@@ -326,6 +352,28 @@ object Load {
     // no-op when the dependencies are absent
     if (flav == "arepo" || flav == "gizmo")
       ds = graft.model.PhysicsFields.attach(ds)
+    // group-catalog auto-discovery/auto-attach — scida
+    // ArepoSnapshot.__init__'s catalog="auto" default: discover the
+    // sibling catalog (discover_catalog, dataset.py:254), load it
+    // (load_catalog, :125) and hang each of its data-bearing
+    // containers (Group, Subhalo) off the snapshot, so halo data is
+    // just THERE after load. `catalog` mirrors the reference kwarg:
+    // "auto" (discover; arepo family only, as in the reference where
+    // discovery lives on ArepoSnapshot), "none" (disable), or an
+    // explicit catalog path. The catalog loads through the same
+    // `dataset` entry (its own unit defaults, its own cosmology —
+    // incl. the sibling-file fallback Illustris group files need),
+    // with catalog="none" to terminate the recursion.
+    if (fmt == Hdf5 && catalog != "none" &&
+        (catalog != "auto" || flav == "arepo")) {
+      val catPath = if (catalog == "auto") discoverCatalog(path)
+        else Some(catalog)
+      catPath.foreach { cp =>
+        hdf5Groups(cp).foreach { g =>
+          ds = ds.withCatalog(g, dataset(spark, cp, g, catalog = "none"))
+        }
+      }
+    }
     ds
   }
 

@@ -145,4 +145,83 @@ class LoadSpec extends SparkSpec {
     assert(ds.cosmology.map(_.redshift).contains(1.0))
     assert(ds.fieldNames.contains("Masses"))
   }
+
+  /** A TNG-layout snapshot+catalog fixture pair: arepo-flavored
+    * snapdir_042 beside groups_042 holding Group+Subhalo containers
+    * in one fof_subhalo_tab file. */
+  private lazy val catalogPair: (String, String) = {
+    val base = Files.createTempDirectory("graft_cat").toString
+    val snapDir = s"$base/snapdir_042"; val catDir = s"$base/groups_042"
+    new java.io.File(snapDir).mkdirs(); new java.io.File(catDir).mkdirs()
+    Hdf5Writer.write(s"$snapDir/snap_042.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> Hdf5Writer.Group(attrs = Seq(
+        "Time" -> 0.5, "Redshift" -> 1.0, "HubbleParam" -> 0.6774,
+        "Git_commit" -> "abc123")), // arepo family → discovery on
+      "PartType0" -> Hdf5Writer.Group(children = Seq(
+        "Masses" -> Hdf5Writer.F64(Array(1.0, 2.0, 3.0)),
+        "GroupNr" -> Hdf5Writer.I64(Array(0L, 0L, 1L)))))))
+    Hdf5Writer.write(s"$catDir/fof_subhalo_tab_042.0.hdf5",
+      Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> 0.5, "Redshift" -> 1.0, "HubbleParam" -> 0.6774,
+          "Git_commit" -> "abc123")),
+        "Group" -> Hdf5Writer.Group(children = Seq(
+          "GroupMass" -> Hdf5Writer.F64(Array(30.0, 12.0)))),
+        "Subhalo" -> Hdf5Writer.Group(children = Seq(
+          "SubhaloGrNr" -> Hdf5Writer.I64(Array(0L, 0L, 1L)),
+          "SubhaloMass" -> Hdf5Writer.F64(Array(20.0, 10.0, 12.0)))))))
+    (snapDir, catDir)
+  }
+
+  test("discover_catalog: the reference's candidate substitutions, in its order") {
+    val (snapDir, catDir) = catalogPair
+    // snapdir_* → groups_* (TNG layout; candidate 5, dataset.py:269)
+    assert(Load.discoverCatalog(snapDir).contains(catDir))
+    // candidate ORDER: with several siblings present, the first
+    // existing candidate wins — snapshot→"group" precedes "groups"
+    // (dataset.py:264-265; for Illustris "groups" precedes
+    // "fof_subhalo_tab", covered by candidate list position)
+    val base2 = Files.createTempDirectory("graft_cat_ord").toString
+    new java.io.File(s"$base2/snapshot_007").mkdirs()
+    new java.io.File(s"$base2/group_007").mkdirs()
+    new java.io.File(s"$base2/groups_007").mkdirs()
+    assert(Load.discoverCatalog(s"$base2/snapshot_007")
+      .contains(s"$base2/group_007"))
+    // no sibling → none (and never the snapshot itself)
+    val lone = Files.createTempDirectory("graft_cat_none").toString
+    new java.io.File(s"$lone/snapdir_000").mkdirs()
+    assert(Load.discoverCatalog(s"$lone/snapdir_000").isEmpty)
+  }
+
+  test("dataset auto-attaches the discovered catalog (load_catalog), none disables") {
+    val (snapDir, _) = catalogPair
+    val ds = Load.dataset(spark, snapDir)
+    assert(ds.catalogs.keySet == Set("Group", "Subhalo"))
+    val grp = ds.catalog("Group")
+    assert(grp.df.count() == 2)
+    assert(grp.select("GroupMass").as[Double].collect().sorted.toSeq
+      == Seq(12.0, 30.0))
+    val sub = ds.catalog("Subhalo")
+    assert(sub.df.count() == 3)
+    // the catalog dataset gets its own mixins through the same load
+    assert(grp.cosmology.map(_.redshift).contains(1.0))
+    // info surfaces the attachment
+    assert(ds.info.contains("catalog Group attached"))
+    // catalog="none" disables discovery — the reference kwarg
+    assert(Load.dataset(spark, snapDir, catalog = "none").catalogs.isEmpty)
+    // an unknown container name reports what IS attached
+    val e = intercept[IllegalArgumentException](ds.catalog("Halo"))
+    assert(e.getMessage.contains("Group"))
+  }
+
+  test("explicit catalog path attaches without discovery (any flavor)") {
+    val (_, catDir) = catalogPair
+    // a GENERIC snapshot (no arepo marker) never auto-discovers…
+    val ds0 = Load.dataset(spark, hdf5Dir)
+    assert(ds0.catalogs.isEmpty)
+    // …but an explicit path attaches regardless, as in the reference
+    // where the catalog kwarg overrides discovery
+    val ds = Load.dataset(spark, hdf5Dir, catalog = catDir)
+    assert(ds.catalogs.keySet == Set("Group", "Subhalo"))
+  }
 }
