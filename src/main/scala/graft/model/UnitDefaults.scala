@@ -85,6 +85,24 @@ object UnitDefaults {
       "SubhaloVmax" -> "km/s",
       "SubhaloVmaxRad" -> "code_length"))
 
+  /** MTNG overrides on the Gadget base (configfiles/units/mtng.yaml
+    * layered over gadget_cosmological.yaml — "later unit file takes
+    * precedence", customs/arepo/MTNG/dataset.py:55): coordinates ship
+    * as cMpc/h, NOT code_length=ckpc/h, despite what the cgs-factor
+    * attrs would say (mtng.yaml's own comment). Per-PartType entries,
+    * not `_all`, exactly as the yaml spells them ("explicit overwrite
+    * needed"). */
+  private val Mtng: Map[String, Map[String, String]] = {
+    val overrides = Map(
+      "PartType0" -> Map(
+        "Coordinates" -> "cMpc/h", "CenterOfMass" -> "cMpc/h"),
+      "PartType1" -> Map("Coordinates" -> "cMpc/h"),
+      "PartType4" -> Map("Coordinates" -> "cMpc/h"))
+    (Gadget.keySet ++ overrides.keySet).map(g =>
+      g -> (Gadget.getOrElse(g, Map.empty) ++
+        overrides.getOrElse(g, Map.empty))).toMap
+  }
+
   /** EAGLE ships cgs unit strings per field (eagle.yaml `cgsunits`);
     * here as plain measures — factor 1, raw values already cgs. */
   private val Eagle: Map[String, Map[String, String]] = Map(
@@ -142,13 +160,80 @@ object UnitDefaults {
   private val tables: Map[String, Map[String, Map[String, String]]] = Map(
     "arepo" -> Gadget,
     "gizmo" -> Gadget,
+    "mtng" -> Mtng,
     "eagle" -> Eagle,
     "rockstar" -> Rockstar)
 
+  // ---- User-extensible registry — scida get_simulationconfig
+  // (config.py:148): the user's ~/.config/scida/simulations.yaml
+  // layers over the shipped simulations.yaml ("later entry takes
+  // precedence"), mapping simulations to unit files. graft reads the
+  // same shape from the one JSON registry Load.findPath already uses
+  // (GRAFT_CONFIG_PATH / `graft.config.path` property /
+  // ~/.config/graft/config.json), under a top-level "units" key:
+  //
+  //   { "units": { "<flavor>": { "_all":      {"Masses": "code_mass"},
+  //                              "PartType0": {"Coordinates": "cMpc/h"} } } }
+  //
+  // A user flavor entry merges field-by-field OVER the shipped table
+  // (the reference's leaf-level dict merge, config.py:69
+  // merge_dicts_recursively with later-wins), so users can both
+  // override single fields of a shipped family and define entirely
+  // new families — no hardcode. Parsed config is memoized per
+  // (path, mtime, size); unreadable/absent files contribute nothing.
+
+  private val userCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[String, Map[String, Map[String, String]]]]()
+
+  def configPath: String =
+    sys.props.getOrElse("graft.config.path",
+      sys.env.getOrElse("GRAFT_CONFIG_PATH",
+        sys.props("user.home") + "/.config/graft/config.json"))
+
+  private def userTables(path: String): Map[String, Map[String, Map[String, String]]] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    val key = (f.getCanonicalPath, f.lastModified(), f.length())
+    userCache.computeIfAbsent(key, _ =>
+      try {
+        val cfg = graft.sources.zarr.MiniJson
+          .parse(java.nio.file.Files.readString(f.toPath))
+          .asInstanceOf[Map[String, Any]]
+        cfg.get("units") match {
+          case Some(u: Map[String @unchecked, Any @unchecked]) =>
+            u.collect { case (flavor, g: Map[String @unchecked, Any @unchecked]) =>
+              flavor -> g.collect {
+                case (group, fs: Map[String @unchecked, Any @unchecked]) =>
+                  group -> fs.collect { case (k, v: String) => k -> v }
+              }
+            }
+          case _ => Map.empty[String, Map[String, Map[String, String]]]
+        }
+      } catch { case _: Exception =>
+        Map.empty[String, Map[String, Map[String, String]]] })
+  }
+
+  /** The effective (shipped ⊕ user) table for a flavor: user entries
+    * win field-by-field; a flavor only the user defines is fully
+    * user-owned. */
+  private def mergedTable(flavor: String): Option[Map[String, Map[String, String]]] = {
+    val shipped = tables.get(flavor)
+    val user = userTables(configPath).get(flavor)
+    if (shipped.isEmpty && user.isEmpty) None
+    else {
+      val groups = shipped.map(_.keySet).getOrElse(Set.empty) ++
+        user.map(_.keySet).getOrElse(Set.empty)
+      Some(groups.map(g =>
+        g -> (shipped.flatMap(_.get(g)).getOrElse(Map.empty) ++
+          user.flatMap(_.get(g)).getOrElse(Map.empty))).toMap)
+    }
+  }
+
   /** The symbolic default expression for (flavor, group, field):
-    * group-specific entry first, then `_all` (units.py:466-470). */
+    * group-specific entry first, then `_all` (units.py:466-470), over
+    * the user-extended table. */
   def unitString(flavor: String, group: String, field: String): Option[String] =
-    tables.get(flavor).flatMap { t =>
+    mergedTable(flavor).flatMap { t =>
       t.get(group).flatMap(_.get(field))
         .orElse(t.getOrElse("_all", Map.empty).get(field))
     }

@@ -89,6 +89,47 @@ object Hdf5Queries {
     dir.getPath
   }
 
+  private val mtngCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mtngSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    mtngCache.computeIfAbsent(d, _ => writeMtngSnapshot(s, d))
+
+  /** An MTNG-shaped snapshot dir (customs/arepo/MTNG/dataset.py):
+    * the REGULAR chunk set (`snapshot_042.K.hdf5`, DM particles, no
+    * unit attrs, /Config carrying the MTNG compile flag) beside the
+    * mostbound companion set (`snapshot-prevmostboundonly_042.0.hdf5`,
+    * PartType1 only — the reference deletes every other container from
+    * it). The regular set goes through the distributed writer; the
+    * companion is a tiny driver-written chunk (written AFTER — the
+    * distributed writer's publish step clears the dir's .hdf5 files). */
+  private def writeMtngSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_h5_mtng_" + Integer.toHexString(d.hashCode))
+    val df = indexedOrders(s, d).select(col("__row"),
+      col("o_orderkey").as("OrderKey"),
+      col("o_totalprice").as("Coordinates"),
+      col("o_custkey").cast("double").as("Masses"))
+    graft.sources.hdf5.Hdf5Save.save(df, "__row", dir.getPath,
+      group = "PartType1", chunkRows = 1 << 13, filePrefix = "snapshot_042",
+      headerAttrs = Seq(
+        "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+        "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
+        "Git_commit" -> "0badc0de"),
+      extraGroups = Seq("Config" -> Seq("MTNG" -> 1L)))
+    Hdf5Writer.write(
+      new File(dir, "snapshot-prevmostboundonly_042.0.hdf5").getPath,
+      Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+          "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
+          "Git_commit" -> "0badc0de")),
+        "Config" -> Hdf5Writer.Group(attrs = Seq("MTNG" -> 1L)),
+        "PartType1" -> Hdf5Writer.Group(children = Seq(
+          "MostBoundID" -> Hdf5Writer.I64(Array(1L, 2L, 3L, 4L)),
+          "Coordinates" -> Hdf5Writer.F64(Array(0.25, 0.5, 0.75, 1.0)))))))
+    dir.getPath
+  }
+
   private val catSnapCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def catalogSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
@@ -313,6 +354,47 @@ object Hdf5Queries {
            |  o_custkey * CAST('${f("Masses")}' AS DOUBLE) AS mass_msun,
            |  (o_orderkey % 997) * CAST('${f("Velocities")}' AS DOUBLE) AS v_kms,
            |  o_totalprice AS sfr
+           |FROM orders ORDER BY OrderKey""".stripMargin
+      }),
+
+    // --- MTNG flavor end-to-end (customs/arepo/MTNG/dataset.py):
+    // detection (/Config's MTNG flag over arepo markers), dual chunk
+    // prefixes (regular chosen, mostbound companion auto-attached as
+    // a sub-object), and the mtng.yaml unit overrides — Coordinates
+    // resolve cMpc/h (factor a/h, measure Mpc), NOT the Gadget
+    // code_length=ckpc/h; Masses keep the code_mass default through
+    // the layered table. The oracle replays both factors from the
+    // SAME resolver at the fixture cosmology, so a wrong flavor vote,
+    // a wrong prefix choice, or a wrong table layer hash-fails. ---
+    "mtng_units" -> QueryDef.sql(
+      (s, d) => {
+        val snap = mtngSnapshot(s, d)
+        require(graft.sources.Load.flavor(snap) == "mtng",
+          "fixture must detect as MTNG (Config flag over arepo markers)")
+        val ds = graft.sources.Load.dataset(s, snap)
+        require(ds.catalogs.contains("mostbound"),
+          "MTNG load must attach the mostbound companion sub-object")
+        require(ds.catalog("mostbound").df.count() == 4,
+          "companion must read the prevmostboundonly chunk set")
+        assert(ds.unitOf("Coordinates_phys").contains("Mpc"),
+          "mtng override: coordinates are cMpc/h, not code_length")
+        assert(ds.unitOf("Masses_phys").contains("Msun"),
+          "gadget base layer: code_mass still applies")
+        ds.select("OrderKey", "Coordinates_phys", "Masses_phys")
+          .select(col("OrderKey"),
+            col("Coordinates_phys").as("pos_mpc"),
+            col("Masses_phys").as("mass_msun"))
+          .orderBy("OrderKey")
+      }, {
+        import graft.model.{Cosmology, UnitDefaults}
+        val cosmo = Cosmology(h = FixtureHubble, omega0 = None,
+          omegaBaryon = None, redshift = FixtureRedshift)
+        def f(field: String): Double =
+          UnitDefaults.resolve("mtng", "PartType1", field, Some(cosmo)).get._1
+        // string→double casts: see unit_defaults' literal note
+        s"""SELECT o_orderkey AS OrderKey,
+           |  o_totalprice * CAST('${f("Coordinates")}' AS DOUBLE) AS pos_mpc,
+           |  o_custkey * CAST('${f("Masses")}' AS DOUBLE) AS mass_msun
            |FROM orders ORDER BY OrderKey""".stripMargin
       }),
 

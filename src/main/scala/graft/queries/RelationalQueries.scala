@@ -255,16 +255,20 @@ object RelationalQueries {
     "group_percentiles" -> QueryDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val counts = li.groupBy("l_returnflag", "l_quantity")
-          .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        // DiscreteStats.groupValueCounts: (group, value) histogram,
+        // GUARDED on total distinct pairs — the cumulative window
+        // below runs over this frame, and only a discrete value
+        // column keeps it histogram-sized rather than raw-row-sized
+        val counts = graft.operators.DiscreteStats.groupValueCounts(
+          li, Seq("l_returnflag"), col("l_quantity"))
+        val w = Window.partitionBy("l_returnflag").orderBy("v")
         val cum = counts.withColumn("cum", sum("c").over(w))
         val tot = counts.groupBy("l_returnflag").agg(sum("c").as("n"))
         cum.join(broadcast(tot), "l_returnflag")
           .groupBy("l_returnflag")
           .agg(
-            min(when(col("cum") >= ceil(col("n") * 0.5), col("l_quantity"))).as("p50"),
-            min(when(col("cum") >= ceil(col("n") * 0.9), col("l_quantity"))).as("p90"),
+            min(when(col("cum") >= ceil(col("n") * 0.5), col("v"))).as("p50"),
+            min(when(col("cum") >= ceil(col("n") * 0.9), col("v"))).as("p90"),
             max("n").as("n"))
           .orderBy("l_returnflag")
       },

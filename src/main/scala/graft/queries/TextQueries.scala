@@ -262,10 +262,12 @@ object TextQueries {
     "quantile_normalize" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val hist = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
-        val cdf = graft.operators.PrefixSum.exclusive(hist, "v", col("c"),
-            buckets = 32, outCol = "cnt_lt")
-          .select(col("v"), col("cnt_lt"))
+        // DiscreteStats.exclusiveCdf: histogram → bucketed PrefixSum,
+        // GUARDED on distinct cardinality — the broadcast-join-back
+        // below is only sound for a discrete feature (char counts
+        // here); a continuous column fails fast with the pre-bucket
+        // remedy instead of an opaque broadcast OOM at scale
+        val cdf = graft.operators.DiscreteStats.exclusiveCdf(docs, col("n_chars"))
         val n = docs.agg(count(lit(1)).as("n_total"))
         docs.select(col("doc_id"), col("n_chars"))
           .join(broadcast(cdf), col("n_chars") === col("v"))

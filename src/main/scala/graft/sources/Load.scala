@@ -85,14 +85,17 @@ object Load {
     * resolve — arepo/dataset.py:91); when omitted and exactly one
     * group holds datasets, that group is used (scida's single-
     * container shortcut). */
-  def dataFrame(spark: SparkSession, path: String, group: String = ""): DataFrame =
+  def dataFrame(spark: SparkSession, path: String, group: String = "",
+      fileprefix: String = ""): DataFrame =
     detect(path) match {
       case Parquet => spark.read.parquet(path)
       case Zarr => spark.read.format("graft-zarr").load(path)
       case Fits => spark.read.format("graft-fits").load(firstFits(path))
       case Hdf5 =>
-        val g = if (group.nonEmpty) resolveGroup(group) else soleHdf5Group(path)
-        ChunkedHdf5.load(spark, path, g)
+        val pfx = if (fileprefix.nonEmpty) fileprefix else autoPrefix(path)
+        val g = if (group.nonEmpty) resolveGroup(group)
+          else soleHdf5Group(path, pfx)
+        ChunkedHdf5.load(spark, path, g, pfx)
     }
 
   private def firstFits(path: String): String = {
@@ -104,20 +107,50 @@ object Load {
 
   /** Data-bearing groups of a chunked-HDF5 snapshot (from chunk-0
     * metadata only — no data read). */
-  def hdf5Groups(path: String): Seq[String] = {
-    val chunk = ChunkedHdf5.discoverChunks(path).head
+  def hdf5Groups(path: String, fileprefix: String = ""): Seq[String] = {
+    val chunk = ChunkedHdf5.discoverChunks(path, fileprefix).head
     val f = ChunkedHdf5.metadata(chunk)
     f.groups.filter(g =>
       f.datasets.exists(d => d.path.startsWith(g + "/"))).map(_.stripPrefix("/"))
   }
 
-  private def soleHdf5Group(path: String): String =
-    hdf5Groups(path) match {
+  private def soleHdf5Group(path: String, fileprefix: String = ""): String =
+    hdf5Groups(path, fileprefix) match {
       case Seq(one) => one
       case many => sys.error(
         s"HDF5 snapshot $path has ${many.size} groups (${many.mkString(", ")}); " +
           "pass group=...")
     }
+
+  /** Pick a chunk-file prefix when the snapshot dir mixes several —
+    * scida `_get_fileprefix` (io/_base.py) resolved the MTNG way
+    * (customs/arepo/MTNG/dataset.py:48-51): MTNG dirs hold a REGULAR
+    * set (`snapshot_*`) beside a mostbound companion
+    * (`snapshot-prevmostboundonly_*`); the regular set is the
+    * dataset, the companion loads as a sub-object. A single-prefix
+    * dir needs no choice (empty prefix = discoverChunks' own path);
+    * several non-companion prefixes stay ambiguous (empty → the
+    * loader's "pass fileprefix" error, unchanged). */
+  private def autoPrefix(path: String): String = {
+    val f = new File(path)
+    if (!f.isDirectory) return ""
+    val prefixes = f.listFiles().toSeq.filter(_.isFile)
+      .filter(isHdf5File).map(_.getName.split('.').head).distinct
+    if (prefixes.size <= 1) ""
+    else prefixes.filterNot(_.contains("prevmostboundonly")) match {
+      case Seq(regular) => regular
+      case _ => ""
+    }
+  }
+
+  /** The mostbound companion prefix present in the dir, if any. */
+  private def mostboundPrefix(path: String): Option[String] = {
+    val f = new File(path)
+    if (!f.isDirectory) return None
+    f.listFiles().toSeq.filter(_.isFile).filter(isHdf5File)
+      .map(_.getName.split('.').head).distinct
+      .find(_.contains("prevmostboundonly"))
+  }
 
   /** Discover the sibling group catalog of a snapshot path — scida
     * ArepoSnapshot.discover_catalog (customs/arepo/dataset.py:254):
@@ -224,23 +257,30 @@ object Load {
     * `Specificity.FAMILY`): graft needs no per-simulation subclass
     * because the cosmology/unit mixins are data-driven — the flavor
     * is informational (logging, unit-default selection by callers). */
-  def flavor(path: String): String = {
-    def classify(header: Map[String, Any], code: String,
-        hasRockstarDs: Boolean): String =
+  def flavor(path: String, fileprefix: String = ""): String = {
+    def classify(header: Map[String, Any], config: Map[String, Any],
+        code: String, hasRockstarDs: Boolean): String =
       if (code.contains("SWIFT")) "swift"
       else if (hasRockstarDs) "rockstar"
       else if (header.contains("GIZMO_version")) "gizmo"
       else if (header.contains("Git_commit") &&
-        !header.contains("Compactify_Version")) "arepo"
+        !header.contains("Compactify_Version"))
+        // MTNG is an arepo run whose /Config group carries the MTNG
+        // compile flag (customs/arepo/MTNG/dataset.py:117-121
+        // validate_path: "/Config" present and "MTNG" in it)
+        (if (config.contains("MTNG")) "mtng" else "arepo")
       else "generic"
     detect(path) match {
       case Hdf5 =>
-        val f = ChunkedHdf5.metadata(ChunkedHdf5.discoverChunks(path).head)
+        val pfx = if (fileprefix.nonEmpty) fileprefix else autoPrefix(path)
+        val f = ChunkedHdf5.metadata(
+          ChunkedHdf5.discoverChunks(path, pfx).head)
         val code = f.attrs.getOrElse("/Code", Map.empty).get("Code") match {
           case Some(s: String) => s
           case _ => ""
         }
-        classify(f.attrs.getOrElse("/Header", Map.empty), code,
+        classify(f.attrs.getOrElse("/Header", Map.empty),
+          f.attrs.getOrElse("/Config", Map.empty), code,
           f.datasets.exists(_.path == "/cosmology:omega_dm"))
       case Zarr =>
         // zarr stores carry header metadata on the ROOT group (the
@@ -252,7 +292,7 @@ object Load {
           case Some(s: String) => s
           case _ => ""
         }
-        classify(root, code,
+        classify(root, Map.empty, code,
           st.arrays.exists(_.name == "cosmology:omega_dm"))
       case _ => "generic"
     }
@@ -268,11 +308,15 @@ object Load {
     * recorded and a derived `<field>_cgs` quantity (raw × factor,
     * one literal multiply) registered. */
   def dataset(spark: SparkSession, path: String, group: String = "",
-      catalog: String = "auto"): GraftDataset = {
+      catalog: String = "auto", fileprefix: String = ""): GraftDataset = {
     val fmt = detect(path)
-    val df = dataFrame(spark, path, group)
+    // multi-prefix dirs (MTNG's regular + mostbound sets) resolve to
+    // the regular set unless the caller pins one
+    val pfx = if (fileprefix.nonEmpty || fmt != Hdf5) fileprefix
+      else autoPrefix(path)
+    val df = dataFrame(spark, path, group, pfx)
     var ds = GraftDataset(df)
-    val attrs = attrsOf(fmt, path)
+    val attrs = attrsOf(fmt, path, pfx)
     // the cosmological gate applies to the dataset's OWN metadata; the
     // sibling-file fallback below only recovers missing PARAMETERS for
     // a dataset that already validated (reference: the mixin is
@@ -296,8 +340,9 @@ object Load {
     // per-field unit discovery from dataset-level attrs
     val fieldAttrs: String => Option[Map[String, Any]] = fmt match {
       case Hdf5 =>
-        val g = if (group.nonEmpty) resolveGroup(group) else soleHdf5Group(path)
-        val all = ChunkedHdf5.attrs(path)
+        val g = if (group.nonEmpty) resolveGroup(group)
+          else soleHdf5Group(path, pfx)
+        val all = ChunkedHdf5.attrs(path, pfx)
         name => all.get(s"/$g/$name")
       case Zarr =>
         val st = graft.sources.zarr.ZarrStore.open(path)
@@ -315,9 +360,10 @@ object Load {
     // scida's shipped unit configs (configfiles/units/*.yaml via
     // units.py:411 add_units); TNG/EAGLE snapshots carry no unit attrs
     // at all, so without this table they load unitless
-    lazy val flav = flavor(path)
+    lazy val flav = flavor(path, pfx)
     val groupName = fmt match {
-      case Hdf5 => if (group.nonEmpty) resolveGroup(group) else soleHdf5Group(path)
+      case Hdf5 => if (group.nonEmpty) resolveGroup(group)
+        else soleHdf5Group(path, pfx)
       case _ => "" // zarr/fits arrays sit at the root → `_all` only
     }
     df.columns.filter(_ != "row_id").foreach { colName =>
@@ -350,7 +396,7 @@ object Load {
     // physics derived fields for the Gadget family — scida registers
     // these per-family (customs/arepo/extra_fields.py); attach is a
     // no-op when the dependencies are absent
-    if (flav == "arepo" || flav == "gizmo")
+    if (flav == "arepo" || flav == "gizmo" || flav == "mtng")
       ds = graft.model.PhysicsFields.attach(ds)
     // group-catalog auto-discovery/auto-attach — scida
     // ArepoSnapshot.__init__'s catalog="auto" default: discover the
@@ -365,7 +411,7 @@ object Load {
     // incl. the sibling-file fallback Illustris group files need),
     // with catalog="none" to terminate the recursion.
     if (fmt == Hdf5 && catalog != "none" &&
-        (catalog != "auto" || flav == "arepo")) {
+        (catalog != "auto" || flav == "arepo" || flav == "mtng")) {
       val catPath = if (catalog == "auto") discoverCatalog(path)
         else Some(catalog)
       catPath.foreach { cp =>
@@ -374,12 +420,25 @@ object Load {
         }
       }
     }
+    // MTNG's mostbound companion (customs/arepo/MTNG/dataset.py:58-76):
+    // the dir's second chunk set (`snapshot-prevmostboundonly_*`, DM
+    // only) loads as a sub-object of the regular snapshot — attached
+    // under "mostbound" (the reference merges its fields with a
+    // `_mostbound` suffix; containers there share no row identity, so
+    // the distributed-honest form is the sub-dataset, joinable by id).
+    // A mostbound-pinned load (pfx IS the companion) attaches nothing.
+    if (flav == "mtng" && !pfx.contains("prevmostboundonly"))
+      mostboundPrefix(path).foreach { mb =>
+        ds = ds.withCatalog("mostbound",
+          dataset(spark, path, catalog = "none", fileprefix = mb))
+      }
     ds
   }
 
-  private def attrsOf(fmt: Format, path: String): Option[Map[String, Map[String, Any]]] =
+  private def attrsOf(fmt: Format, path: String,
+      fileprefix: String = ""): Option[Map[String, Map[String, Any]]] =
     fmt match {
-      case Hdf5 => Some(ChunkedHdf5.attrs(path))
+      case Hdf5 => Some(ChunkedHdf5.attrs(path, fileprefix))
       case Zarr =>
         val st = graft.sources.zarr.ZarrStore.open(path)
         // zarr stores carry header metadata on the root group

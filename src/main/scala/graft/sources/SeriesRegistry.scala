@@ -72,9 +72,13 @@ final class SeriesRegistry(val members: Seq[SeriesRegistry.Member]) {
 }
 
 object SeriesRegistry {
-  /** One series member: snapshot name (the partition value) and its
-    * scalar metadata (redshift, time, …). */
-  final case class Member(name: String, meta: Map[String, Double])
+  /** One series member: snapshot name (the partition value), its
+    * scalar metadata (redshift, time, …), and — for directory-
+    * discovered series — the snapshot path plus the PAIRED catalog
+    * path (ArepoSimulation resolves snapshot+catalog pairs,
+    * customs/arepo/series.py:23). */
+  final case class Member(name: String, meta: Map[String, Double],
+      path: Option[String] = None, catalogPath: Option[String] = None)
 
   def apply(members: (String, Map[String, Double])*): SeriesRegistry =
     new SeriesRegistry(members.map { case (n, m) => Member(n, m) })
@@ -110,6 +114,13 @@ object SeriesRegistry {
     * least two are present (series.py:85-96 tests exactly the "snap"
     * prefix for this fallback). Pure driver-side directory walking —
     * one listdir, no file contents touched. */
+  private def trailingNum(n: String): Option[Long] = {
+    val t = n.stripSuffix(".hdf5").split('_').last
+    // bound the digits so a pathological name can't overflow toLong
+    if (t.nonEmpty && t.length <= 12 && t.forall(_.isDigit)) Some(t.toLong)
+    else None
+  }
+
   def discoverMembers(simRoot: String, subpath: String = "output",
       prefix: Option[String] = None): Seq[(String, String)] = {
     val p = new java.io.File(simRoot)
@@ -117,12 +128,6 @@ object SeriesRegistry {
     val spCand = new java.io.File(p, subpath)
     val sp = if (spCand.isDirectory) spCand else p
     val entries = Option(sp.listFiles()).getOrElse(Array.empty[java.io.File])
-    def trailingNum(n: String): Option[Long] = {
-      val t = n.stripSuffix(".hdf5").split('_').last
-      // bound the digits so a pathological name can't overflow toLong
-      if (t.nonEmpty && t.length <= 12 && t.forall(_.isDigit)) Some(t.toLong)
-      else None
-    }
     val dirs = entries.filter(_.isDirectory)
     val pfx = prefix.getOrElse {
       val ps = dirs.map(_.getName.split('_').head)
@@ -149,6 +154,73 @@ object SeriesRegistry {
         .map { case (_, name, path) => (name, path) }.toSeq
     }
   }
+
+  /** Snapshot+catalog PAIR discovery — scida ArepoSimulation
+    * (customs/arepo/series.py:23: `prefix_dict = dict(paths="snapdir",
+    * gpaths="group")`, resolved by the gadget-style prefix walk,
+    * customs/gadgetstyle/series.py:56-101): each member resolves its
+    * snapshot dir AND, when present, the catalog dir sharing its
+    * trailing snapshot number. Stem semantics per the reference: a
+    * stem ("group") matches any entry that STARTS WITH it, and the
+    * actual prefix is the matching entries' first "_"-segment — so
+    * both `group_*` and TNG's `groups_*` resolve. The mismatch rule
+    * (gadgetstyle/series.py:120-141): catalog dirs with no matching
+    * snapshot id are DROPPED; snapshots with no catalog load
+    * catalog-less ("Only loading groups that have a snapshot
+    * associated"). An `output`-named root resolves to its parent
+    * (arepo/series.py:41-43). Driver-side listdir only. */
+  def discoverPairs(simRoot: String, subpath: String = "output")
+      : Seq[(String, String, Option[String])] = {
+    val p0 = new java.io.File(simRoot)
+    val p = if (p0.getName == "output" && p0.getParentFile != null)
+      p0.getParentFile else p0
+    require(p.exists, s"Specified path '$simRoot' does not exist.")
+    val spCand = new java.io.File(p, subpath)
+    val sp = if (spCand.isDirectory) spCand else p
+    val entries = Option(sp.listFiles()).getOrElse(Array.empty[java.io.File])
+    def byStem(stem: String): Seq[(Long, String, String)] = {
+      val dirs = entries.filter(_.isDirectory)
+        .filter(_.getName.startsWith(stem))
+      val actuals = dirs.map(_.getName.split('_').head).distinct.sorted
+      // the reference pops ONE prefix from the set; lexicographic min
+      // for determinism
+      actuals.headOption.toSeq.flatMap { a =>
+        dirs.filter(_.getName.startsWith(a + "_"))
+          .flatMap(d => trailingNum(d.getName)
+            .map(n => (n, d.getName, d.getPath)))
+          .sortBy { case (n, name, _) => (n, name) }
+      }
+    }
+    val snaps = byStem("snapdir")
+    val cats = byStem("group")
+      .map { case (n, _, path) => n -> path }.toMap
+    snaps.map { case (n, name, path) => (name, path, cats.get(n)) }
+  }
+
+  /** Open an Arepo simulation root as a series whose members carry
+    * snapshot+catalog PAIRS — the ArepoSimulation flow: discovery via
+    * [[discoverPairs]], per-member metadata through the sidecar cache,
+    * paths recorded on each member for [[openMember]]. */
+  def discoverArepo(simRoot: String): SeriesRegistry = {
+    val pairs = discoverPairs(simRoot)
+    require(pairs.nonEmpty, s"Could not find any snapshot paths in '$simRoot'.")
+    val base = fromSnapshotsCached(pairs.map(t => (t._1, t._2)),
+      new java.io.File(simRoot, ".graft_series.json").getPath)
+    new SeriesRegistry(base.members.zip(pairs).map {
+      case (m, (_, path, cat)) =>
+        m.copy(path = Some(path), catalogPath = cat)
+    })
+  }
+
+  /** Open one discovered member as a full dataset with mixins, its
+    * PAIRED catalog attached (the series' pairing is authoritative —
+    * a member with no catalog in the roster loads catalog-less, never
+    * a neighbor's via path-pattern luck). */
+  def openMember(spark: SparkSession, m: Member): graft.model.GraftDataset =
+    Load.dataset(spark,
+      m.path.getOrElse(throw new IllegalArgumentException(
+        s"member ${m.name} carries no on-disk path (not directory-discovered)")),
+      catalog = m.catalogPath.getOrElse("none"))
 
   /** Discover + build in one call, through the sidecar cache at
     * `<root>/.graft_series.json`: the scida flow of opening a whole

@@ -31,10 +31,14 @@ import org.apache.spark.sql.types._
   */
 object Hdf5Save {
 
+  /** `extraGroups`: attr-only groups stamped on every chunk beside
+    * /Header (e.g. the /Config group whose compile flags identify
+    * MTNG runs — customs/arepo/MTNG/dataset.py:117). */
   def save(df: DataFrame, idCol: String, dir: String,
       group: String = "PartType0", chunkRows: Int = 1 << 16,
       filePrefix: String = "snap",
-      headerAttrs: Seq[(String, Any)] = Nil): Unit = {
+      headerAttrs: Seq[(String, Any)] = Nil,
+      extraGroups: Seq[(String, Seq[(String, Any)])] = Nil): Unit = {
     require(chunkRows > 0)
     val dataCols = df.schema.fields.filter(_.name != idCol)
     require(dataCols.nonEmpty, "no data columns to save")
@@ -77,6 +81,7 @@ object Hdf5Save {
     val prefix = filePrefix
     val outPath = tmp.getPath
     val hAttrs = headerAttrs
+    val xGroups = extraGroups
 
     try df.select((col(idCol).cast("long").as("__id")) +: names.map(col): _*)
       .withColumn("__chunk", expr(s"__id div $cr"))
@@ -118,7 +123,9 @@ object Hdf5Save {
             "Header" -> Hdf5Writer.Group(attrs = hAttrs ++ Seq(
               "NumPart_ThisFile" ->
                 Array(filled.toLong, 0L, 0L, 0L, 0L, 0L),
-              "NumFilesPerSnapshot" -> nChunks.toLong)),
+              "NumFilesPerSnapshot" -> nChunks.toLong))) ++
+            xGroups.map { case (n, as) =>
+              n -> (Hdf5Writer.Group(attrs = as): Hdf5Writer.Node) } ++ Seq(
             gName -> Hdf5Writer.Group(children = children)))
           Hdf5Writer.write(s"$outPath/$prefix.$curChunk.hdf5", root)
           curChunk = -1; filled = 0

@@ -214,6 +214,50 @@ class LoadSpec extends SparkSpec {
     assert(e.getMessage.contains("Group"))
   }
 
+  test("MTNG: Config-flag detection, dual prefixes, mostbound sub-object") {
+    val dir = Files.createTempDirectory("graft_mtng").toString
+    def header = Hdf5Writer.Group(attrs = Seq(
+      "Time" -> 0.5, "Redshift" -> 1.0, "HubbleParam" -> 0.6774,
+      "Git_commit" -> "abc123"))
+    def config = Hdf5Writer.Group(attrs = Seq("MTNG" -> 1L))
+    // regular set: two chunks, DM particles, no unit attrs
+    Hdf5Writer.write(s"$dir/snapshot_264.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> header, "Config" -> config,
+      "PartType1" -> Hdf5Writer.Group(children = Seq(
+        "Coordinates" -> Hdf5Writer.F64(Array(1.0, 2.0)))))))
+    Hdf5Writer.write(s"$dir/snapshot_264.1.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> header, "Config" -> config,
+      "PartType1" -> Hdf5Writer.Group(children = Seq(
+        "Coordinates" -> Hdf5Writer.F64(Array(3.0)))))))
+    // mostbound companion set: one chunk
+    Hdf5Writer.write(s"$dir/snapshot-prevmostboundonly_264.0.hdf5",
+      Hdf5Writer.Group(children = Seq(
+        "Header" -> header, "Config" -> config,
+        "PartType1" -> Hdf5Writer.Group(children = Seq(
+          "MostBoundID" -> Hdf5Writer.I64(Array(7L, 8L)))))))
+    // flavor: MTNG = arepo markers + MTNG in /Config (MTNG/dataset.py:117)
+    assert(Load.flavor(dir) == "mtng")
+    // a plain arepo run (no Config flag) stays arepo
+    val plain = Files.createTempDirectory("graft_mtng_plain").toString
+    Hdf5Writer.write(s"$plain/s.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> header,
+      "PartType1" -> Hdf5Writer.Group(children = Seq(
+        "Coordinates" -> Hdf5Writer.F64(Array(1.0)))))))
+    assert(Load.flavor(plain) == "arepo")
+    // the REGULAR prefix is chosen over the companion; both chunks concat
+    val ds = Load.dataset(spark, dir)
+    assert(ds.df.count() == 3)
+    // the companion attaches as the "mostbound" sub-object
+    assert(ds.catalogs.contains("mostbound"))
+    val mb = ds.catalog("mostbound")
+    assert(mb.select("MostBoundID").as[Long].collect().sorted.toSeq
+      == Seq(7L, 8L))
+    // the companion itself attaches no further sub-objects
+    assert(mb.catalogs.isEmpty)
+    // mtng unit overrides: coordinates resolve cMpc/h → Mpc measure
+    assert(ds.unitOf("Coordinates_phys").contains("Mpc"))
+  }
+
   test("explicit catalog path attaches without discovery (any flavor)") {
     val (_, catDir) = catalogPair
     // a GENERIC snapshot (no arepo marker) never auto-discovers…

@@ -144,6 +144,58 @@ class SeriesSpec extends SparkSpec {
       .nearest("redshift", 4.0).name == "snapdir_000")
   }
 
+  test("Arepo sim discovery pairs snapshots with catalogs (arepo/series.py:23)") {
+    def writeSnap(dir: String, z: Double): Unit =
+      Hdf5Writer.write(s"$dir/snap.0.hdf5", Hdf5Writer.Group(children = Seq(
+        "Header" -> Hdf5Writer.Group(attrs = Seq(
+          "Time" -> (1.0 / (1.0 + z)), "Redshift" -> z,
+          "HubbleParam" -> 0.6774, "Git_commit" -> "abc")),
+        "PartType0" -> Hdf5Writer.Group(children = Seq(
+          "Masses" -> Hdf5Writer.F64(Array(1.0, 2.0)))))))
+    def writeCat(dir: String, mass: Double): Unit =
+      Hdf5Writer.write(s"$dir/fof_subhalo_tab.0.hdf5",
+        Hdf5Writer.Group(children = Seq(
+          "Header" -> Hdf5Writer.Group(attrs = Seq(
+            "Time" -> 0.5, "Redshift" -> 1.0, "HubbleParam" -> 0.6774)),
+          "Group" -> Hdf5Writer.Group(children = Seq(
+            "GroupMass" -> Hdf5Writer.F64(Array(mass)))))))
+    val simRoot = Files.createTempDirectory("graft_arepo_sim").toString
+    val out = new java.io.File(simRoot, "output"); out.mkdirs()
+    for (i <- Seq(0, 1, 2)) {
+      val d = new java.io.File(out, f"snapdir_$i%03d"); d.mkdirs()
+      writeSnap(d.getPath, 4.0 - i)
+    }
+    // catalogs for 0 and 1 only (snapdir_002 loads catalog-less), plus
+    // an ORPHAN catalog with no snapshot — dropped by the mismatch
+    // rule (gadgetstyle/series.py:120-141)
+    for (i <- Seq(0, 1, 7)) {
+      val d = new java.io.File(out, f"groups_$i%03d"); d.mkdirs()
+      writeCat(d.getPath, 10.0 * (i + 1))
+    }
+    val pairs = SeriesRegistry.discoverPairs(simRoot)
+    assert(pairs.map(_._1) ==
+      Seq("snapdir_000", "snapdir_001", "snapdir_002"))
+    assert(pairs(0)._3.exists(_.endsWith("groups_000")))
+    assert(pairs(1)._3.exists(_.endsWith("groups_001")))
+    assert(pairs(2)._3.isEmpty, "orphan groups_007 must not pair")
+    // an "output"-named root resolves to its parent (arepo/series.py:41)
+    assert(SeriesRegistry.discoverPairs(out.getPath).map(_._1) ==
+      pairs.map(_._1))
+    // full series open: members carry paths + paired catalogs
+    val reg = SeriesRegistry.discoverArepo(simRoot)
+    val m1 = reg.byName("snapdir_001")
+    assert(m1.meta("redshift") == 3.0)
+    assert(m1.catalogPath.exists(_.endsWith("groups_001")))
+    // openMember loads the snapshot WITH its paired catalog attached
+    val ds = SeriesRegistry.openMember(spark, m1)
+    assert(ds.catalogs.keySet == Set("Group"))
+    assert(ds.catalog("Group").select("GroupMass")
+      .as[Double].collect().toSeq == Seq(20.0))
+    // the catalog-less member opens clean with no attachment
+    val ds2 = SeriesRegistry.openMember(spark, reg.byName("snapdir_002"))
+    assert(ds2.catalogs.isEmpty)
+  }
+
   test("SWIFT sim detection routes discovery to snapshots/ (swift/series.py:39-68)") {
     def writeSnap(dir: String, z: Double): Unit =
       Hdf5Writer.write(s"$dir/snap.0.hdf5", Hdf5Writer.Group(children = Seq(

@@ -100,6 +100,75 @@ class UnitDefaultsSpec extends SparkSpec {
     assert(out == Seq(3.0 * f, 4.0 * f))
   }
 
+  test("mtng layers its coordinate overrides on the Gadget base (mtng.yaml)") {
+    import graft.model.{Cosmology, UnitDefaults}
+    val cosmo = Some(Cosmology(h = 0.6774, omega0 = None,
+      omegaBaryon = None, redshift = 1.0))
+    // override: coordinates ship cMpc/h (a/h factor, Mpc measure) —
+    // per-PartType entries exactly as the yaml spells them
+    for (pt <- Seq("PartType0", "PartType1", "PartType4")) {
+      val (f, m) = UnitDefaults.resolve("mtng", pt, "Coordinates", cosmo).get
+      assert(m.toString == "Mpc", s"$pt coordinates measure")
+      assert(math.abs(f - 0.5 / 0.6774) < 1e-12, s"$pt coordinates factor a/h")
+    }
+    assert(UnitDefaults.unitString("mtng", "PartType0", "CenterOfMass")
+      .contains("cMpc/h"))
+    // base layer intact: everything else keeps the Gadget defaults
+    assert(UnitDefaults.unitString("mtng", "PartType0", "Density")
+      .contains("code_mass/code_length^3"))
+    assert(UnitDefaults.unitString("mtng", "_all", "Masses") // via lookup
+      .contains("code_mass") ||
+      UnitDefaults.unitString("mtng", "PartType1", "Masses")
+        .contains("code_mass"))
+    // and arepo itself is NOT affected by the mtng layer
+    assert(UnitDefaults.unitString("arepo", "PartType1", "Coordinates")
+      .contains("code_length"))
+  }
+
+  test("user config extends the flavor registry (config.py:148)") {
+    import graft.model.{Cosmology, UnitDefaults}
+    val dir = Files.createTempDirectory("graft_userunits")
+    val cfg = dir.resolve("config.json")
+    Files.writeString(cfg,
+      """{"units": {
+        |  "mysim": {"_all": {"Masses": "code_mass"},
+        |            "PartType0": {"Coordinates": "cMpc/h"}},
+        |  "arepo": {"PartType0": {"StarFormationRate": "g/s"}}
+        |}}""".stripMargin)
+    val old = sys.props.get("graft.config.path")
+    sys.props("graft.config.path") = cfg.toString
+    try {
+      val cosmo = Some(Cosmology(h = 0.7, omega0 = None,
+        omegaBaryon = None, redshift = 1.0))
+      // an entirely user-defined family resolves end-to-end
+      assert(UnitDefaults.unitString("mysim", "PartType0", "Coordinates")
+        .contains("cMpc/h"))
+      assert(UnitDefaults.unitString("mysim", "PartType1", "Masses")
+        .contains("code_mass"), "_all fallback works for user families")
+      val (f, m) = UnitDefaults.resolve("mysim", "PartType0",
+        "Coordinates", cosmo).get
+      assert(m.toString == "Mpc")
+      assert(math.abs(f - 0.5 / 0.7) < 1e-12)
+      // a field-level override of a SHIPPED family: the user's
+      // PartType0 group entry beats the shipped _all entry, and every
+      // untouched field keeps its shipped default
+      assert(UnitDefaults.unitString("arepo", "PartType0",
+        "StarFormationRate").contains("g/s"))
+      assert(UnitDefaults.unitString("arepo", "PartType0", "Density")
+        .contains("code_mass/code_length^3"))
+      assert(UnitDefaults.unitString("arepo", "PartType0", "Coordinates")
+        .contains("code_length"))
+    } finally old match {
+      case Some(v) => sys.props("graft.config.path") = v
+      case None => sys.props.remove("graft.config.path")
+    }
+    // config detached → user families are gone, shipped tables intact
+    assert(UnitDefaults.unitString("mysim", "PartType0", "Coordinates").isEmpty
+      || new java.io.File(UnitDefaults.configPath).isFile)
+    assert(UnitDefaults.unitString("arepo", "PartType0", "Density")
+      .contains("code_mass/code_length^3"))
+  }
+
   test("Load.dataset: a/h defaults stay unresolved without a cosmology") {
     val dir = Files.createTempDirectory("graft_unitdefaults_nocosmo").toString
     // arepo markers but NO HubbleParam → no cosmology object
