@@ -383,4 +383,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
+
+  test("histogram_equidepth: memoized boundaries — steady state is the one-pass CASE") {
+    // first execution may pay the ExactQuantiles boundary derivation
+    // (range-sort + two bounded driver jobs) to warm the per-(dataset,
+    // column) memo; every execution AFTER must be just the CASE +
+    // O(bins) count — the table-statistic contract
+    SparkEntry.queries("histogram_equidepth")(spark, sfDir).collect()
+    val sc = spark.sparkContext
+    sc.setJobGroup("equidepth-audit", "steady-state job count", false)
+    try SparkEntry.queries("histogram_equidepth")(spark, sfDir).collect()
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("equidepth-audit")
+    // 4 = AQE's stage-per-job for CASE+partial → final agg → tiny
+    // orderBy → collect; the boundary derivation added 3 more (range
+    // sort + two driver value jobs), so >4 means it leaked back
+    assert(jobs.length <= 4,
+      s"steady-state histogram_equidepth ran ${jobs.length} jobs — " +
+        "boundary derivation is leaking back into the query path")
+    // and the plan itself carries the boundaries as CASE literals:
+    // no join, no subquery against a quantile table
+    val p = plan("histogram_equidepth")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial_count"), p.take(800))
+  }
+
+  test("catalog_attach: auto-discovered catalog broadcast onto particles") {
+    val p = plan("catalog_attach")
+    // the Group table (dimension-scale) broadcasts; the particle scan
+    // is never shuffled for it — add_groupquantity_to_particles' shape
+    // survives the auto-discovery wiring
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // both-side aggregates combine map-side before their exchanges
+    assert(p.contains("partial_count"), p.take(1200))
+  }
 }
