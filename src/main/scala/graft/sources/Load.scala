@@ -298,6 +298,78 @@ object Load {
     }
   }
 
+  /** Identify the simulation from metadata — scida
+    * `check_config_for_dataset` (misc.py:234) over the user config's
+    * simulation entries (shipped `simulations.yaml` + user overlay,
+    * config.py:148): an entry matches when EVERY identifier holds —
+    * `name_contains` (case-insensitive substring of the last three
+    * path elements, misc.py:271-276) and per-group attr equality
+    * (`Header`/`Parameters` keys; scalars compare np.isclose-style,
+    * misc.py:299-301; `{"match": "substring", "content": …}` values
+    * compare by containment, misc.py:313-316). Entries without
+    * identifiers never match (misc.py:316-317). Config shape:
+    *
+    * {{{
+    * { "simulations": { "TNG50-4": {
+    *     "identifiers": { "name_contains": "tng50",
+    *                      "Header": {"BoxSize": 35000.0} },
+    *     "unit_flavor": "mysim" } } }
+    * }}}
+    *
+    * Returns (name, entry) for every matching candidate; the dataset
+    * wiring requires uniqueness like the reference's `unique=True`. */
+  def identifySimulation(metadata: Map[String, Map[String, Any]],
+      path: String,
+      configPath: String = graft.model.UnitDefaults.configPath)
+      : Seq[(String, Map[String, Any])] = {
+    def isCloseNum(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-8 + 1e-5 * math.abs(b)
+    def asNum(v: Any): Option[Double] = v match {
+      case d: Double => Some(d); case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble); case f: Float => Some(f.toDouble)
+      case _ => None
+    }
+    def valueMatches(attr: Any, want: Any): Boolean = (want: @unchecked) match {
+      case m: Map[String @unchecked, Any @unchecked]
+          if m.get("match").contains("substring") =>
+        m.get("content").exists(c =>
+          String.valueOf(attr).contains(String.valueOf(c)))
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.get("content").exists(valueMatches(attr, _))
+      case _ => (asNum(attr), asNum(want)) match {
+        case (Some(a), Some(b)) => isCloseNum(a, b)
+        case _ => String.valueOf(attr) == String.valueOf(want)
+      }
+    }
+    val sims = loadConfig(configPath).get("simulations")
+      .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+      .getOrElse(Map.empty[String, Any])
+    val f = new File(path)
+    val lastThree = Seq(Option(f), Option(f.getParentFile),
+      Option(f.getParentFile).flatMap(p => Option(p.getParentFile)))
+      .flatten.map(_.getName.toLowerCase)
+    sims.toSeq.sortBy(_._1).flatMap {
+      case (name, entry: Map[String @unchecked, Any @unchecked]) =>
+        entry.get("identifiers") match {
+          case Some(ids: Map[String @unchecked, Any @unchecked])
+              if ids.nonEmpty =>
+            val nameOk = ids.get("name_contains").forall(s =>
+              lastThree.exists(_.contains(String.valueOf(s).toLowerCase)))
+            val groupsOk = ids.forall {
+              case ("name_contains", _) => true
+              case (grp, want: Map[String @unchecked, Any @unchecked]) =>
+                metadata.get("/" + grp).exists(attrs =>
+                  want.forall { case (k, v) =>
+                    attrs.get(k).exists(valueMatches(_, v)) })
+              case _ => false
+            }
+            if (nameOk && groupsOk) Seq(name -> entry) else Nil
+          case _ => Nil // no identifiers → never a candidate
+        }
+      case _ => Nil
+    }
+  }
+
   /** Load as a GraftDataset with metadata mixins attached — the full
     * scida `load()` contract: cosmology derives from /Header attrs
     * (HDF5 chunk 0, or a zarr root/.zattrs carrying header keys) when
@@ -361,6 +433,19 @@ object Load {
     // units.py:411 add_units); TNG/EAGLE snapshots carry no unit attrs
     // at all, so without this table they load unitless
     lazy val flav = flavor(path, pfx)
+    // config identification (check_config_for_dataset, misc.py:234 +
+    // units.py:360-369): a matching "simulations" entry's unit_flavor
+    // overrides the detected family for UNIT-DEFAULT resolution only
+    // — the reference's identified unitfile is merged last and wins;
+    // detection still drives catalogs/physics. Multiple candidates
+    // error, as with the reference's unique=True.
+    val identified = attrs.toSeq.flatMap(identifySimulation(_, path))
+    require(identified.size <= 1,
+      s"Multiple dataset candidates: ${identified.map(_._1).mkString(", ")}")
+    val unitFlavorOverride = identified.headOption
+      .flatMap(_._2.get("unit_flavor"))
+      .collect { case s: String => s }
+    lazy val unitFlav = unitFlavorOverride.getOrElse(flav)
     val groupName = fmt match {
       case Hdf5 => if (group.nonEmpty) resolveGroup(group)
         else soleHdf5Group(path, pfx)
@@ -372,8 +457,8 @@ object Load {
       val a = fieldAttrs(colName).orElse(fieldAttrs(base))
       val fromAttrs = a.flatMap(graft.model.UnitAttrs.fromAttrs(_, ds.cosmology))
       val fromDefaults = () =>
-        graft.model.UnitDefaults.resolve(flav, groupName, colName, ds.cosmology)
-          .orElse(graft.model.UnitDefaults.resolve(flav, groupName, base, ds.cosmology))
+        graft.model.UnitDefaults.resolve(unitFlav, groupName, colName, ds.cosmology)
+          .orElse(graft.model.UnitDefaults.resolve(unitFlav, groupName, base, ds.cosmology))
       // attr-present path wins; defaults only fill gaps
       val (resolved, suffix) = fromAttrs match {
         case Some(r) => (Some(r), "_cgs")

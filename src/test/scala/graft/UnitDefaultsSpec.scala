@@ -169,6 +169,59 @@ class UnitDefaultsSpec extends SparkSpec {
       .contains("code_mass/code_length^3"))
   }
 
+  test("config identifiers select a per-simulation unit flavor (misc.py:234)") {
+    val dir = Files.createTempDirectory("graft_simid").toString
+    ZarrWriter.write(dir, Seq("Masses" -> ZarrWriter.F64(Array(2.0))),
+      attrs = Map("/" -> Map("Git_commit" -> "0badc0de", "Redshift" -> 1.0,
+        "HubbleParam" -> 0.5, "BoxSize" -> 35000.0)))
+    val cfg = Files.createTempDirectory("graft_simid_cfg").resolve("config.json")
+    Files.writeString(cfg,
+      """{
+        |  "units": {"mysim": {"_all": {"Masses": "Msun/h"}}},
+        |  "simulations": {
+        |    "MySim": {"identifiers": {"name_contains": "graft_simid",
+        |                              "Header": {"BoxSize": 35000.0}},
+        |              "unit_flavor": "mysim"},
+        |    "Other": {"identifiers": {"Header": {"BoxSize": 12345.0}},
+        |              "unit_flavor": "arepo"},
+        |    "NoIds": {"unit_flavor": "arepo"}
+        |  }
+        |}""".stripMargin)
+    val old = sys.props.get("graft.config.path")
+    sys.props("graft.config.path") = cfg.toString
+    try {
+      // identification: exactly MySim — BoxSize np.isclose-style,
+      // name_contains against the path tail; the no-identifiers entry
+      // never matches (misc.py:316-317)
+      val ids = Load.identifySimulation(
+        Map("/Header" -> Map("BoxSize" -> 35000.0000001)), dir)
+      assert(ids.map(_._1) == Seq("MySim"))
+      // substring matcher form
+      val ids2 = Load.identifySimulation(
+        Map("/Parameters" -> Map("InitCondFile" -> "/ics/L35n270TNG/output")),
+        "/data/other",
+        cfgAt("""{"simulations": {"S": {"identifiers": {"Parameters":
+          |{"InitCondFile": {"match": "substring", "content": "L35n270TNG"}}},
+          |"unit_flavor": "arepo"}}}""".stripMargin))
+      assert(ids2.map(_._1) == Seq("S"))
+      // end-to-end: detection says arepo, but the IDENTIFIED sim's
+      // unit_flavor resolves Masses through the user "mysim" table —
+      // Msun/h (factor 1/h = 2), not arepo's code_mass (1e10/h)
+      val ds = Load.dataset(spark, dir)
+      assert(ds.unitOf("Masses_phys").contains("Msun"))
+      assert(ds.select("Masses_phys").as[Double].collect().toSeq == Seq(4.0))
+    } finally old match {
+      case Some(v) => sys.props("graft.config.path") = v
+      case None => sys.props.remove("graft.config.path")
+    }
+  }
+
+  private def cfgAt(json: String): String = {
+    val p = Files.createTempDirectory("graft_cfg_at").resolve("c.json")
+    Files.writeString(p, json)
+    p.toString
+  }
+
   test("Load.dataset: a/h defaults stay unresolved without a cosmology") {
     val dir = Files.createTempDirectory("graft_unitdefaults_nocosmo").toString
     // arepo markers but NO HubbleParam → no cosmology object
