@@ -372,6 +372,57 @@ object ScidaQueries {
         |  FROM part)
         |GROUP BY shell ORDER BY shell""".stripMargin),
 
+    // --- PER-GROUP radial profile — the scida docs' "Radial profile
+    // for each halo" staple (docs/halocatalogs.md:148: per-halo
+    // binned_statistic of density around GroupPos via grouped(...)
+    // .apply): each row's shell is measured from ITS OWN group's
+    // center (the GroupPos analogue — derived per group once,
+    // broadcast back), then one map-side (group, shell) id feeds a
+    // partial-agg count+mean. At 100 TB: centers are a dimension
+    // (broadcast), particles never shuffle except the final
+    // O(groups × shells) aggregation — never a per-group apply
+    // buffer. Center sums are exact (integer-valued quantities,
+    // cents), so centers and shells are engine-identical doubles. ---
+    "group_profile" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val grp = col("l_suppkey") % 50
+        val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        val centers = li.groupBy(grp.as("grp"))
+          .agg(sum("l_quantity").as("sx"), sum(cents).as("syc"),
+            count(lit(1)).as("cn"))
+          .select(col("grp"), (col("sx") / col("cn")).as("cx"),
+            (col("syc").cast("double") / 100.0 / col("cn")).as("cy"))
+        val dx = col("l_quantity") - col("cx")
+        val dy = col("l_extendedprice") - col("cy")
+        li.join(broadcast(centers), grp === col("grp"))
+          .select(col("grp"),
+            floor(sqrt(dx * dx + dy * dy) / 5000.0).cast("long").as("shell"),
+            cents.as("cents"))
+          .groupBy("grp", "shell")
+          .agg(count(lit(1)).as("n"),
+            (floor(sum("cents").cast("double") / 100.0 / count(lit(1))
+              * 1000000 + 0.5) / 1000000).as("qmean"))
+          .orderBy("grp", "shell")
+      },
+      """WITH c AS (
+        |  SELECT l_suppkey % 50 AS grp,
+        |    sum(l_quantity) / count(*) AS cx,
+        |    CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 / count(*) AS cy
+        |  FROM lineitem GROUP BY grp
+        |), p AS (
+        |  SELECT l.l_suppkey % 50 AS grp,
+        |    CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(floor(sqrt(
+        |        (l.l_quantity - c.cx) * (l.l_quantity - c.cx)
+        |      + (l.l_extendedprice - c.cy) * (l.l_extendedprice - c.cy)
+        |      ) / 5000.0) AS BIGINT) AS shell
+        |  FROM lineitem l JOIN c ON l.l_suppkey % 50 = c.grp)
+        |SELECT grp, shell, count(*) AS n,
+        |  floor((CAST(sum(cents) AS DOUBLE)/100.0/count(*))*1000000 + 0.5)/1000000 AS qmean
+        |FROM p GROUP BY grp, shell ORDER BY grp, shell""".stripMargin),
+
     // --- per-group offset table (arepo/dataset.py:555-663: lengths →
     // cumulative offsets, the layout scida's halo catalogs key on).
     // Two-phase parallel prefix sum (operators.PrefixSum): bucketed
