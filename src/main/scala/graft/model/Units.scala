@@ -74,6 +74,47 @@ object Units {
       "1" -> (1.0, d()), "dozen" -> (12.0, d()))
   }
 
+  // ---- user-defined units — pint `ureg.define` (docs/units.md:99
+  // "Custom units"): linear definitions layered beside the shipped
+  // registry. Shipped symbols cannot be redefined (silent unit drift
+  // would corrupt every consumer); a user symbol may be re-defined
+  // only to the SAME definition (idempotent), else errors.
+  private val userRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Dimension)]()
+
+  private def lookup(sym: String): Option[(Double, Dimension)] =
+    registry.get(sym).orElse(Option(userRegistry.get(sym)))
+
+  /** Register a custom linear unit: `define("halfmeter = 0.5 * m")`.
+    * The right side is an optional numeric factor times any parseable
+    * composite measure (`"kms = km/s"`, `"beard_second = 5e-9 * m"`);
+    * a bare number defines a dimensionless counting unit. */
+  def define(spec: String): Unit = {
+    val parts = spec.split("=", 2)
+    require(parts.length == 2,
+      s"define expects 'name = [factor *] unit', got '$spec'")
+    val name = parts(0).trim
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid unit name '$name'")
+    require(!registry.contains(name), s"cannot redefine shipped unit '$name'")
+    val rhs = parts(1).trim
+    val numPat = "^([0-9][0-9.eE+-]*)\\s*\\*?\\s*(.*)$".r
+    val (f, measureStr) = rhs match {
+      case numPat(num, rest) if num.toDoubleOption.isDefined =>
+        (num.toDouble, rest.trim)
+      case _ => (1.0, rhs)
+    }
+    val entry =
+      if (measureStr.isEmpty || measureStr == "1") (f, Dimension(Map.empty))
+      else {
+        val meas = parse(measureStr)
+        (f * meas.siFactor, meas.dimension)
+      }
+    val prev = userRegistry.putIfAbsent(name, entry)
+    require(prev == null || prev == entry,
+      s"unit '$name' already defined differently")
+  }
+
   /** SI base symbol per dimension (for to_base_units). */
   private val baseSym = Map(
     "length" -> "m", "mass" -> "kg", "time" -> "s", "temperature" -> "K")
@@ -108,12 +149,12 @@ object Units {
     }
 
     def dimension: Dimension = syms.foldLeft(Dimension(Map.empty)) {
-      case (acc, (sym, e)) => acc * registry(sym)._2.pow(e)
+      case (acc, (sym, e)) => acc * lookup(sym).get._2.pow(e)
     }
 
     /** Multiplicative factor taking a value in this measure to SI. */
     def siFactor: Double = syms.foldLeft(1.0) {
-      case (acc, (sym, e)) => acc * math.pow(registry(sym)._1, e)
+      case (acc, (sym, e)) => acc * math.pow(lookup(sym).get._1, e)
     }
 
     def isDimensionless: Boolean = dimension.isDimensionless
@@ -153,7 +194,7 @@ object Units {
         case _ => throw new IllegalArgumentException(s"cannot parse unit term '$tok' in '$s'")
       }
       if (sym != "1") {
-        require(registry.contains(sym), s"unknown unit '$sym' in '$s'")
+        require(lookup(sym).isDefined, s"unknown unit '$sym' in '$s'")
         syms = merge(syms, Map(sym -> exp), op)
       }
     }

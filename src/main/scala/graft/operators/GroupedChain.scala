@@ -58,6 +58,21 @@ final class GroupedChain[K, V] private (
 
   def max(implicit ord: Ordering[V]): GroupedChain[K, V] = withFinal(_.max)
 
+  /** Restrict evaluation to group keys `<= nmax` — scida's
+    * `evaluate(nmax=…)` (docs/halocatalogs.md: halos are mass-ordered,
+    * so bounding the id bounds the work). A plain pushed-down filter
+    * on the key column: the scan prunes BEFORE the shuffle, so the
+    * cost scales with the kept groups, not the catalog. */
+  def limitGroups(nmax: K)(implicit ord: Ordering[K]): GroupedChain[K, V] =
+    new GroupedChain(rows.filter(r => ord.lteq(r._1, nmax)), ops, finalOp)
+
+  /** Restrict evaluation to an explicit group-id list — scida's
+    * `evaluate(idxlist=…)`. Broadcast-semi-join semantics via a
+    * driver-known set (fine for the bounded id lists the reference
+    * accepts; unbounded selections should pre-filter the frame). */
+  def forGroups(ids: Set[K]): GroupedChain[K, V] =
+    new GroupedChain(rows.filter(r => ids.contains(r._1)), ops, finalOp)
+
   /** Run the chain: one row per group. Requires a final op, like
     * GroupAwareOperation.evaluate. */
   def evaluate(implicit kEnc: Encoder[K], enc: Encoder[(K, V)]): Dataset[(K, V)] = {

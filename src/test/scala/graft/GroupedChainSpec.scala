@@ -20,6 +20,20 @@ class GroupedChainSpec extends SparkSpec {
     assert(out == Map(1L -> 90.0, 2L -> 5.0))
   }
 
+  test("nmax / idxlist restriction (scida evaluate(nmax=, idxlist=))") {
+    val threeGroups = Seq(
+      (1L, 0L, 10.0), (2L, 0L, 5.0), (2L, 1L, 7.0), (3L, 0L, 100.0)).toDS()
+    // nmax bounds the group ids evaluated (halos are mass-ordered)
+    assert(GroupedChain.of(threeGroups).limitGroups(2L).sum.evaluate
+      .collect().toMap == Map(1L -> 10.0, 2L -> 12.0))
+    // idxlist picks explicit groups
+    assert(GroupedChain.of(threeGroups).forGroups(Set(1L, 3L)).sum.evaluate
+      .collect().toMap == Map(1L -> 10.0, 3L -> 100.0))
+    // restriction composes with chain links
+    assert(GroupedChain.of(threeGroups).limitGroups(2L).half.sum.evaluate
+      .collect().toMap == Map(1L -> 10.0, 2L -> 5.0))
+  }
+
   test("order determinism survives adversarial input ordering") {
     val shuffled = GroupedChain.of(rows.orderBy(rand(7))).half.sum.evaluate
       .collect().toMap

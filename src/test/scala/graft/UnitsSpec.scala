@@ -115,4 +115,25 @@ class UnitsSpec extends SparkSpec {
     // convertTo still dimension-checks composite units
     intercept[IllegalArgumentException](ds.convertTo("rho", "Msun"))
   }
+
+  test("custom unit definitions (pint ureg.define, docs/units.md:99)") {
+    // the docs' own example: halfmeter = 0.5 * m
+    Units.define("halfmeter = 0.5 * m")
+    assert(Units.factor("m", "halfmeter") == 2.0)
+    assert(Units.factor("halfmeter", "cm") == 50.0)
+    // composite right side, no numeric factor
+    Units.define("kms = km/s")
+    assert(Units.factor("kms", "m/s") == 1000.0)
+    // custom units compose through the algebra like shipped ones
+    assert(Units.factor("Msun/halfmeter^3", "Msun/m^3") == 8.0)
+    // dimension checks still apply
+    intercept[IllegalArgumentException](Units.factor("halfmeter", "s"))
+    // idempotent redefinition ok; conflicting redefinition errors
+    Units.define("halfmeter = 0.5 * m")
+    intercept[IllegalArgumentException](Units.define("halfmeter = 0.7 * m"))
+    // shipped symbols are protected
+    intercept[IllegalArgumentException](Units.define("m = 2 * cm"))
+    // malformed specs error clearly
+    intercept[IllegalArgumentException](Units.define("no_equals_here"))
+  }
 }
