@@ -309,6 +309,35 @@ object Dedup {
     docs.join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Fraction-thresholded benchmark decontamination — the production
+    * refinement of [[decontaminate]] (the Llama-style "dirty
+    * fraction" protocol): a document is dropped only when at least
+    * `minOverlapPct`% of its DISTINCT k-shingles appear in the eval
+    * set — one hot phrase must not nuke a long document, while an
+    * eval passage embedded in a short doc still kills it. Same
+    * distributed shape: eval shingles broadcast, the corpus never
+    * shuffles except two partial-agg'd per-doc counts on the id key;
+    * the threshold compares in pure integers (h·100 ≥ pct·n), so both
+    * engines agree bit-exactly at the boundary. */
+  def decontaminateOverlap(docs: DataFrame, id: String, text: String,
+      evalDocs: DataFrame, evalText: String, k: Int,
+      minOverlapPct: Int): DataFrame = {
+    require(minOverlapPct >= 1 && minOverlapPct <= 100,
+      s"minOverlapPct must be in [1,100], got $minOverlapPct")
+    val evalGrams = withShingles(evalDocs, evalDocs.columns.head, evalText, k)
+      .select(explode(col("sh")).as("__g")).distinct()
+    val docGrams = withShingles(docs, id, text, k)
+      .select(col(id), explode(col("sh")).as("__g"))
+    val counts = docGrams.groupBy(id).agg(count(lit(1)).as("__n"))
+    val hits = docGrams
+      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("__h"))
+    val dirty = counts.join(hits, Seq(id))
+      .filter(col("__h") * 100 >= lit(minOverlapPct.toLong) * col("__n"))
+      .select(id)
+    docs.join(dirty, Seq(id), "left_anti")
+  }
+
   /** C4-style boilerplate-line removal: a line occurring in at least
     * `minDocs` DISTINCT documents is boilerplate (navigation,
     * footers, cookie banners) and is dropped from EVERY document;

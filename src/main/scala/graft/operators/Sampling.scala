@@ -40,4 +40,54 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double]): DataFrame =
     df.filter(stratifiedKeep(col(idCol), col(stratumCol), rates))
+
+  /** Temperature-reweighted mixture rates — the multilingual/domain
+    * mixing standard (XLM-R/mT5-style `p_s ∝ f_s^α`): per-stratum
+    * expected COPIES per doc `r_s = p_s / f_s` with
+    * `p_s = f_s^α / Σ_t f_t^α`. α < 1 flattens the mixture (rare
+    * strata upsample, head strata downsample); α = 1 is the identity
+    * (every r_s = 1). Derived DRIVER-SIDE from one tiny per-stratum
+    * count aggregate (O(strata) rows — rates are corpus statistics,
+    * maintained at ingest in production, like hotKeysOf). */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      alpha: Double): Map[String, Double] = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val ps = counts.map { case (k, n) => k -> math.pow(n / total, alpha) }
+    val z = ps.values.sum
+    counts.map { case (k, n) => k -> (ps(k) / z) / (n / total) }
+  }
+
+  /** Deterministic repeat-resampling to target per-stratum rates:
+    * each row emits `floor(r)` whole copies plus one more iff its
+    * id-hash falls under frac(r) (6 hex digits of md5 against a
+    * 1/16^6-resolution threshold) — expectation exactly r copies per
+    * doc, membership a pure function of the id: reproducible across
+    * partitionings, retries and corpus growth, like
+    * [[stratifiedKeep]]. Map-side + explode, no shuffle; rows whose
+    * copy count is 0 drop (that IS the downsampling). Strata absent
+    * from `rates` keep exactly one copy. Output: input columns +
+    * 1-based `copy`. */
+  def repeatSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val whole = rates.foldLeft(lit(1L)) { case (acc, (v, r)) =>
+      when(col(stratumCol) === v, lit(math.floor(r).toLong)).otherwise(acc) }
+    val fracThr = rates.foldLeft(lit("000000")) { case (acc, (v, r)) =>
+      when(col(stratumCol) === v, lit(fracHex6(r))).otherwise(acc) }
+    val key = substring(md5(col(idCol).cast("string")), 1, 6)
+    val copies = whole + when(key < fracThr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
+  /** Six-lowercase-hex-digit threshold for frac(r) — shared with the
+    * oracle replay so both engines compare the same strings. */
+  def fracHex6(r: Double): String = {
+    val f = r - math.floor(r)
+    val n = math.floor(f * 0x1000000L).toLong
+    f"${math.min(n, 0xffffffL)}%06x"
+  }
 }

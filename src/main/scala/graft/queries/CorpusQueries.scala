@@ -25,6 +25,14 @@ object CorpusQueries {
   /** Per-language keep fractions for the data-mixing sample. */
   private val mixRates = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
 
+  // sample_temperature's build→oracle handshake: the build derives the
+  // per-stratum copy rates from corpus counts (driver-side, O(strata))
+  // and records them; the oracle thunk — resolved AFTER builds run —
+  // interpolates the same (whole, frac-threshold) literals, so both
+  // engines resample with identical integer/string comparisons.
+  private val tempRatesRef =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+
   private def mixCaseSql: String =
     mixRates.map { case (l, r) =>
       f"WHEN '$l' THEN '${math.floor(r * 256).toInt}%02x'"
@@ -228,6 +236,46 @@ object CorpusQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < $mixCaseSql
          |ORDER BY doc_id""".stripMargin),
+
+    // --- temperature-reweighted mixture resampling (XLM-R/mT5's
+    // p ∝ f^α): per-language copy rates derived from corpus counts at
+    // α = 0.5 (rare languages upsample, the head downsamples), then a
+    // DETERMINISTIC repeat-sample — floor(r) whole copies + one more
+    // iff the doc's md5 prefix falls under frac(r)'s 6-hex-digit
+    // threshold. Map-side + explode, no shuffle; expectation exactly
+    // r copies per doc; a doc's fate is a pure function of its id.
+    // Oracle replays the identical integer/string comparisons with
+    // the recorded rates as literals. ---
+    "sample_temperature" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rates = Sampling.temperatureRates(docs, "lang", alpha = 0.5)
+        tempRatesRef.set(rates)
+        Sampling.repeatSample(docs, "doc_id", "lang", rates)
+          .select("doc_id", "lang", "copy")
+          .sortWithinPartitions("doc_id", "copy")
+      }, {
+        val rates = tempRatesRef.get
+        val rows = rates.toSeq.sorted.map { case (l, r) =>
+          s"('$l', ${math.floor(r).toLong}, '${Sampling.fracHex6(r)}')"
+        }.mkString(", ")
+        // static series join (DuckDB 1.0 has no lateral
+        // generate_series over a column): the bound is the largest
+        // possible copy count, floor(max rate) + 1
+        val maxCopies = rates.values.map(r => math.floor(r).toLong + 1)
+          .foldLeft(1L)(math.max)
+        s"""WITH p(lang, whole, thr) AS (VALUES $rows),
+           |c AS (
+           |  SELECT d.doc_id, d.lang,
+           |    p.whole + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+           |                        < p.thr THEN 1 ELSE 0 END AS copies
+           |  FROM documents d JOIN p ON d.lang = p.lang),
+           |series AS (
+           |  SELECT CAST(unnest(generate_series(1, $maxCopies)) AS BIGINT) AS copy)
+           |SELECT c.doc_id, c.lang, s.copy
+           |FROM c JOIN series s ON s.copy <= c.copies
+           |ORDER BY c.doc_id, s.copy""".stripMargin
+      }),
 
     // --- sequence packing (training-batch assembly): docs are
     // concatenated in doc_id order into one token stream and cut into

@@ -276,6 +276,37 @@ object DedupQueries {
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin),
 
+    // --- fraction-thresholded decontamination (the Llama-style
+    // "dirty fraction" refinement of `decontaminate`): a doc drops
+    // only when >= 50% of its distinct shingles appear in the eval
+    // set. Integer threshold compare (h*100 >= 50*n) — bit-exact at
+    // the boundary on both engines. Same scale shape: eval broadcast,
+    // two per-doc partial-agg counts, anti-join. ---
+    "decontaminate_overlap" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminateOverlap(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text")),
+          "text", k = 3, minOverlapPct = 50)
+          .select("doc_id").orderBy("doc_id")
+      },
+      shingleCte +
+        """
+        |, eval_g AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), hit AS (
+        |  SELECT s.doc_id, count(*) AS h
+        |  FROM sh s JOIN eval_g e USING (shingle) GROUP BY s.doc_id
+        |), dirty AS (
+        |  SELECT c.doc_id FROM cnt c JOIN hit h ON c.doc_id = h.doc_id
+        |  WHERE h.h * 100 >= 50 * c.n
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY doc_id""".stripMargin),
+
     // --- corpus n-gram statistics: global top-20 3-shingles by doc
     // frequency (partial-agg'd counts + TakeOrdered) ---
     "ngram_freq" -> QueryDef.sql(

@@ -79,6 +79,69 @@ class CorpusOpsSpec extends SparkSpec {
     assert(keptGrown.toSeq == kept1.toSeq)
   }
 
+  test("temperatureRates: alpha=1 is identity; alpha<1 flattens toward uniform") {
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("id", "s")
+    val r1 = Sampling.temperatureRates(df, "s", alpha = 1.0)
+    assert(r1.values.forall(r => math.abs(r - 1.0) < 1e-12))
+    val r05 = Sampling.temperatureRates(df, "s", alpha = 0.5)
+    // rare stratum upsamples, head downsamples; expected total
+    // preserved: sum_s n_s * r_s == N
+    assert(r05("small") > 1.0 && r05("big") < 1.0)
+    val total = 900 * r05("big") + 100 * r05("small")
+    assert(math.abs(total - 1000.0) < 1e-6)
+  }
+
+  test("repeatSample: expectation ~rate, partition-invariant, growth-stable") {
+    val df = ((0L until 2048L).map(i => (i, "up")) ++
+      (2048L until 4096L).map(i => (i, "down"))).toDF("id", "s")
+    val rates = Map("up" -> 2.25, "down" -> 0.5)
+    val out1 = Sampling.repeatSample(df, "id", "s", rates)
+      .select("id", "copy").as[(Long, Long)].collect().sorted
+    val out2 = Sampling.repeatSample(df.repartition(13), "id", "s", rates)
+      .select("id", "copy").as[(Long, Long)].collect().sorted
+    assert(out1.toSeq == out2.toSeq) // partition-invariant
+    val upRows = out1.count(_._1 < 2048)
+    val downRows = out1.count(_._1 >= 2048)
+    // expectation r copies per doc (md5 uniformity, 2048 draws)
+    assert(math.abs(upRows / 2048.0 - 2.25) < 0.1)
+    assert(math.abs(downRows / 2048.0 - 0.5) < 0.1)
+    // whole copies: every kept 'up' doc has copies 1..2 at least
+    val upDocs = out1.filter(_._1 < 2048).groupBy(_._1).view.mapValues(_.length)
+    assert(upDocs.values.forall(n => n == 2 || n == 3))
+    // a doc's copy count never changes when OTHER strata change
+    val out3 = Sampling.repeatSample(df, "id", "s",
+        Map("up" -> 2.25, "down" -> 0.9))
+      .filter(col("id") < 2048)
+      .select("id", "copy").as[(Long, Long)].collect().sorted
+    assert(out3.toSeq == out1.filter(_._1 < 2048).toSeq)
+  }
+
+  test("decontaminateOverlap drops on fraction, not any-hit; exact boundary") {
+    // doc 1 = eval. doc 2 shares 2 of its 4 distinct shingles (50%),
+    // doc 3 shares 1 of 4 (25%), doc 4 shares none.
+    val docs = Seq(
+      (1L, "a b c d e"), // eval: shingles {a b c, b c d, c d e}
+      (2L, "a b c d x y z"), // {a b c, b c d, c d x, d x y, x y z} → 2/5
+      (3L, "a b c q r s t"), // {a b c, b c q, c q r, q r s, r s t} → 1/5
+      (4L, "p q r s t u")).toDF("doc_id", "text")
+    val evalDocs = docs.filter(col("doc_id") === 1L)
+    def surviving(pct: Int): Seq[Long] =
+      graft.dedup.Dedup.decontaminateOverlap(docs, "doc_id", "text",
+        evalDocs, "text", k = 3, minOverlapPct = pct)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    // 40%: doc 2 (2/5 = 40% >= 40) and eval itself (100%) drop
+    assert(surviving(40) == Seq(3L, 4L))
+    // exact boundary: 2/5 = 40% is NOT >= 41%
+    assert(surviving(41) == Seq(2L, 3L, 4L))
+    // 20%: doc 3 (1/5 = 20%) drops too
+    assert(surviving(20) == Seq(4L))
+    // any-hit decontaminate would drop 2 AND 3 regardless of fraction
+    assert(graft.dedup.Dedup.decontaminate(docs, "doc_id", "text",
+      evalDocs, "text", k = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(4L))
+  }
+
   test("substringSpans finds maximal cross-doc spans, ignores within-doc repeats") {
     def words(prefix: String, n: Int): String =
       (0 until n).map(i => s"$prefix$i").mkString(" ")
