@@ -63,9 +63,22 @@ object Dedup {
     * maybe), so both share one oracle. */
   def incrementalKeepBloom(baseHash: DataFrame, incoming: DataFrame,
       id: String, text: String, expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    incrementalKeepWithBloom(
+      baseHash.stat.bloomFilter(baseHash.columns.head,
+        math.max(expectedItems, 1L), fpp),
+      baseHash, incoming, id, text)
+
+  /** [[incrementalKeepBloom]] with a PREBUILT filter — the production
+    * entry: the Bloom over the base hash set is a maintenance-cycle
+    * artifact persisted beside the base (rebuilt when the base
+    * compacts, not per batch), so steady-state increments pay zero
+    * filter-construction cost. */
+  def incrementalKeepWithBloom(
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      baseHash: DataFrame, incoming: DataFrame,
+      id: String, text: String): DataFrame = {
     val hcol = baseHash.columns.head
-    val bloom = baseHash.stat.bloomFilter(hcol, math.max(expectedItems, 1L), fpp)
     val b = incoming.sparkSession.sparkContext.broadcast(bloom)
     // native codegen'd probe over the broadcast filter — no ScalaUDF
     // interpreter barrier in the scan stage (PlanAuditSpec pins it)

@@ -118,18 +118,32 @@ object BinaryMeta {
   }
 
   private def openAudio(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
-      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-    var i = 0
-    while (i < readers.length) {
-      try return readers(i).getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    openAudioFrom(readers, 0, payload)._1
+
+  /** Probe readers starting at `first` (then the rest in order) and
+    * return (stream, winning index). A corpus is usually ONE container
+    * format, and every losing probe constructs an
+    * UnsupportedAudioFileException — starting from the caller's
+    * last-successful reader makes the steady state exception-free. */
+  private def openAudioFrom(
+      readers: Seq[javax.sound.sampled.spi.AudioFileReader], first: Int,
+      payload: Array[Byte]): (javax.sound.sampled.AudioInputStream, Int) = {
+    val n = readers.length
+    var k = 0
+    while (k < n) {
+      val i = if (k == 0) math.min(first, n - 1)
+        else if (k <= math.min(first, n - 1)) k - 1 // the ones we skipped
+        else k
+      try return (readers(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)), i)
       catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
-      i += 1
+      k += 1
     }
     // registry empty or nobody claimed it — AudioSystem is the
     // authoritative fallback (and throws the same way on junk)
-    javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    (javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload)), 0)
   }
 
   /** REAL audio (WAV/AIFF/AU) metadata decode via the JDK's
@@ -144,9 +158,11 @@ object BinaryMeta {
       .as[BinRow]
       .mapPartitions { rows =>
         val readers = audioReaders()
+        var pref = 0 // last-successful reader — steady state probes it first
         rows.map { r =>
           try {
-            val in = openAudio(readers, r.payload)
+            val (in, idx) = openAudioFrom(readers, pref, r.payload)
+            pref = idx
             val f = in.getFormat
             val frames = in.getFrameLength
             val dur = if (f.getFrameRate > 0) frames / f.getFrameRate.toDouble else -1.0
