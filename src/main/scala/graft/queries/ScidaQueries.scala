@@ -476,6 +476,11 @@ object ScidaQueries {
         // help here — an AQE-compiled InMemoryRelation reports
         // unknown output partitioning, so consumers re-exchange above
         // the cache regardless; keep the straightforward form.
+        // NOTE (measured, round 8): spreading the pruned l_orderkey
+        // column before this agg to beat the single-row-group scan's
+        // 1-3-task partial agg made the query ~0.5 s SLOWER — the
+        // extra 600k-row exchange exceeds what it parallelizes. The
+        // hot spot is fixture-layout, not plan shape.
         val perOrder = Tables.lineitem(s, d)
           .groupBy("l_orderkey").agg(count(lit(1)).as("slen"))
         val sub = graft.CacheScope.track(
