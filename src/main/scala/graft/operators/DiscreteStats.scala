@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   * degenerates to a near-raw-row sort — at 100 TB an opaque OOM hours
   * in. `maxDistinct` turns that into an immediate, actionable error.
   *
-  * Cost of the guard: ONE count over the already-aggregated histogram
-  * (one row per distinct value, map-side combined). The histogram is
-  * cached (CacheScope-tracked — released when the query's action
-  * completes), so the guard count and the downstream consumer share
-  * one aggregation execution; the guard adds a small job, never a
-  * second scan of the raw data.
+  * Cost of the guard: ONE count over the aggregated histogram (one
+  * row per distinct value, map-side combined), MEMOIZED per histogram
+  * plan — distinct cardinality is a table statistic (the hotKeysOf /
+  * quantilesOf argument), so only the first execution in a JVM pays
+  * the count job; steady-state executions run the exact pre-guard
+  * plan with zero extra work. (An earlier cache-and-count form made
+  * the guard itself ~2x the query at bench scale: the persist barrier
+  * broke the histogram→window whole-stage pipeline.)
   *
   * Remedy for continuous features: pre-bucket first (the
   * histogram_equidepth boundary machinery / ExactQuantiles.values),
@@ -37,16 +39,23 @@ object DiscreteStats {
     * scale. */
   val DefaultMaxDistinct: Long = 1L << 22
 
+  // distinct-count memo keyed by the histogram's semantic plan hash:
+  // same plan → same source data within a JVM (fixture staleness
+  // caveat shared with quantilesOf/hotKeysOf — restart after
+  // regenerating testdata in place)
+  private val cardMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
   private def guard(hist: DataFrame, what: String, maxDistinct: Long): DataFrame = {
-    val cached = graft.CacheScope.track(hist)
-    val nd = cached.count()
+    val key = hist.queryExecution.analyzed.semanticHash()
+    val nd = cardMemo.computeIfAbsent(key, _ => hist.count()).longValue()
     require(nd <= maxDistinct,
       s"$what has $nd distinct values (bound $maxDistinct): this " +
         "operator assumes a DISCRETE feature whose value histogram is " +
         "small enough to broadcast/window. Pre-bucket the column " +
         "(e.g. at ExactQuantiles.values boundaries) and retry, or " +
         "raise maxDistinct deliberately.")
-    cached
+    hist
   }
 
   /** Strictly-less-than counts (the exclusive CDF numerator) per
