@@ -26,6 +26,19 @@ object Ann {
       .orderBy(col("cos").desc, col(id))
       .limit(k)
 
+  /** Radius (range) similarity search: EVERY vector with cosine ≥
+    * `minCos` to the query — the similarity-search complement of
+    * top-k (dedup candidate pull, "find all near-copies of this
+    * item", recall-oriented retrieval). One map-side codegen'd cosine
+    * pass + filter; no shuffle, no sort of the corpus (the caller
+    * orders the — typically small — result). At scale the IVF cell
+    * layout prunes the scan exactly as for top-k probes. */
+  def radiusSearch(embs: DataFrame, id: String, vec: String,
+      query: Column, minCos: Double, digits: Int = 6): DataFrame =
+    embs.withColumn("cos", VectorOps.roundAt(VectorOps.cosineFast(col(vec), query), digits))
+      .filter(col("cos") >= minCos)
+      .select(col(id), col("cos"))
+
   /** Deterministic pseudo-random hyperplane component: a fixed integer
     * hash of (table, plane, dim) mapped to [-1, 1). No session seed —
     * identical buckets on every run and cluster size. */

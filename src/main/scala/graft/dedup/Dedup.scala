@@ -322,6 +322,39 @@ object Dedup {
     docs.join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Directional containment near-dup pairs: C(a→b) =
+    * |Sa ∩ Sb| / |Sa| ≥ minC over distinct k-shingle sets — the
+    * partial-copy detector (quotes, excerpts, boilerplate-wrapped
+    * reposts) that symmetric Jaccard MISSES when |Sb| ≫ |Sa|: a short
+    * doc fully contained in a long one has tiny Jaccard but
+    * containment 1. Output is ordered (doc_a contained-in doc_b).
+    *
+    * Shape: shingle-hash equi-join on 8-byte xxhash64 token ids (the
+    * shuffle keys on fixed-width longs; a hash collision can only ADD
+    * a candidate pair whose containment the count then understates by
+    * at most the collided token — ~V²/2⁶⁴, ignored like
+    * ngramJaccardPairs), pair counts partial-agg'd, one size join,
+    * threshold in rounded-6dp division. At 100 TB, block first (the
+    * LSH band machinery) — the exact join is the verify stage, as in
+    * the Jaccard family. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      k: Int, minC: Double): DataFrame = {
+    val sh = persisted(withShingles(spread(docs), id, text, k))
+    val a = sh.select(col(id).as("doc_a"), size(col("sh")).as("na"),
+      explode(col("sh")).as("s0"))
+      .select(col("doc_a"), col("na"), xxhash64(col("s0")).as("s"))
+    val b = sh.select(col(id).as("doc_b"), explode(col("sh")).as("s0"))
+      .select(col("doc_b"), xxhash64(col("s0")).as("s"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "na", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", graft.functions.VectorOps.roundAt(
+        col("inter").cast("double") / col("na"), 6))
+      .filter(col("containment") >= minC)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Fraction-thresholded benchmark decontamination — the production
     * refinement of [[decontaminate]] (the Llama-style "dirty
     * fraction" protocol): a document is dropped only when at least

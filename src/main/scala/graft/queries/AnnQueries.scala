@@ -70,6 +70,28 @@ object AnnQueries {
         |WHERE e.vec_id != 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
 
+    // --- radius (range) similarity search: every vector with cosine
+    // >= 0.2 to the query — the recall-oriented complement of top-k
+    // (near-copy candidate pull). Map-side cosine + filter, no
+    // shuffle/sort of the corpus; the small result orders locally. ---
+    "ann_radius" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_vec"))
+        Ann.radiusSearch(
+          e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q)),
+          "vec_id", "embedding", col("q_vec"), minCos = 0.2)
+          .orderBy("vec_id")
+      },
+      s"""SELECT e.vec_id,
+        |  ${QueryDef.cosSql("e.embedding", "q.embedding")} AS cos
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id != 0
+        |  AND ${QueryDef.cosSql("e.embedding", "q.embedding")} >= 0.2
+        |ORDER BY e.vec_id""".stripMargin),
+
     // --- IVF ANN: k-means coarse quantizer (fixed seed), probe the 4
     // nearest of 16 cells, exact re-rank — recall-verdict oracled
     // (spec additionally pins exhaustive-probe == brute force) ---

@@ -25,7 +25,7 @@ object DedupQueries {
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_simhash_sigs_default")
   private def simhashSigPath(d: String): String =
-    "/tmp/graft_simhash_sigs_" + Integer.toHexString(d.hashCode)
+    Fixtures.tmpPath("graft_simhash_sigs", d)
 
   // dedup_embcos uses the same signature-persist handshake for its
   // IVF cell-assignment table (the vector-derived blocking key)
@@ -33,7 +33,7 @@ object DedupQueries {
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_embcos_cells_default")
   private def embcosCellPath(d: String): String =
-    "/tmp/graft_embcos_cells_" + Integer.toHexString(d.hashCode)
+    Fixtures.tmpPath("graft_embcos_cells", d)
 
   // Bench-path cell index, built ONCE per (JVM, dataset): the cell
   // assignment is the corpus's ANN index — production maintains it as
@@ -53,7 +53,7 @@ object DedupQueries {
   private def embcosBenchCellsFor(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     embcosBenchCells.computeIfAbsent(d, _ => {
-      val p = "/tmp/graft_embcos_bench_" + Integer.toHexString(d.hashCode)
+      val p = Fixtures.tmpPath("graft_embcos_bench", d)
       val embs = Tables.embeddings(s, d)
       val (_, centers) = graft.ann.Ivf.build(
         embs, "vec_id", "embedding", nCells = 8)
@@ -70,12 +70,12 @@ object DedupQueries {
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_sem_cells_default")
   private def semCellPath(d: String): String =
-    "/tmp/graft_sem_cells_" + Integer.toHexString(d.hashCode)
+    Fixtures.tmpPath("graft_sem_cells", d)
   private val semCentPathRef =
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_sem_cents_default")
   private def semCentPath(d: String): String =
-    "/tmp/graft_sem_cents_" + Integer.toHexString(d.hashCode)
+    Fixtures.tmpPath("graft_sem_cents", d)
 
   // shared engine-stable cosine fragment — see QueryDef.cosSql
 
@@ -294,6 +294,29 @@ object DedupQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin),
+
+    // --- directional containment near-dup (the partial-copy
+    // detector: C(a→b) = |Sa∩Sb|/|Sa| — a short doc quoted inside a
+    // long one has tiny Jaccard but containment ~1). Threshold 0.6
+    // over distinct 3-shingles; oracle replays the same join + count
+    // + rounded division. ---
+    "dedup_containment" -> QueryDef.sql(
+      (s, d) => Dedup.containmentPairs(
+        Tables.documents(s, d), "doc_id", "text", k = 3, minC = 0.6)
+        .orderBy("doc_a", "doc_b"),
+      shingleCte +
+        """
+        |, px AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  floor((p.inter::DOUBLE / sa.n)*1000000 + 0.5)/1000000 AS containment
+        |FROM px p JOIN sizes sa ON sa.doc_id = p.doc_a
+        |WHERE floor((p.inter::DOUBLE / sa.n)*1000000 + 0.5)/1000000 >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     // --- fraction-thresholded decontamination (the Llama-style
     // "dirty fraction" refinement of `decontaminate`): a doc drops

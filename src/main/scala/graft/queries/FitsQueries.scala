@@ -20,8 +20,7 @@ object FitsQueries {
     fileCache.computeIfAbsent(d, _ => writeOrdersFits(s, d))
 
   private def writeOrdersFits(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val path = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_fits_orders_" + Integer.toHexString(d.hashCode) + ".fits").getPath
+    val path = Fixtures.tmpPath("graft_fits_orders", d) + ".fits"
     val rows = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")

@@ -62,8 +62,7 @@ object Hdf5Queries {
     * derive from orders columns so the DuckDB oracle can replay them.
     * Written by the DISTRIBUTED chunked writer (Hdf5Save). */
   private def writeParticleSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_h5_part_" + Integer.toHexString(d.hashCode))
+    val dir = new File(Fixtures.tmpPath("graft_h5_part", d))
     val df = indexedOrders(s, d).select(col("__row"),
       col("o_orderkey").as("OrderKey"),
       col("o_totalprice").as("Coordinates"),
@@ -103,8 +102,7 @@ object Hdf5Queries {
     * companion is a tiny driver-written chunk (written AFTER — the
     * distributed writer's publish step clears the dir's .hdf5 files). */
   private def writeMtngSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_h5_mtng_" + Integer.toHexString(d.hashCode))
+    val dir = new File(Fixtures.tmpPath("graft_h5_mtng", d))
     val df = indexedOrders(s, d).select(col("__row"),
       col("o_orderkey").as("OrderKey"),
       col("o_totalprice").as("Coordinates"),
@@ -147,8 +145,7 @@ object Hdf5Queries {
     * stays on the executor-parallel Hdf5Save. Returns the snapshot
     * dir. */
   private def writeCatalogSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val base = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_h5cat_" + Integer.toHexString(d.hashCode))
+    val base = new File(Fixtures.tmpPath("graft_h5cat", d))
     val snapDir = new File(base, "snapdir_042")
     val df = indexedOrders(s, d).select(col("__row"),
       col("o_orderkey").as("OrderKey"),
@@ -193,8 +190,7 @@ object Hdf5Queries {
     * Deterministic: rows indexed in o_orderkey order, fixed chunking,
     * fixed header attrs. */
   private def writeOrdersSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_h5_orders_" + Integer.toHexString(d.hashCode))
+    val dir = new File(Fixtures.tmpPath("graft_h5_orders", d))
     val df = indexedOrders(s, d).select(col("__row"),
       col("o_orderkey").as("OrderKey"),
       col("o_custkey").as("CustKey"),

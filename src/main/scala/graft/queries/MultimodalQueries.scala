@@ -193,7 +193,7 @@ object MultimodalQueries {
   private val imgBlobCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def imgBlobsFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     imgBlobCache.computeIfAbsent(d, _ => {
-      val p = "/tmp/graft_mm_png_" + Integer.toHexString(d.hashCode)
+      val p = Fixtures.tmpPath("graft_mm_png", d)
       synthImages(s, d).write.mode("overwrite").parquet(p)
       p
     })
@@ -201,7 +201,7 @@ object MultimodalQueries {
   private val wavBlobCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def wavBlobsFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     wavBlobCache.computeIfAbsent(d, _ => {
-      val p = "/tmp/graft_mm_wav_" + Integer.toHexString(d.hashCode)
+      val p = Fixtures.tmpPath("graft_mm_wav", d)
       synthWavs(s, d).write.mode("overwrite").parquet(p)
       p
     })

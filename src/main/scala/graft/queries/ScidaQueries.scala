@@ -23,9 +23,7 @@ object ScidaQueries {
   private def zOrderedPart(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val dir = zPartCache.computeIfAbsent(d, _ => {
-      val out = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        "graft_zpart_" + Integer.toHexString(d.hashCode)).getPath
+      val out = Fixtures.tmpPath("graft_zpart", d)
       Spatial.writeZOrdered(Tables.part(s, d), out,
         Seq(("p_size", 1.0, 51.0), ("p_retailprice", 900.0, 2000.0)),
         numFiles = 16)
@@ -50,9 +48,7 @@ object ScidaQueries {
   private def sortedLineitem(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val dir = sortedLiCache.computeIfAbsent(d, _ => {
-      val out = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        "graft_li_sorted_" + Integer.toHexString(d.hashCode)).getPath
+      val out = Fixtures.tmpPath("graft_li_sorted", d)
       Tables.lineitem(s, d)
         .repartitionByRange(16, col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("l_orderkey", "l_linenumber")
@@ -923,7 +919,7 @@ object ScidaQueries {
     // noise between engines. ---
     "save_roundtrip" -> QueryDef.sql(
       (s, d) => {
-        val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip"
+        val out = Fixtures.tmpPath("graft_roundtrip", d)
         // Scratch roundtrip artifact → no compression (fidelity is
         // the point and the checksum verifies it; snappy only taxes
         // the encode). NO repartition before the write: measured, the

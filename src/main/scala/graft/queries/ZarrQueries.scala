@@ -23,8 +23,7 @@ object ZarrQueries {
     storeCache.computeIfAbsent(d, _ => writeOrdersStore(s, d))
 
   private def writeOrdersStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dir = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_zarr_orders_" + Integer.toHexString(d.hashCode))
+    val dir = new File(Fixtures.tmpPath("graft_zarr_orders", d))
     if (dir.exists()) {
       def rm(f: File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
