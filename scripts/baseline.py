@@ -46,8 +46,15 @@ def main():
 
     bench = None
     if bench_path:
-        line = open(bench_path).read()
-        bench = json.loads(line[line.index("{"):])
+        # Bench emits TWO JSON lines (full map + compact summary);
+        # parse the line carrying the per-query map
+        bench = None
+        for line in open(bench_path):
+            if '"queries"' in line and "{" in line:
+                bench = json.loads(line[line.index("{"):])
+                break
+        if bench is None:
+            raise SystemExit(f"no queries JSON line in {bench_path}")
 
     # Gate-oracled queries: the oracle verifies a verdict or replays
     # only part of the computation (constant recall verdicts for ANN,

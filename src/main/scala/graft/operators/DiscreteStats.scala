@@ -39,15 +39,18 @@ object DiscreteStats {
     * scale. */
   val DefaultMaxDistinct: Long = 1L << 22
 
-  // distinct-count memo keyed by the histogram's semantic plan hash:
-  // same plan → same source data within a JVM (fixture staleness
-  // caveat shared with quantilesOf/hotKeysOf — restart after
-  // regenerating testdata in place)
+  // distinct-count memo keyed by the histogram's CANONICALIZED plan
+  // string (not the 32-bit semanticHash alone — a cross-plan hash
+  // collision would silently reuse another histogram's cardinality
+  // for the guard): same plan → same source data within a JVM
+  // (fixture staleness caveat shared with quantilesOf/hotKeysOf —
+  // restart after regenerating testdata in place). Entry count is
+  // O(distinct guarded plans) — a handful.
   private val cardMemo =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def guard(hist: DataFrame, what: String, maxDistinct: Long): DataFrame = {
-    val key = hist.queryExecution.analyzed.semanticHash()
+    val key = hist.queryExecution.analyzed.canonicalized.toString
     val nd = cardMemo.computeIfAbsent(key, _ => hist.count()).longValue()
     require(nd <= maxDistinct,
       s"$what has $nd distinct values (bound $maxDistinct): this " +

