@@ -408,6 +408,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(800))
   }
 
+  test("ann_radius: one map-side cosine pass — no shuffle of the corpus") {
+    val p = plan("ann_radius")
+    // the query vector rides as a broadcast one-row cross; the corpus
+    // is scanned once, filtered map-side, and only the (small) result
+    // pays the final sort
+    assert(p.contains("graft_cosine"), p.take(800))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // broadcast exchange for the query vector + the result's range
+    // exchange — never a corpus-wide hash shuffle
+    assert(exchanges <= 3, s"ann_radius plans $exchanges exchanges:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the query vector")
+  }
+
+  test("dedup_containment: hash-keyed equi-join, partial-agg counts, no cartesian") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // candidate generation keys on xxhash64 token ids
+    assert(p.contains("xxhash64"), p.take(800))
+    // pair counts combine map-side before their exchange
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
   test("catalog_attach: auto-discovered catalog broadcast onto particles") {
     val p = plan("catalog_attach")
     // the Group table (dimension-scale) broadcasts; the particle scan
