@@ -33,6 +33,19 @@ object CorpusStreams {
       TextOps.langId(t).isin(langs: _*))
   }
 
+  /** Stateless mixture-sampling gate: the deterministic md5-threshold
+    * sampler (`Sampling.stratifiedKeep` — same rule as the batch
+    * `sample_mix`) applied per micro-batch. A row's fate is a pure
+    * function of its id, so the admitted set is identical whether the
+    * corpus arrives as one batch, many micro-batches, or a replay —
+    * no state, no watermark, the property that makes stream-side
+    * mixing safe (a doc admitted today is admitted on backfill). */
+  def sampleGate(docs: DataFrame, idCol: String = "doc_id",
+      stratumCol: String = "lang",
+      rates: Map[String, Double] = Map.empty): DataFrame =
+    docs.filter(graft.operators.Sampling.stratifiedKeep(
+      col(idCol), col(stratumCol), rates))
+
   /** Content dedup: drop documents whose exact TEXT HASH was already
     * seen — first occurrence wins. On a STREAM, "seen" is bounded by
     * the watermark horizon (dropDuplicatesWithinWatermark state, one

@@ -55,6 +55,34 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(batch.toSeq == Seq(1L, 2L))
   }
 
+  test("sampling gate is stateless and arrival-invariant (stream == batch == replay)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 512L).map(i =>
+      (i, ts(i.toInt), if (i % 2 == 0) "en" else "es"))
+    val rates = Map("en" -> 0.25, "es" -> 0.75)
+    // batch admission set
+    val batch = CorpusStreams.sampleGate(
+        rows.toDF("doc_id", "ts", "lang"), rates = rates)
+      .select("doc_id").as[Long].collect().sorted
+    // streaming admission set, data split across micro-batches
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStreams.sampleGate(
+        in.toDF().toDF("doc_id", "ts", "lang"), rates = rates)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("sampled")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(200)); q.processAllAvailable()
+      in.addData(rows.drop(200)); q.processAllAvailable()
+      val streamed = spark.table("sampled").as[Long].collect().sorted
+      assert(streamed.toSeq == batch.toSeq,
+        "micro-batched arrival must admit exactly the batch set")
+    } finally q.stop()
+    // sanity: both strata sampled at roughly their rates
+    assert(math.abs(batch.count(_ % 2 == 0) / 256.0 - 0.25) < 0.08)
+    assert(math.abs(batch.count(_ % 2 == 1) / 256.0 - 0.75) < 0.08)
+  }
+
   test("dedup state is per content hash, not per id: changed text passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
