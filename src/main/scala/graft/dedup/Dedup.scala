@@ -340,11 +340,21 @@ object Dedup {
   def containmentPairs(docs: DataFrame, id: String, text: String,
       k: Int, minC: Double): DataFrame = {
     val sh = persisted(withShingles(spread(docs), id, text, k))
-    val a = sh.select(col(id).as("doc_a"), size(col("sh")).as("na"),
+    val ex = sh.select(col(id), size(col("sh")).as("n"),
       explode(col("sh")).as("s0"))
-      .select(col("doc_a"), col("na"), xxhash64(col("s0")).as("s"))
-    val b = sh.select(col(id).as("doc_b"), explode(col("sh")).as("s0"))
-      .select(col("doc_b"), xxhash64(col("s0")).as("s"))
+      .select(col(id), col("n"), xxhash64(col("s0")).as("s"))
+    // Direct count-join: pair intersection counts aggregate straight
+    // off the token equi-join (partial-agg'd on (a, b)) — no
+    // per-candidate array materialization. NOTE (measured, round 8):
+    // the PPJoin-style one-sided prefix filter (prefix(a) ⋈
+    // full-postings(b), rarest-first) ran 9x SLOWER here — at
+    // containment t = 0.6 the prefix bound is floor((1−t)·n)+1 ≈ 40%
+    // of every doc, too weak to prune on a template-heavy corpus,
+    // while adding the candidate distinct + per-pair array_intersect
+    // verify. The 100 TB scale path is LSH-band blocking FIRST (the
+    // dedup_minhash machinery), then this exact join on candidates.
+    val a = ex.select(col(id).as("doc_a"), col("n").as("na"), col("s"))
+    val b = ex.select(col(id).as("doc_b"), col("s"))
     a.join(b, Seq("s"))
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "na", "doc_b")
