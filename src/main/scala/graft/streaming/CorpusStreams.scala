@@ -46,6 +46,20 @@ object CorpusStreams {
     docs.filter(graft.operators.Sampling.stratifiedKeep(
       col(idCol), col(stratumCol), rates))
 
+  /** Stateless decontamination gate: the batch `decontaminate` rule —
+    * drop any doc sharing a k-shingle with the eval set — applied per
+    * micro-batch. The eval set is tiny by definition (benchmark
+    * prompts/answers) and rides the plan as ONE broadcast-style array
+    * literal; the verdict is a map-side `arrays_overlap` over the
+    * doc's native shingle array, so the stream stays stateless and
+    * arrival-invariant — a doc's verdict never depends on what else
+    * has arrived, and batch replay admits the identical set. */
+  def decontaminationGate(docs: DataFrame, evalShingles: Seq[String],
+      textCol: String = "text", k: Int = 3): DataFrame =
+    docs.filter(!arrays_overlap(
+      graft.functions.Hashing.shingles(col(textCol), k),
+      lit(evalShingles.toArray)))
+
   /** Content dedup: drop documents whose exact TEXT HASH was already
     * seen — first occurrence wins. On a STREAM, "seen" is bounded by
     * the watermark horizon (dropDuplicatesWithinWatermark state, one

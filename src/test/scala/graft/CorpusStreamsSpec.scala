@@ -83,6 +83,32 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(math.abs(batch.count(_ % 2 == 1) / 256.0 - 0.75) < 0.08)
   }
 
+  test("decontamination gate is stateless: stream admits the batch set") {
+    implicit val sqlCtx = spark.sqlContext
+    // eval shingles from doc 1's text: docs 1 and 3 (its dup) must
+    // drop; every other doc passes regardless of arrival order
+    val evalShingles = graft.dedup.Dedup
+      .withShingles(Seq((1L, docs.head._3)).toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .select(explode(col("sh"))).as[String].collect().toSeq
+    val batch = CorpusStreams.decontaminationGate(
+        docs.toDF("doc_id", "ts", "text"), evalShingles)
+      .select("doc_id").as[Long].collect().sorted
+    assert(batch.toSeq == Seq(2L, 4L, 5L, 6L))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStreams.decontaminationGate(
+        in.toDF().toDF("doc_id", "ts", "text"), evalShingles)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.drop(3)); q.processAllAvailable() // reversed arrival
+      in.addData(docs.take(3)); q.processAllAvailable()
+      val streamed = spark.table("decon").as[Long].collect().sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("dedup state is per content hash, not per id: changed text passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
