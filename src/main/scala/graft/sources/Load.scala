@@ -89,7 +89,12 @@ object Load {
       fileprefix: String = ""): DataFrame =
     detect(path) match {
       case Parquet => spark.read.parquet(path)
-      case Zarr => spark.read.format("graft-zarr").load(path)
+      case Zarr =>
+        val r = spark.read.format("graft-zarr")
+        // container selection for multi-container stores (catalog
+        // Group/Subhalo tables) — mirrors the hdf5 group option
+        (if (group.nonEmpty) r.option("group", resolveGroup(group)) else r)
+          .load(path)
       case Fits => spark.read.format("graft-fits").load(firstFits(path))
       case Hdf5 =>
         val pfx = if (fileprefix.nonEmpty) fileprefix else autoPrefix(path)
@@ -430,7 +435,8 @@ object Load {
         name => all.get(s"/$g/$name")
       case Zarr =>
         val st = graft.sources.zarr.ZarrStore.open(path)
-        name => st.attrs.get(s"/$name")
+        val g = if (group.nonEmpty) resolveGroup(group) + "/" else ""
+        name => st.attrs.get(s"/$g$name")
       case Fits =>
         // TUNITn column units — the FITS standard's per-column unit
         // keyword, the same role HDF5 dataset attrs play
@@ -461,7 +467,10 @@ object Load {
     val groupName = fmt match {
       case Hdf5 => if (group.nonEmpty) resolveGroup(group)
         else soleHdf5Group(path, pfx)
-      case _ => "" // zarr/fits arrays sit at the root → `_all` only
+      // a zarr container view resolves defaults under its own group
+      // name (Group/Subhalo catalog tables); root arrays → `_all`
+      case Zarr => if (group.nonEmpty) resolveGroup(group) else ""
+      case _ => "" // fits arrays sit at the root → `_all` only
     }
     df.columns.filter(_ != "row_id").foreach { colName =>
       // flattened 2-D columns (Coordinates_0) carry the array's attrs
@@ -507,12 +516,21 @@ object Load {
     // `dataset` entry (its own unit defaults, its own cosmology —
     // incl. the sibling-file fallback Illustris group files need),
     // with catalog="none" to terminate the recursion.
-    if (fmt == Hdf5 && catalog != "none" &&
+    if ((fmt == Hdf5 || fmt == Zarr) && catalog != "none" &&
         (catalog != "auto" || flav == "arepo" || flav == "mtng")) {
       val catPath = if (catalog == "auto") discoverCatalog(path)
         else Some(catalog)
+      // a catalog's containers, per ITS OWN format: a zarr snapshot
+      // can sit beside a zarr catalog (nested Group/… arrays) exactly
+      // as an hdf5 one does
+      def containersOf(cp: String): Seq[String] = detect(cp) match {
+        case Hdf5 => hdf5Groups(cp)
+        case Zarr => graft.sources.zarr.ZarrStore.groupsOf(
+          graft.sources.zarr.ZarrStore.open(cp))
+        case _ => Nil
+      }
       catPath.foreach { cp =>
-        hdf5Groups(cp).foreach { g =>
+        containersOf(cp).foreach { g =>
           ds = ds.withCatalog(g, dataset(spark, cp, g, catalog = "none"))
         }
       }

@@ -45,7 +45,18 @@ object ZarrTable {
   def store(options: CaseInsensitiveStringMap): ZarrStore.Store = {
     val path = Option(options.get("path")).getOrElse(
       sys.error("graft-zarr: 'path' required"))
-    ZarrStore.open(path)
+    val st = ZarrStore.open(path)
+    // container selection for multi-container stores (Group/Subhalo
+    // catalog tables of different lengths) — the zarr analogue of the
+    // hdf5 source's particle-type `group` option
+    Option(options.get("group")).filter(_.nonEmpty)
+      .map(g => ZarrStore.subGroup(st, g)).getOrElse(st)
+  }
+
+  /** Executor-side re-open with the partition's container context. */
+  def reopen(p: ZarrPartition): ZarrStore.Store = {
+    val st = ZarrStore.open(p.path)
+    if (p.group.nonEmpty) ZarrStore.subGroup(st, p.group) else st
   }
 
   def sparkType(m: ZarrStore.ArrayMeta): DataType = (m.kind, m.elemSize) match {
@@ -96,8 +107,8 @@ final class ZarrScanBuilder(options: CaseInsensitiveStringMap, full: StructType)
 }
 
 /** One partition = a chunk-aligned row slice of the store. */
-final case class ZarrPartition(path: String, rowStart: Long, nRows: Int)
-    extends InputPartition
+final case class ZarrPartition(path: String, group: String,
+    rowStart: Long, nRows: Int) extends InputPartition
 
 final class ZarrScan(options: CaseInsensitiveStringMap, required: StructType)
     extends Scan with Batch {
@@ -117,8 +128,11 @@ final class ZarrScan(options: CaseInsensitiveStringMap, required: StructType)
     // partitions align to stored chunk boundaries; huge chunks split
     val per = math.min(chunkRows.head,
       options.getOrDefault("rowsPerPartition", (1 << 21).toString).toLong).toInt max 1
+    // the container selection must survive to the executor-side
+    // re-open — the reader only gets the partition, not the options
+    val grp = Option(options.get("group")).getOrElse("")
     (0L until rows by per)
-      .map(st => ZarrPartition(s.path, st, math.min(per, rows - st).toInt))
+      .map(st => ZarrPartition(s.path, grp, st, math.min(per, rows - st).toInt))
       .toArray[InputPartition]
   }
 
@@ -149,7 +163,7 @@ final class ZarrColumnarReader(p: ZarrPartition, schema: StructType)
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val store = ZarrStore.open(p.path)
+  private val store = ZarrTable.reopen(p)
   private val byName = ZarrTable.columnsFor(store).map(c => c.name -> c).toMap
   private val metaByArr = store.arrays.map(a => a.name -> a).toMap
 
@@ -193,7 +207,7 @@ final class ZarrColumnarReader(p: ZarrPartition, schema: StructType)
 final class ZarrPartitionReader(p: ZarrPartition, colNames: Array[String])
     extends PartitionReader[InternalRow] {
 
-  private val store = ZarrStore.open(p.path)
+  private val store = ZarrTable.reopen(p)
   private val byName = ZarrTable.columnsFor(store).map(c => c.name -> c).toMap
   private val metaByArr = store.arrays.map(a => a.name -> a).toMap
 

@@ -66,6 +66,32 @@ object ZarrStore {
     }
   }
 
+  /** Container view of an opened store — the zarr analogue of an
+    * HDF5 particle-type group: arrays under `group/` with the prefix
+    * stripped, per-array attrs re-keyed, other containers' arrays
+    * dropped. Enables multi-container zarr stores (a catalog holding
+    * Group/ and Subhalo/ tables of different lengths) to load one
+    * container per DataFrame, exactly like the chunked-HDF5 path. */
+  def subGroup(st: Store, group: String): Store = {
+    val pfx = group.stripSuffix("/") + "/"
+    val arrays = st.arrays.filter(_.name.startsWith(pfx))
+      .map(a => a.copy(name = a.name.stripPrefix(pfx)))
+    require(arrays.nonEmpty,
+      s"no arrays under group '$group' in ${st.path} " +
+        s"(have ${st.arrays.map(_.name).mkString(", ")})")
+    val attrs = st.attrs.collect {
+      case ("/", v) => "/" -> v // root (header) attrs stay visible
+      case (k, v) if k.startsWith("/" + pfx) =>
+        ("/" + k.stripPrefix("/" + pfx)) -> v
+    }
+    Store(st.path, arrays, attrs)
+  }
+
+  /** Distinct top-level containers among a store's nested arrays. */
+  def groupsOf(st: Store): Seq[String] =
+    st.arrays.map(_.name).filter(_.contains("/"))
+      .map(_.split('/').head).distinct.sorted
+
   /** Open a store directory: every descendant directory containing
     * `.zarray` is an array; `.zattrs` files become attrs keyed by
     * store-relative path ("/" for root, "/name" per array). */

@@ -258,6 +258,31 @@ class LoadSpec extends SparkSpec {
     assert(ds.unitOf("Coordinates_phys").contains("Mpc"))
   }
 
+  test("zarr snapshot auto-attaches a zarr catalog (multi-container store)") {
+    val base = Files.createTempDirectory("graft_zcat").toString
+    val snapDir = s"$base/snapdir_031"; val catDir = s"$base/groups_031"
+    // zarr snapshot with arepo markers + cosmological header
+    ZarrWriter.write(snapDir, Seq("Masses" -> ZarrWriter.F64(Array(1.0, 2.0))),
+      attrs = Map("/" -> Map("Git_commit" -> "0badc0de", "Time" -> 0.5,
+        "Redshift" -> 1.0, "HubbleParam" -> 0.6774)))
+    // zarr catalog: Group and Subhalo containers (different lengths)
+    // in ONE store via nested array names
+    ZarrWriter.write(catDir, Seq(
+      "Group/GroupMass" -> ZarrWriter.F64(Array(10.0, 20.0)),
+      "Subhalo/SubhaloGrNr" -> ZarrWriter.F64(Array(0.0, 0.0, 1.0))),
+      attrs = Map("/" -> Map("Redshift" -> 1.0, "HubbleParam" -> 0.6774)))
+    assert(Load.flavor(snapDir) == "arepo")
+    assert(Load.discoverCatalog(snapDir).contains(catDir))
+    val ds = Load.dataset(spark, snapDir)
+    assert(ds.catalogs.keySet == Set("Group", "Subhalo"))
+    assert(ds.catalog("Group").select("GroupMass")
+      .as[Double].collect().sorted.toSeq == Seq(10.0, 20.0))
+    assert(ds.catalog("Subhalo").df.count() == 3)
+    // direct container load through the group option
+    val grp = Load.dataFrame(spark, catDir, "Group")
+    assert(grp.columns.contains("GroupMass") && grp.count() == 2)
+  }
+
   test("explicit catalog path attaches without discovery (any flavor)") {
     val (_, catDir) = catalogPair
     // a GENERIC snapshot (no arepo marker) never auto-discovers…
