@@ -25,7 +25,13 @@ def main():
         print(__doc__)
         return 2
     a = keys_of(args[0])
-    if len(args) >= 3 and args[1] == "--verify-dump":
+    if len(args) >= 2 and args[1] == "--verify-dump":
+        # --verify-dump with its dir operand missing must not fall
+        # through to the two-file branch (keys_of('--verify-dump')
+        # would die with an unhelpful FileNotFoundError)
+        if len(args) < 3:
+            print(__doc__)
+            return 2
         b = {d for d in os.listdir(args[2])
              if os.path.isdir(os.path.join(args[2], d))}
         a_name, b_name = args[0], args[2]

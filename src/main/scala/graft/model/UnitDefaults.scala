@@ -119,6 +119,143 @@ object UnitDefaults {
     "PartType4" -> Map(
       "BirthDensity" -> "g/cm^3"))
 
+  /** Auriga overrides on the Gadget base (configfiles/units/
+    * auriga.yaml layered over gadget_cosmological.yaml via the
+    * simulations.yaml entry's `unitfile: [gadget_cosmological,
+    * auriga]` list — later file wins): Auriga snapshots ship values
+    * already in physical-ish units (Coordinates Mpc, Masses
+    * 10^10 Msun, Velocities km/s — no a/h factors), so the overrides
+    * are factor-1 labels or bare 1e10 scalings; anything the yaml
+    * doesn't name keeps the Gadget code-unit default. */
+  private val Auriga: Map[String, Map[String, String]] = {
+    val overrides = Map(
+      "_all" -> Map(
+        "Coordinates" -> "Mpc",
+        "Masses" -> "1e10*Msun",
+        "Velocities" -> "km/s",
+        "Softenings" -> "Mpc"),
+      "PartType0" -> Map("HighResGasMass" -> "1e10*Msun"),
+      "PartType4" -> Map(
+        "BirthPos" -> "Mpc",
+        "BirthVel" -> "km/s",
+        "GFM_StellarFormationTime" -> "Gyr",
+        "GravForce" -> "km/s^2/Mpc",
+        "GravPotential" -> "km^2/s^2"),
+      "PartType5" -> Map(
+        "BH_HaloVvir" -> "km/s",
+        "BH_HsmlDM" -> "Mpc",
+        "BH_Mdot_Quasar" -> "Msun/yr",
+        "BH_Mdot_Radio" -> "Msun/yr",
+        "BH_VelDM" -> "km/s"))
+    (Gadget.keySet ++ overrides.keySet).map(g =>
+      g -> (Gadget.getOrElse(g, Map.empty) ++
+        overrides.getOrElse(g, Map.empty))).toMap
+  }
+
+  /** FLAMINGO (configfiles/units/flamingo.yaml): a SWIFT run — every
+    * dataset self-describes its units through the SWIFT cgs-factor
+    * attrs UnitAttrs resolves, so the yaml ships NO field units (only
+    * `no_units` markers for the Cells/Header/SubgridScheme metadata
+    * containers, which graft never unit-resolves anyway). The shipped
+    * entry exists so the FLAMINGO identification hook
+    * (simulations.yaml:162 `Snapshots:basename == "flamingo"`)
+    * resolves to a known family rather than an unknown flavor. */
+  private val Flamingo: Map[String, Map[String, String]] = Map.empty
+
+  /** L-Galaxies semi-analytic catalogs (configfiles/units/
+    * lgalaxies.yaml): ONE `Galaxy` table whose code-unit system fixes
+    * h = 0.673 IN THE UNIT FILE (the Millennium-run value — LGalaxies
+    * outputs carry no usable Hubble header), while `a` still folds
+    * from the snapshot. The macros below are the yaml's `units:`
+    * block verbatim; fields are a representative subset of its 100+
+    * Galaxy entries covering every macro. */
+  private val LGalaxiesMacros: Map[String, String] = Map(
+    "h" -> "0.673",
+    "code_length" -> "ckpc/h",
+    "code_velocity" -> "km/s",
+    "code_mass" -> "1e10*Msun/h",
+    "code_time" -> "0.978*Gyr",
+    "code_pressure" -> "code_mass/code_length/code_time^2",
+    "code_Mdot" -> "Msun/yr",
+    "code_time_yr" -> "yr",
+    "code_time_Gyr" -> "1e9*yr")
+
+  private val LGalaxies: Map[String, Map[String, String]] = Map(
+    "Galaxy" -> Map(
+      "BulgeSize" -> "code_length",
+      "Central_M_Crit200" -> "code_mass",
+      "Central_R_Crit200" -> "code_length",
+      "ColdGasMass" -> "code_mass",
+      "CoolingRadius" -> "code_length",
+      "CoolingRate" -> "code_Mdot",
+      "CosInclination" -> "deg",
+      "DistanceToCentralGal" -> "code_length",
+      "EjectedMass" -> "code_mass",
+      "GasDiskRadius" -> "code_length",
+      "HaloSpin" -> "code_length*code_velocity",
+      "HaloStellarMass" -> "code_mass",
+      "HotGasMass" -> "code_mass",
+      "HotGasRadius" -> "code_length",
+      "InfallVmax" -> "code_velocity",
+      "LookBackTimeToSnap" -> "code_time_yr",
+      "M_Crit200" -> "code_mass",
+      "MassWeightAge" -> "code_time_Gyr",
+      "MergTime" -> "code_time",
+      "Pos" -> "code_length",
+      "QuasarAccretionRate" -> "code_Mdot",
+      "R_Crit200" -> "code_length",
+      "StarFormationRate" -> "code_Mdot",
+      "StellarBulgeMass" -> "code_mass",
+      "StellarDiskMass" -> "code_mass",
+      "StellarDiskRadius" -> "code_length",
+      "StellarHalfMassRadius" -> "code_length",
+      "StellarMass" -> "code_mass",
+      "Vel" -> "code_velocity",
+      "Vmax" -> "code_velocity",
+      "Vvir" -> "code_velocity",
+      "BlackHoleMass" -> "code_mass",
+      "ColdGas_elements" -> "Msun",
+      "HotGas_elements" -> "Msun",
+      "StellarMassFromBursts" -> "code_mass",
+      "rho_LBE_Gas" -> "code_mass/code_length^3",
+      "rho_LBE_Total" -> "code_mass/code_length^3"))
+
+  /** Gaia DR3 source catalogs (configfiles/units/gaia.yaml): a flat
+    * astrometric table — positions deg, parallaxes/position errors
+    * mas, proper motions mas/yr, photometry mag, metallicity dex,
+    * GSP-Phot distances pc, radial velocities km/s. All factor-1
+    * physical labels (metadata_unitsystem: code). */
+  private val Gaia: Map[String, Map[String, String]] = Map(
+    "_all" -> Map(
+      "ra" -> "deg", "dec" -> "deg", "l" -> "deg", "b" -> "deg",
+      "ra_error" -> "mas", "dec_error" -> "mas",
+      "parallax" -> "mas", "parallax_error" -> "mas",
+      "pmra" -> "mas/yr", "pmra_error" -> "mas/yr",
+      "pmdec" -> "mas/yr", "pmdec_error" -> "mas/yr",
+      "radial_velocity" -> "km/s", "radial_velocity_error" -> "km/s",
+      "distance_gspphot" -> "pc",
+      "distance_gspphot_lower" -> "pc",
+      "distance_gspphot_upper" -> "pc",
+      "mh_gspphot" -> "dex",
+      "mh_gspphot_lower" -> "dex", "mh_gspphot_upper" -> "dex",
+      "phot_g_mean_mag" -> "mag", "phot_bp_mean_mag" -> "mag",
+      "phot_rp_mean_mag" -> "mag",
+      "phot_g_mean_flux_error" -> "1/s",
+      "phot_bp_mean_flux_error" -> "1/s",
+      "phot_rp_mean_flux_error" -> "1/s"))
+
+  /** eROSITA X-ray event lists (configfiles/units/
+    * erosita_events.yaml): sky positions deg, detector coordinates
+    * arcsec, times s, calibrated photon energy PI in eV, raw pulse
+    * height PHA in adu (the yaml leaves the adu→energy conversion
+    * undefined; so does graft — adu is its own dimension). */
+  private val Erosita: Map[String, Map[String, String]] = Map(
+    "_all" -> Map(
+      "RA" -> "deg", "DEC" -> "deg",
+      "X" -> "arcsec", "Y" -> "arcsec",
+      "TIME" -> "s", "FRAMETIME" -> "s", "RECORDTIME" -> "s",
+      "PI" -> "eV", "PHA" -> "adu"))
+
   /** Rockstar halo catalogs (configfiles/units/rockstar.yaml, quoting
     * the Rockstar source's own unit banner): masses Msun/h, positions
     * cMpc/h, halo lengths/radii ckpc/h, velocities physical km/s.
@@ -162,7 +299,20 @@ object UnitDefaults {
     "gizmo" -> Gadget,
     "mtng" -> Mtng,
     "eagle" -> Eagle,
-    "rockstar" -> Rockstar)
+    "rockstar" -> Rockstar,
+    "auriga" -> Auriga,
+    "flamingo" -> Flamingo,
+    "lgalaxies" -> LGalaxies,
+    "gaia" -> Gaia,
+    "erosita" -> Erosita)
+
+  /** Per-flavor macro definitions layered over the builtin code-unit
+    * vocabulary (a family's yaml `units:` block) — consulted by
+    * `eval` BEFORE the builtin `prim` table, so a family can pin its
+    * own `h` (lgalaxies.yaml fixes h = 0.673) or redefine a code_*
+    * macro without touching the shared convention. */
+  private val macroTables: Map[String, Map[String, String]] = Map(
+    "lgalaxies" -> LGalaxiesMacros)
 
   // ---- User-extensible registry — scida get_simulationconfig
   // (config.py:148): the user's ~/.config/scida/simulations.yaml
@@ -243,12 +393,18 @@ object UnitDefaults {
     * exists or the expression needs a cosmology that isn't there. */
   def resolve(flavor: String, group: String, field: String,
       cosmo: Option[Cosmology]): Option[(Double, Units.Measure)] =
-    unitString(flavor, group, field).flatMap(eval(_, cosmo))
+    unitString(flavor, group, field)
+      .flatMap(eval(_, cosmo, macroTables.getOrElse(flavor, Map.empty)))
 
   /** Evaluate a code-unit expression to (factor, Measure). Grammar is
     * `term (('*'|'/') term)*`, term = `sym['^'exp]`; exp is a decimal
-    * (fractional only on purely numeric symbols — a, h, literals). */
-  def eval(expr: String, cosmo: Option[Cosmology]): Option[(Double, Units.Measure)] = {
+    * (fractional only on purely numeric symbols — a, h, literals).
+    * `macros` are flavor-local symbol definitions resolved
+    * recursively ahead of the builtin vocabulary. */
+  def eval(expr: String, cosmo: Option[Cosmology],
+      macros: Map[String, String] = Map.empty,
+      depth: Int = 0): Option[(Double, Units.Measure)] = {
+    require(depth < 16, s"unit macro recursion too deep at '$expr'")
     var factor = 1.0
     var measure = Units.dimensionless
     val tokens = expr.trim.split("(?=[*/])").toSeq
@@ -264,7 +420,11 @@ object UnitDefaults {
           s"cannot parse unit term '$tok' in '$expr'")
       }
       val e = sign * exp
-      prim(sym, cosmo) match {
+      val resolved = macros.get(sym) match {
+        case Some(defn) => eval(defn, cosmo, macros, depth + 1)
+        case None => prim(sym, cosmo)
+      }
+      resolved match {
         case None => return None // needs cosmology we don't have
         case Some((f, m)) =>
           factor *= math.pow(f, e)

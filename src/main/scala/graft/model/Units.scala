@@ -70,6 +70,23 @@ object Units {
       // ureg("c") for E = m·c²): dimensionful scale factors
       "c" -> (299792458.0, d("length" -> 1, "time" -> -1)),
       "G" -> (6.6743e-11, d("length" -> 3, "mass" -> -1, "time" -> -2)),
+      // angles (base rad) — astrometric catalogs label positions deg
+      // and parallaxes/proper motions mas (configfiles/units/gaia.yaml,
+      // erosita_events.yaml). Angle gets its own dimension so mas↔deg
+      // convert but an angle never silently mixes with a pure number.
+      "rad" -> (1.0, d("angle" -> 1)),
+      "deg" -> (math.Pi / 180.0, d("angle" -> 1)),
+      "arcmin" -> (math.Pi / 180.0 / 60.0, d("angle" -> 1)),
+      "arcsec" -> (math.Pi / 180.0 / 3600.0, d("angle" -> 1)),
+      "mas" -> (math.Pi / 180.0 / 3600.0 / 1000.0, d("angle" -> 1)),
+      // logarithmic photometric labels (gaia.yaml phot_*_mean_mag,
+      // mh_gspphot) — non-linear scales pint also only LABELS (no
+      // linear conversion exists); own dimensions forbid conversion
+      "mag" -> (1.0, d("magnitude" -> 1)), "dex" -> (1.0, d("dex" -> 1)),
+      // eROSITA analogue-digital unit (erosita_events.yaml `adu:
+      // "[energy]"` — conversion to eV deliberately undefined there
+      // too, so adu is its own dimension rather than a wrong factor)
+      "adu" -> (1.0, d("adu" -> 1)),
       // dimensionless counting units
       "1" -> (1.0, d()), "dozen" -> (12.0, d()))
   }

@@ -128,6 +128,64 @@ object Hdf5Queries {
     dir.getPath
   }
 
+  private val aurigaCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def aurigaSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    aurigaCache.computeIfAbsent(d, _ => writeAurigaSnapshot(s, d))
+
+  /** An Auriga-shaped snapshot: gadget/arepo markers and a
+    * cosmological header, identified as Auriga by PATH NAME ALONE
+    * (simulations.yaml:115 "can only rely on path" — the dir name
+    * carries "auriga"), no unit attrs anywhere. */
+  private def writeAurigaSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = new File(Fixtures.tmpPath("graft_h5_auriga", d))
+    val df = indexedOrders(s, d).select(col("__row"),
+      col("o_orderkey").as("OrderKey"),
+      col("o_totalprice").as("Coordinates"),
+      col("o_custkey").cast("double").as("Masses"),
+      col("o_totalprice").as("Density"))
+    graft.sources.hdf5.Hdf5Save.save(df, "__row", dir.getPath,
+      group = "PartType0", chunkRows = 1 << 13, filePrefix = "snap",
+      headerAttrs = Seq(
+        "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+        "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble,
+        "Git_commit" -> "0badc0de"))
+    dir.getPath
+  }
+
+  private val lgalCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lgalaxiesCatalog(s: org.apache.spark.sql.SparkSession, d: String): String =
+    lgalCache.computeIfAbsent(d, _ => writeLgalaxiesCatalog(s, d))
+
+  /** The fixed-h LGalaxies hubble factor (lgalaxies.yaml `units: h:
+    * 0.673` — the Millennium value, pinned in the UNIT FILE because
+    * LGalaxies outputs carry no usable Hubble header). The fixture
+    * header deliberately carries a DIFFERENT HubbleParam so a resolver
+    * that wrongly reads h from the cosmology instead of the flavor
+    * macro produces different factors and hash-fails. */
+  private val LgalH = 0.673
+
+  /** An L-Galaxies catalog: one `Galaxy` table, identified by the
+    * Header `Simulation` banner (simulations.yaml:159), units from
+    * the lgalaxies flavor's fixed-h macro system. */
+  private def writeLgalaxiesCatalog(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = new File(Fixtures.tmpPath("graft_h5_lgal", d))
+    val df = indexedOrders(s, d).select(col("__row"),
+      col("o_orderkey").as("OrderKey"),
+      col("o_totalprice").as("Pos"),
+      col("o_custkey").cast("double").as("StellarMass"),
+      col("o_totalprice").as("StarFormationRate"),
+      (col("o_orderkey") % 997).cast("double").as("MassWeightAge"))
+    graft.sources.hdf5.Hdf5Save.save(df, "__row", dir.getPath,
+      group = "Galaxy", chunkRows = 1 << 13, filePrefix = "lgal",
+      headerAttrs = Seq(
+        "Simulation" -> "L-Galaxies run on the Millennium Simulation",
+        "Time" -> (1.0 / (1.0 + FixtureRedshift)),
+        "Redshift" -> FixtureRedshift, "HubbleParam" -> FixtureHubble))
+    dir.getPath
+  }
+
   private val catSnapCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def catalogSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
@@ -391,6 +449,107 @@ object Hdf5Queries {
         s"""SELECT o_orderkey AS OrderKey,
            |  o_totalprice * CAST('${f("Coordinates")}' AS DOUBLE) AS pos_mpc,
            |  o_custkey * CAST('${f("Masses")}' AS DOUBLE) AS mass_msun
+           |FROM orders ORDER BY OrderKey""".stripMargin
+      }),
+
+    // --- Auriga flavor end-to-end (simulations.yaml:109 Auriga:
+    // identified by PATH NAME alone, unitfile gadget_cosmological +
+    // auriga layered): the snapshot detects as plain arepo from its
+    // markers, the shipped identification entry overrides the unit
+    // flavor to auriga, whose yaml relabels Coordinates as plain Mpc
+    // (factor 1 — raw values ARE physical), rescales Masses by a bare
+    // 1e10 (no h), and leaves unnamed fields (Density) on the Gadget
+    // code-unit layer (a/h-folded). The oracle replays all three
+    // factors from the SAME resolver, so a wrong identification, a
+    // wrong layer order, or a wrong macro eval hash-fails. ---
+    "auriga_units" -> QueryDef.sql(
+      (s, d) => {
+        val snap = aurigaSnapshot(s, d)
+        require(graft.sources.Load.flavor(snap) == "arepo",
+          "fixture must detect as the arepo family from markers")
+        require(graft.sources.Load.identifySimulation(
+            Map.empty, snap).map(_._1) == Seq("Auriga"),
+          "shipped registry must identify Auriga from the path name")
+        val ds = graft.sources.Load.dataset(s, snap, "PartType0")
+        // factor-1 override: the raw coordinates ARE Mpc, no derived
+        // field appears (auriga.yaml `_all: Coordinates: Mpc`)
+        assert(ds.unitOf("Coordinates").contains("Mpc"),
+          "auriga override: coordinates are physical Mpc")
+        assert(!ds.fieldNames.contains("Coordinates_phys"),
+          "factor-1 label must not mint a derived field")
+        // bare 1e10 scaling, NO h (auriga.yaml `Masses: 10^10 Msun`)
+        assert(ds.unitOf("Masses_phys").contains("Msun"), "mass measure")
+        // unnamed field keeps the Gadget base layer (code units)
+        assert(ds.unitOf("Density_phys").contains("Msun/kpc^3"),
+          "gadget layer fallback for fields auriga.yaml doesn't name")
+        ds.select("OrderKey", "Coordinates", "Masses_phys", "Density_phys")
+          .select(col("OrderKey"),
+            col("Coordinates").as("pos_mpc"),
+            col("Masses_phys").as("mass_msun"),
+            col("Density_phys").as("rho"))
+          .orderBy("OrderKey")
+      }, {
+        import graft.model.{Cosmology, UnitDefaults}
+        val cosmo = Cosmology(h = FixtureHubble, omega0 = None,
+          omegaBaryon = None, redshift = FixtureRedshift)
+        def f(field: String): Double =
+          UnitDefaults.resolve("auriga", "PartType0", field, Some(cosmo)).get._1
+        require(f("Coordinates") == 1.0 && f("Masses") == 1e10,
+          "auriga factors must be cosmology-free")
+        // string→double casts: see unit_defaults' literal note
+        s"""SELECT o_orderkey AS OrderKey,
+           |  o_totalprice AS pos_mpc,
+           |  o_custkey * CAST('${f("Masses")}' AS DOUBLE) AS mass_msun,
+           |  o_totalprice * CAST('${f("Density")}' AS DOUBLE) AS rho
+           |FROM orders ORDER BY OrderKey""".stripMargin
+      }),
+
+    // --- LGalaxies flavor end-to-end (simulations.yaml:156,
+    // lgalaxies.yaml): identified by the Header `Simulation` banner,
+    // one Galaxy table, and a code-unit system whose h is FIXED IN
+    // THE UNIT FILE (0.673 — Millennium) while `a` folds from the
+    // snapshot. The fixture header carries a DIFFERENT HubbleParam,
+    // so resolving h from the cosmology instead of the flavor macro
+    // changes the factors and hash-fails. ---
+    "lgalaxies_units" -> QueryDef.sql(
+      (s, d) => {
+        val cat = lgalaxiesCatalog(s, d)
+        require(graft.sources.Load.flavor(cat) == "generic",
+          "LGalaxies files carry no gadget markers")
+        val ds = graft.sources.Load.dataset(s, cat)
+        // the macro system: code_length = a·kpc/0.673 despite the
+        // header's different HubbleParam
+        val a = 1.0 / (1.0 + FixtureRedshift)
+        val posF = graft.model.UnitDefaults.resolve(
+          "lgalaxies", "Galaxy", "Pos", ds.cosmology).get._1
+        assert(math.abs(posF - a / LgalH) < 1e-15,
+          "h must come from the lgalaxies macro, not the cosmology")
+        assert(ds.unitOf("Pos_phys").contains("kpc"), "code_length")
+        assert(ds.unitOf("StellarMass_phys").contains("Msun"), "code_mass")
+        assert(ds.unitOf("StarFormationRate").contains("Msun/yr"),
+          "code_Mdot is a factor-1 physical label")
+        assert(ds.unitOf("MassWeightAge_phys").contains("yr"),
+          "code_time_Gyr = 1e9 yr")
+        ds.select("OrderKey", "Pos_phys", "StellarMass_phys",
+            "StarFormationRate", "MassWeightAge_phys")
+          .select(col("OrderKey"),
+            col("Pos_phys").as("pos_kpc"),
+            col("StellarMass_phys").as("mass_msun"),
+            col("StarFormationRate").as("sfr"),
+            col("MassWeightAge_phys").as("age_yr"))
+          .orderBy("OrderKey")
+      }, {
+        import graft.model.{Cosmology, UnitDefaults}
+        val cosmo = Cosmology(h = FixtureHubble, omega0 = None,
+          omegaBaryon = None, redshift = FixtureRedshift)
+        def f(field: String): Double =
+          UnitDefaults.resolve("lgalaxies", "Galaxy", field, Some(cosmo)).get._1
+        // string→double casts: see unit_defaults' literal note
+        s"""SELECT o_orderkey AS OrderKey,
+           |  o_totalprice * CAST('${f("Pos")}' AS DOUBLE) AS pos_kpc,
+           |  o_custkey * CAST('${f("StellarMass")}' AS DOUBLE) AS mass_msun,
+           |  o_totalprice AS sfr,
+           |  (o_orderkey % 997) * CAST('${f("MassWeightAge")}' AS DOUBLE) AS age_yr
            |FROM orders ORDER BY OrderKey""".stripMargin
       }),
 

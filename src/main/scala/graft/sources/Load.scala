@@ -315,10 +315,41 @@ object Load {
     }
   }
 
+  /** Shipped simulation-identification entries — the graft analogue
+    * of the reference's configfiles/simulations.yaml ships (the
+    * families whose unit system cannot be read off the file itself):
+    * Auriga/gaia-dr3/eROSITA identify by path name alone
+    * (simulations.yaml:115 "can only rely on path"), LGalaxies by its
+    * Header `Simulation` banner (simulations.yaml:159), FLAMINGO by
+    * the SWIFT parameter `Snapshots:basename` (simulations.yaml:166).
+    * Each resolves a `unit_flavor` into UnitDefaults' shipped tables.
+    * User config entries overlay per name (later-wins, as the user
+    * simulations.yaml overlays the shipped one, config.py:148). */
+  private val shippedSimulations: Map[String, Map[String, Any]] = Map(
+    "Auriga" -> Map(
+      "identifiers" -> Map("name_contains" -> "auriga"),
+      "unit_flavor" -> "auriga"),
+    "LGalaxies" -> Map(
+      "identifiers" -> Map("Header" -> Map(
+        "Simulation" -> "L-Galaxies run on the Millennium Simulation")),
+      "unit_flavor" -> "lgalaxies"),
+    "FLAMINGO" -> Map(
+      "identifiers" -> Map("Parameters" -> Map(
+        "Snapshots:basename" -> "flamingo")),
+      "unit_flavor" -> "flamingo"),
+    "gaia-dr3" -> Map(
+      "identifiers" -> Map("name_contains" -> "gaia"),
+      "unit_flavor" -> "gaia"),
+    "eROSITA-events" -> Map(
+      "identifiers" -> Map("name_contains" -> "erosita"),
+      "unit_flavor" -> "erosita"))
+
   /** Identify the simulation from metadata — scida
-    * `check_config_for_dataset` (misc.py:234) over the user config's
-    * simulation entries (shipped `simulations.yaml` + user overlay,
-    * config.py:148): an entry matches when EVERY identifier holds —
+    * `check_config_for_dataset` (misc.py:234) over the shipped
+    * simulation entries above plus the user config's (shipped
+    * `simulations.yaml` + user overlay, config.py:148; a user entry
+    * REPLACES a shipped entry of the same name): an entry matches
+    * when EVERY identifier holds —
     * `name_contains` (case-insensitive substring of the last three
     * path elements, misc.py:271-276) and per-group attr equality
     * (`Header`/`Parameters` keys; scalars compare np.isclose-style,
@@ -353,14 +384,29 @@ object Load {
           String.valueOf(attr).contains(String.valueOf(c)))
       case m: Map[String @unchecked, Any @unchecked] =>
         m.get("content").exists(valueMatches(attr, _))
-      case _ => (asNum(attr), asNum(want)) match {
-        case (Some(a), Some(b)) => isCloseNum(a, b)
-        case _ => String.valueOf(attr) == String.valueOf(want)
+      // array-valued HDF5 attrs (MassTable-style) compare element-wise
+      // (misc.py:299 np.isclose over the whole array) — String.valueOf
+      // on a JVM array is identity-hash gibberish, never equal
+      case _ => (attr, want) match {
+        case (a: Array[_], w: Array[_]) =>
+          a.length == w.length &&
+            a.iterator.zip(w.iterator).forall { case (x, y) => valueMatches(x, y) }
+        case (a: Array[_], w: Seq[_]) =>
+          a.length == w.length &&
+            a.iterator.zip(w.iterator).forall { case (x, y) => valueMatches(x, y) }
+        case (a: Seq[_], w: Seq[_]) =>
+          a.length == w.length &&
+            a.iterator.zip(w.iterator).forall { case (x, y) => valueMatches(x, y) }
+        case _ => (asNum(attr), asNum(want)) match {
+          case (Some(a), Some(b)) => isCloseNum(a, b)
+          case _ => String.valueOf(attr) == String.valueOf(want)
+        }
       }
     }
-    val sims = loadConfig(configPath).get("simulations")
+    val userSims = loadConfig(configPath).get("simulations")
       .collect { case m: Map[String @unchecked, Any @unchecked] => m }
       .getOrElse(Map.empty[String, Any])
+    val sims = (shippedSimulations: Map[String, Any]) ++ userSims
     val f = new File(path)
     val lastThree = Seq(Option(f), Option(f.getParentFile),
       Option(f.getParentFile).flatMap(p => Option(p.getParentFile)))

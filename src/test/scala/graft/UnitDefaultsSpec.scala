@@ -222,6 +222,131 @@ class UnitDefaultsSpec extends SparkSpec {
     p.toString
   }
 
+  test("auriga layers physical labels over the Gadget base (auriga.yaml)") {
+    // overrides: Auriga ships values already physical — no a/h folds
+    val (fc, mc) = UnitDefaults.resolve("auriga", "PartType1", "Coordinates", None).get
+    assert(mc == Units.parse("Mpc") && fc == 1.0)
+    val (fm, mm) = UnitDefaults.resolve("auriga", "PartType0", "Masses", None).get
+    assert(mm == Units.parse("Msun") && fm == 1e10)
+    val (fv, mv) = UnitDefaults.resolve("auriga", "PartType0", "Velocities", None).get
+    assert(mv == Units.parse("km/s") && fv == 1.0, "no a^0.5 factor")
+    // composite per-type override
+    assert(UnitDefaults.unitString("auriga", "PartType4", "GravPotential")
+      .contains("km^2/s^2"))
+    // base layer intact for fields auriga.yaml doesn't name
+    assert(UnitDefaults.unitString("auriga", "PartType0", "Density")
+      .contains("code_mass/code_length^3"))
+    // and the base arepo table is untouched by the layer
+    val (fa, _) = UnitDefaults.resolve("arepo", "PartType1", "Coordinates",
+      Some(cosmo)).get
+    assert(fa == 0.5 / 0.6774)
+  }
+
+  test("lgalaxies macros pin h in the unit file (lgalaxies.yaml units:)") {
+    // h = 0.673 comes from the flavor macro, NOT the cosmology (the
+    // Millennium value is fixed in the yaml because LGalaxies outputs
+    // carry no usable Hubble header) — pass a DIFFERENT cosmology h
+    // and the factor must not move
+    val c7 = Some(Cosmology(h = 0.7, omega0 = None,
+      omegaBaryon = None, redshift = 1.0)) // a = 0.5
+    val (fp, mp) = UnitDefaults.resolve("lgalaxies", "Galaxy", "Pos", c7).get
+    assert(mp == Units.parse("kpc"))
+    assert(math.abs(fp - 0.5 / 0.673) < 1e-15, "code_length = a*kpc/0.673")
+    val (fm, mm) = UnitDefaults.resolve("lgalaxies", "Galaxy", "StellarMass", c7).get
+    assert(mm == Units.parse("Msun"))
+    assert(math.abs(fm - 1e10 / 0.673) < 1e-5)
+    // recursive macros: code_time_Gyr = code_time_yr * 1e9 = 1e9 yr
+    val (fa, ma) = UnitDefaults.resolve("lgalaxies", "Galaxy", "MassWeightAge", None).get
+    assert(ma == Units.parse("yr") && fa == 1e9)
+    // deep composite: code_pressure = code_mass/code_length/code_time^2
+    val (fpr, mpr) = UnitDefaults.resolve("lgalaxies", "Galaxy",
+      "rho_LBE_Gas", c7).get
+    assert(mpr == Units.parse("Msun/kpc^3"))
+    assert(math.abs(fpr - (1e10 / 0.673) / math.pow(0.5 / 0.673, 3)) / fpr < 1e-12)
+    // `a` still folds from the snapshot: no cosmology → unresolvable
+    assert(UnitDefaults.resolve("lgalaxies", "Galaxy", "Pos", None).isEmpty)
+    // angle label
+    val (fi, mi) = UnitDefaults.resolve("lgalaxies", "Galaxy",
+      "CosInclination", None).get
+    assert(mi == Units.parse("deg") && fi == 1.0)
+  }
+
+  test("gaia defaults label the astrometric table (gaia.yaml)") {
+    def r(field: String) = UnitDefaults.resolve("gaia", "_all", field, None).get
+    assert(r("ra")._2 == Units.parse("deg") && r("ra")._1 == 1.0)
+    assert(r("parallax")._2 == Units.parse("mas"))
+    assert(r("pmra")._2 == Units.parse("mas/yr"))
+    assert(r("distance_gspphot")._2 == Units.parse("pc"))
+    assert(r("radial_velocity")._2 == Units.parse("km/s"))
+    assert(r("phot_g_mean_mag")._2 == Units.parse("mag"))
+    assert(r("mh_gspphot")._2 == Units.parse("dex"))
+    assert(r("phot_g_mean_flux_error")._2 == Units.parse("1/s"))
+    // angles share a dimension: mas → deg converts exactly
+    assert(math.abs(Units.factor("mas", "deg") * 3600.0 * 1000.0 - 1.0) < 1e-12)
+    // photometric/log labels do NOT convert to pure numbers or angles
+    intercept[IllegalArgumentException](Units.factor("mag", "1"))
+    intercept[IllegalArgumentException](Units.factor("dex", "deg"))
+  }
+
+  test("erosita defaults label the event list (erosita_events.yaml)") {
+    def r(field: String) = UnitDefaults.resolve("erosita", "EVENTS", field, None).get
+    assert(r("RA")._2 == Units.parse("deg"))
+    assert(r("X")._2 == Units.parse("arcsec"))
+    assert(r("TIME")._2 == Units.parse("s"))
+    assert(r("PI")._2 == Units.parse("eV"))
+    // PHA stays in adu — its own dimension, deliberately inconvertible
+    // to eV (the yaml leaves the conversion undefined too)
+    assert(r("PHA")._2 == Units.parse("adu"))
+    intercept[IllegalArgumentException](Units.factor("adu", "eV"))
+    // detector coordinates convert within the angle dimension
+    assert(math.abs(Units.factor("arcsec", "deg") - 1.0 / 3600.0) < 1e-20)
+  }
+
+  test("shipped simulation entries identify the no-metadata families") {
+    // Auriga/gaia/erosita: path-name-only identification
+    // (simulations.yaml:115 "can only rely on path")
+    assert(Load.identifySimulation(Map.empty, "/data/Auriga/halo_6/snap_127")
+      .map(_._1) == Seq("Auriga"))
+    assert(Load.identifySimulation(Map.empty, "/data/gaia_dr3/part-0")
+      .map(_._1) == Seq("gaia-dr3"))
+    assert(Load.identifySimulation(Map.empty, "/data/erosita/events.fits")
+      .map(_._1) == Seq("eROSITA-events"))
+    // LGalaxies: the Header Simulation banner (simulations.yaml:159)
+    assert(Load.identifySimulation(
+      Map("/Header" -> Map(
+        "Simulation" -> "L-Galaxies run on the Millennium Simulation")),
+      "/data/millennium/out_0").map(_._1) == Seq("LGalaxies"))
+    // FLAMINGO: the SWIFT parameter (simulations.yaml:166)
+    assert(Load.identifySimulation(
+      Map("/Parameters" -> Map("Snapshots:basename" -> "flamingo")),
+      "/data/L1000N1800/snap_0").map(_._1) == Seq("FLAMINGO"))
+    // unrelated path + metadata match nothing shipped
+    assert(Load.identifySimulation(
+      Map("/Header" -> Map("BoxSize" -> 1.0)), "/data/other/snap_0").isEmpty)
+    // a user entry REPLACES the shipped entry of the same name
+    val ids = Load.identifySimulation(Map.empty, "/data/Auriga/snap_0",
+      cfgAt("""{"simulations": {"Auriga": {"identifiers":
+        |{"name_contains": "nope"}, "unit_flavor": "custom"}}}""".stripMargin))
+    assert(ids.isEmpty, "user overlay wins per name (config.py:148)")
+  }
+
+  test("array-valued identifier attrs compare element-wise (misc.py:299)") {
+    // an HDF5 MassTable-style attr arrives as Array[Double]; the
+    // config side as a parsed JSON list — equality is element-wise
+    // with numeric closeness, never String.valueOf identity
+    val meta: Map[String, Map[String, Any]] = Map("/Header" -> Map(
+      "MassTable" -> Array(0.0, 0.1, 0.0)))
+    val cfg = cfgAt("""{"simulations": {"ArrSim": {"identifiers":
+      |{"Header": {"MassTable": [0.0, 0.1000000001, 0.0]}},
+      |"unit_flavor": "arepo"}}}""".stripMargin)
+    assert(Load.identifySimulation(meta, "/data/x", cfg).map(_._1) == Seq("ArrSim"))
+    // wrong length or wrong element → no match
+    val cfg2 = cfgAt("""{"simulations": {"ArrSim": {"identifiers":
+      |{"Header": {"MassTable": [0.0, 0.5, 0.0]}},
+      |"unit_flavor": "arepo"}}}""".stripMargin)
+    assert(Load.identifySimulation(meta, "/data/x", cfg2).isEmpty)
+  }
+
   test("Load.dataset: a/h defaults stay unresolved without a cosmology") {
     val dir = Files.createTempDirectory("graft_unitdefaults_nocosmo").toString
     // arepo markers but NO HubbleParam → no cosmology object
