@@ -79,19 +79,28 @@ object IvfPq {
     * PER-CELL distance table (the residual query differs per cell:
     * q − centroid(cell)); TakeOrdered `refine` candidates; exact
     * cosine re-rank on their real vectors only. */
-  def topK(codes: Dataset[CellCode], index: Index, embs: DataFrame,
-      id: String, vec: String, query: Seq[Double], kTop: Int,
-      nProbe: Int, refine: Int, digits: Int = 6): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
+  /** The nProbe cells nearest the query (L2 to centroids, index
+    * tie-break) — public so a parquet-backed code table can pre-prune
+    * its scan with a Column `isin` on these BEFORE the typed filter
+    * in `topK` (typed lambdas are black boxes to partition pruning). */
+  def probeCells(index: Index, query: Seq[Double], nProbe: Int): Array[Int] = {
     val q = query.toArray
     def l2(c: Array[Double]): Double = {
       var s = 0.0; var j = 0
       while (j < c.length) { val d = c(j) - q(j); s += d * d; j += 1 }
       math.sqrt(s)
     }
-    val probes = index.centers.zipWithIndex
+    index.centers.zipWithIndex
       .sortBy { case (c, i) => (l2(c), i) }.take(nProbe).map(_._2)
+  }
+
+  def topK(codes: Dataset[CellCode], index: Index, embs: DataFrame,
+      id: String, vec: String, query: Seq[Double], kTop: Int,
+      nProbe: Int, refine: Int, digits: Int = 6): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    val probes = probeCells(index, query, nProbe)
     // per-cell ADC tables for the probed cells only: residual query ↔
     // every subspace centroid (nProbe × M × K doubles — tiny)
     val tables: Map[Int, Array[Array[Double]]] = probes.map { cell =>

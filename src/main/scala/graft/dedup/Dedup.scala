@@ -244,8 +244,28 @@ object Dedup {
     * cost is O(batch + matches), never O(base). (Here both sides
     * derive inline because the fixture has no persisted index; the
     * join shape is identical.) A batch doc survives iff no base doc
-    * reaches `minJ` exact Jaccard against it. */
-  def minhashIncrementalKeep(base: DataFrame, batch: DataFrame, id: String,
+    * reaches `minJ` exact Jaccard against it.
+    *
+    * Inherent LSH escape probability: with the gate's parameters
+    * (sigLen=64, bands=16 → r=4 rows/band), a pair at exactly
+    * J = 0.8 collides in no band with probability
+    * (1 − 0.8⁴)^16 ≈ 2.3e-4 — per NEAR-THRESHOLD pair, per band
+    * choice, independent of the data. The oracle compares against
+    * exact Jaccard, so a testdata regeneration landing a pair right
+    * at the threshold can fail the gate with NO code bug at ~2e-4
+    * probability; accepted (same exposure as dedup_minhash — the
+    * sf0.01 corpus's near-dup pairs sit well above threshold, where
+    * escape decays as (1−J⁴)^16: J=0.9 → 3e-9). Raising bands to 32
+    * (r=2) would cut escapes but triple false candidates
+    * (P_collide(0.5) jumps 0.06→0.66 per band); the 16-band point is
+    * the measured sweet spot for verify cost. */
+  /** Cross-set near-dup PAIRS (batch doc, base doc, j) — the
+    * candidate+verify core of `minhashIncrementalKeep`, exposed so
+    * incremental CLUSTER maintenance can consume the edges instead of
+    * just the drop verdict. Same shape: batch band keys probe the
+    * base band index with one equi-join, exact Jaccard verifies the
+    * sliver. */
+  def minhashIncrementalPairs(base: DataFrame, batch: DataFrame, id: String,
       text: String, k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
     require(sigLen % bands == 0, "bands must divide signature length")
     val shB = persisted(withShingles(spread(base), id, text, k))
@@ -258,14 +278,88 @@ object Dedup {
     val cand = bandTable(shN).toDF("doc_n", "band", "key")
       .join(bandTable(shB).toDF("doc_b", "band", "key"), Seq("band", "key"))
       .select("doc_n", "doc_b").distinct()
-    val dropped = cand
+    cand
       .join(shN.toDF("doc_n", "sh_n"), Seq("doc_n"))
       .join(shB.toDF("doc_b", "sh_b"), Seq("doc_b"))
       .withColumn("j",
         VectorOps.roundAt(Hashing.jaccard(col("sh_n"), col("sh_b")), 6))
       .filter(col("j") >= minJ)
+      .select(col("doc_n"), col("doc_b"), col("j"))
+  }
+
+  def minhashIncrementalKeep(base: DataFrame, batch: DataFrame, id: String,
+      text: String, k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
+    val dropped = minhashIncrementalPairs(base, batch, id, text,
+        k, sigLen, bands, minJ)
       .select(col("doc_n").as(id)).distinct()
     batch.select(col(id)).join(dropped, Seq(id), "left_anti")
+  }
+
+  /** Incremental connected-component maintenance — the batch-scale
+    * analogue of `minhashIncrementalKeep` for CLUSTER labels: a new
+    * batch's pairs merge into the PERSISTED component labels without
+    * recomputing the base graph.
+    *
+    * The base is represented ONLY by its label table (id → cluster,
+    * cluster = component-minimum id — `connectedComponents`' output
+    * contract). Each new edge projects its endpoints onto SUPER-NODES
+    * (a base doc by its label, a batch doc by itself); components of
+    * the projected graph — bounded by 2·|newPairs|, driver union-find
+    * territory — give every touched super-node its merged label
+    * min(old labels ∪ batch ids touched). Because a base label IS its
+    * component's minimum, the projected minimum is the true global
+    * minimum of the merged component.
+    *
+    * Plan shape (the O(batch) contract): the base label table is
+    * never shuffled — it is scanned twice, both times as the STREAMED
+    * side of a broadcast join (endpoint-label resolve; relabel apply
+    * with the tiny old→new map), and the projected-graph CC runs on
+    * O(batch) rows. At 100 TB the label table is a bucketed index
+    * artifact and both scans partition-prune; nothing here is
+    * O(base-graph).
+    *
+    * Returns the FULL updated label table: batch docs labeled, base
+    * docs relabeled where a merge lowered their component's minimum.
+    * (Production would write only the delta — batch rows + the
+    * old→new relabel map — into the label store; the full table here
+    * is the oracle-comparable form.) */
+  def clustersIncremental(baseLabels: DataFrame, batchIds: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val idCol = batchIds.columns.head
+    val lbl = baseLabels.toDF("id", "cluster")
+    val p = graft.CacheScope.track(newPairs.toDF("a", "b"))
+    // one scan of the base label table resolves every endpoint that
+    // is a base doc (broadcast the small endpoint set)
+    val ends = p.select(col("a").as("e"))
+      .union(p.select(col("b").as("e"))).distinct()
+    val lmap = graft.CacheScope.track(
+      broadcast(ends).join(lbl, col("e") === col("id"))
+        .select(col("e"), col("cluster").as("l")))
+    // project pairs onto super-nodes (batch endpoints map to themselves)
+    val proj = p
+      .join(broadcast(lmap).withColumnRenamed("e", "a")
+        .withColumnRenamed("l", "la"), Seq("a"), "left")
+      .join(broadcast(lmap.withColumnRenamed("e", "b")
+        .withColumnRenamed("l", "lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("pa"),
+        coalesce(col("lb"), col("b")).as("pb"))
+    val nodes = proj.select(col("pa").as("n"))
+      .union(proj.select(col("pb").as("n"))).distinct()
+    // merged labels of the touched super-nodes (projected graph is
+    // O(batch) — the driver union-find fast path)
+    val merged = graft.CacheScope.track(
+      connectedComponents(nodes, proj).toDF("n", "m"))
+    // base relabels: only components whose merged minimum moved
+    val relabel = merged.filter(col("n") =!= col("m"))
+    val baseUpdated = lbl
+      .join(broadcast(relabel).withColumnRenamed("n", "cluster"),
+        Seq("cluster"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("m"), col("cluster")).as("cluster"))
+    val batchLabeled = batchIds.select(col(idCol))
+      .join(broadcast(merged).withColumnRenamed("n", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("m"), col(idCol)).as("cluster"))
+    baseUpdated.union(batchLabeled)
   }
 
   /** SimHash signatures of a corpus: (id, sim) with sim the 64-bit

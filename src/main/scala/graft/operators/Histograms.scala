@@ -45,6 +45,27 @@ object Histograms {
       .agg(count(lit(1)).as("n"), sum(weight).as("wsum"))
       .orderBy("bin_x", "bin_y")
 
+  /** N-dimensional fixed-width histogram — the dask `histogramdd`
+    * surface behind scida's phase-space recipes (ρ–T–mass 3D binning
+    * and up): one codegen'd composite bin id per axis, partial
+    * (map-side) aggregation, ONE shuffle carrying O(occupied cells)
+    * rows whatever the input size — the exact same plan shape as
+    * hist2d, generalized. Columns: bin_0..bin_{d-1}, n[, wsum].
+    * Occupied cells only (dask semantics with dense edges differ only
+    * by zero rows — join a cell frame if dense output is needed). */
+  def histDD(df: DataFrame, dims: Seq[(Column, Double)],
+      weight: Option[Column] = None): DataFrame = {
+    require(dims.nonEmpty, "histDD needs at least one dimension")
+    val bins = dims.zipWithIndex.map { case ((c, w), i) =>
+      binId(c, w).as(s"bin_$i")
+    }
+    val aggs = count(lit(1)).as("n") +:
+      weight.map(w => sum(w).as("wsum")).toSeq
+    df.groupBy(bins: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(dims.indices.map(i => col(s"bin_$i")): _*)
+  }
+
   /** Log-spaced 1D histogram — the astro staple (halo mass functions,
     * luminosity functions bin in log10): bin = floor(log10(x)/decadeW).
     * Non-positive values are excluded (no log), matching numpy/dask

@@ -53,13 +53,16 @@ object RangeJoin {
     require(shared.isEmpty,
       s"non-key columns collide across sides (ambiguous after join): " +
         shared.toSeq.sorted.mkString(", "))
+    // every column reference goes through q(): bare col(name) PARSES
+    // the name (dots become struct access, an embedded backquote is a
+    // syntax error); the quoted form always resolves the literal name
     val p = points.withColumn("__bucket",
       expr(s"${q(tCol)} div ${bucketWidth}L"))
     val i = intervals.withColumn("__bucket", explode(sequence(
       expr(s"${q(startCol)} div ${bucketWidth}L"),
       expr(s"${q(endCol)} div ${bucketWidth}L"))))
     p.join(i, Seq(key, "__bucket"))
-      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .filter(col(q(tCol)) >= col(q(startCol)) && col(q(tCol)) <= col(q(endCol)))
       .drop("__bucket")
   }
 }

@@ -77,6 +77,29 @@ object DedupQueries {
   private def semCentPath(d: String): String =
     Fixtures.tmpPath("graft_sem_cents", d)
 
+  // dedup_clusters_incremental's persisted base artifact: the base
+  // corpus's component labels, built ONCE per (JVM, dataset) — in
+  // production the label table is the dedup store's primary artifact,
+  // maintained across batches; the measured increment is batch
+  // signatures + band probe + the super-node merge, never base CC.
+  // Oracle handshake: the path is recorded so DuckDB replays the
+  // merge from the SAME labels.
+  private val ccBasePathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_ccbase_default")
+  private val ccBaseMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ccBaseFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ccBaseMemo.computeIfAbsent(d, _ => {
+      val p = Fixtures.tmpPath("graft_ccbase", d)
+      val base = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val pairs = Dedup.minhashLshPairs(base, "doc_id", "text",
+        k = 3, sigLen = 64, bands = 16, minJ = 0.8).select("doc_a", "doc_b")
+      Dedup.connectedComponents(base.select("doc_id"), pairs)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   // shared engine-stable cosine fragment — see QueryDef.cosSql
 
   // Shared SQL fragment: per-doc distinct 3-shingle list (matches
@@ -389,6 +412,59 @@ object DedupQueries {
         |  HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
         |), edges AS (
         |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        |)
+        |SELECT id AS doc_id, min(lbl) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // --- incremental component maintenance: a new batch's pairs
+    // merge into the PERSISTED base labels without recomputing the
+    // base graph (the cluster-level completion of the incremental
+    // family: exact → Bloom → minhash-band → components). The build
+    // reads the base label artifact, generates only batch-touching
+    // pairs (batch LSH + band probe of the base index), and merges
+    // via super-node projection (Dedup.clustersIncremental — base
+    // labels broadcast-joined, never shuffled). DuckDB replays the
+    // merge as a RECURSIVE reach over base-label links + the exact
+    // batch-touching pair set from the SAME persisted labels, so a
+    // wrong projection, a lost relabel, or a recomputed base
+    // hash-fails. ---
+    "dedup_clusters_incremental" -> QueryDef.sql(
+      (s, d) => {
+        val p = ccBaseFor(s, d)
+        ccBasePathRef.set(p)
+        val docs = Tables.documents(s, d)
+        val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val baseLabels = s.read.parquet(p).select("doc_id", "cluster")
+        val bb = Dedup.minhashLshPairs(batch, "doc_id", "text",
+          k = 3, sigLen = 64, bands = 16, minJ = 0.8).select("doc_a", "doc_b")
+        val nb = Dedup.minhashIncrementalPairs(base, batch, "doc_id", "text",
+            k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+          .select(col("doc_n").as("doc_a"), col("doc_b"))
+        Dedup.clustersIncremental(baseLabels, batch.select("doc_id"),
+            bb.union(nb))
+          .orderBy("doc_id")
+      },
+      shingleCte.replaceFirst("WITH ws", "WITH RECURSIVE ws") +
+        s"""
+        |, np AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0
+        |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |  HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
+        |), bl AS (
+        |  SELECT doc_id, cluster FROM read_parquet('${ccBasePathRef.get}/*.parquet')
+        |), edges AS (
+        |  SELECT a, b FROM np UNION ALL SELECT b, a FROM np
+        |  UNION ALL SELECT doc_id AS a, cluster AS b FROM bl WHERE doc_id <> cluster
+        |  UNION ALL SELECT cluster AS a, doc_id AS b FROM bl WHERE doc_id <> cluster
         |), reach(id, lbl) AS (
         |  SELECT doc_id, doc_id FROM documents
         |  UNION

@@ -66,11 +66,13 @@ object ScidaQueries {
     * histogram_equidepth paid ExactQuantiles' range-sort shuffle +
     * two bounded driver jobs BEFORE the one-pass CASE it exists for. */
   private val quantileMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Seq[Double]), Seq[Double]]()
 
   private def quantilesOf(s: org.apache.spark.sql.SparkSession, d: String,
       table: String, column: String, probs: Seq[Double]): Seq[Double] =
-    quantileMemo.computeIfAbsent((d + "/" + table, column), _ =>
+    // probs is part of the key: a caller requesting different
+    // quantiles of the same column must not get the first caller's
+    quantileMemo.computeIfAbsent((d + "/" + table, column, probs), _ =>
       graft.operators.ExactQuantiles.values(
         Tables(s, d, table), column, probs))
 
@@ -329,6 +331,39 @@ object ScidaQueries {
         |  count(*) AS n,
         |  floor(sum(l_discount)*100 + 0.5)/100 AS wsum
         |FROM lineitem GROUP BY bin_x, bin_y ORDER BY bin_x, bin_y""".stripMargin),
+
+    // --- 3D histogram (dask histogramdd — the phase-space cube:
+    // ρ–T–mass in astro terms): per-cell counts over three composite
+    // bin ids, still ONE O(cells) shuffle ---
+    "histogram3d" -> QueryDef.sql(
+      (s, d) => Histograms.histDD(Tables.lineitem(s, d), Seq(
+        (col("l_quantity"), 10.0),
+        (col("l_extendedprice"), 10000.0),
+        (col("l_discount"), 0.05))),
+      """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_0,
+        |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_1,
+        |  CAST(floor(l_discount / 0.05) AS BIGINT) AS bin_2,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY bin_0, bin_1, bin_2
+        |ORDER BY bin_0, bin_1, bin_2""".stripMargin),
+
+    // --- weighted 3D histogram: per-cell count + weight sum ---
+    "histogram3d_weighted" -> QueryDef.sql(
+      (s, d) => Histograms.histDD(Tables.lineitem(s, d), Seq(
+          (col("l_quantity"), 10.0),
+          (col("l_extendedprice"), 10000.0),
+          (col("l_discount"), 0.05)),
+        weight = Some(col("l_tax")))
+        .select(col("bin_0"), col("bin_1"), col("bin_2"), col("n"),
+          (floor(col("wsum") * 100 + 0.5) / 100).as("wsum"))
+        .orderBy("bin_0", "bin_1", "bin_2"),
+      """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_0,
+        |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_1,
+        |  CAST(floor(l_discount / 0.05) AS BIGINT) AS bin_2,
+        |  count(*) AS n,
+        |  floor(sum(l_tax)*100 + 0.5)/100 AS wsum
+        |FROM lineitem GROUP BY bin_0, bin_1, bin_2
+        |ORDER BY bin_0, bin_1, bin_2""".stripMargin),
 
     // --- log-spaced 1D histogram (the astro mass/luminosity-function
     // binning). Decade width 1 keeps the oracle engine-stable: bin

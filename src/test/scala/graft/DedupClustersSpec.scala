@@ -27,6 +27,54 @@ class DedupClustersSpec extends SparkSpec {
     assert(out.values.toSet == Set(1L))
   }
 
+  test("clustersIncremental merges batch pairs into persisted labels") {
+    // base components: {1,2,3} (label 1), {5,6} (label 5), isolate 8
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 5L), (6L, 5L), (8L, 8L)).toDF("doc_id", "cluster")
+    val batch = Seq(9L, 10L, 11L).toDF("doc_id")
+    // batch doc 9 BRIDGES components 1 and 5 (touching non-label
+    // members 3 and 6 — projection must go through the labels);
+    // batch pair 10-11 forms a fresh cluster; nothing touches 8
+    val pairs = Seq((9L, 3L), (9L, 6L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.clustersIncremental(baseLabels, batch, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, // base labels keep the merged min
+      5L -> 1L, 6L -> 1L, // RELABELED: merge lowered the minimum
+      8L -> 8L, // untouched base isolate
+      9L -> 1L, // the bridge joins the merged component
+      10L -> 10L, 11L -> 10L)) // fresh batch-only cluster
+    // must equal full recompute over (base-label links + new pairs)
+    val allIds = (Seq(1L, 2L, 3L, 5L, 6L, 8L) ++ Seq(9L, 10L, 11L)).toDF("doc_id")
+    val fullEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+      .union(pairs)
+    val full = Dedup.connectedComponents(allIds, fullEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == full)
+  }
+
+  test("clustersIncremental: empty pair batch is identity + self-labels") {
+    val baseLabels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster")
+    val batch = Seq(7L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = Dedup.clustersIncremental(baseLabels, batch, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("clustersIncremental never shuffles the base label table") {
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster")
+    val batch = Seq(9L).toDF("doc_id")
+    val pairs = Seq((9L, 2L)).toDF("a", "b")
+    val out = Dedup.clustersIncremental(baseLabels, batch, pairs)
+    // the O(batch) contract: base labels ride the STREAMED side of
+    // broadcast joins — no SortMergeJoin / ShuffledHashJoin anywhere
+    // in the merge plan (the projected-graph CC ran on the driver)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
+
   test("large-star/small-star matches union-find on chain, star, and random graphs") {
     // chain of 200 (diameter 199): propagation would need ~200 rounds,
     // star rewriting must land the SAME labels within its default 25

@@ -206,6 +206,55 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("histDD generalizes hist1d/hist2d and sums weights per cell") {
+    import graft.operators.Histograms
+    val df = Seq((1.0, 10.0, 0.5), (2.0, 10.0, 1.0), (11.0, 10.0, 2.0),
+      (1.0, 25.0, 4.0)).toDF("x", "y", "w")
+    // 1-dim histDD == hist1d
+    val h1 = Histograms.hist1d(df, col("x"), 10.0)
+      .as[(Long, Long)].collect().toSeq
+    val hdd1 = Histograms.histDD(df, Seq((col("x"), 10.0)))
+      .as[(Long, Long)].collect().toSeq
+    assert(h1 == hdd1)
+    // 2-dim histDD == hist2d (modulo column names)
+    val h2 = Histograms.hist2d(df, col("x"), 10.0, col("y"), 10.0)
+      .as[(Long, Long, Long)].collect().toSeq
+    val hdd2 = Histograms.histDD(df, Seq((col("x"), 10.0), (col("y"), 10.0)))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(h2 == hdd2)
+    // 3-dim weighted: cells and weight sums
+    val h3 = Histograms.histDD(df,
+        Seq((col("x"), 10.0), (col("y"), 10.0), (col("w"), 1.0)),
+        weight = Some(col("w")))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(h3 == Seq((0L, 1L, 0L, 1L, 0.5), (0L, 1L, 1L, 1L, 1.0),
+      (0L, 2L, 4L, 1L, 4.0), (1L, 1L, 2L, 1L, 2.0)))
+    // plan shape: the one shuffle carries partial-aggregated cells
+    val p = Histograms.histDD(df, Seq((col("x"), 10.0), (col("y"), 10.0)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p.take(800))
+  }
+
+  test("RangeJoin survives exotic column names; __bucket collision errors") {
+    // names needing backquotes in any parsed context: dots (parse as
+    // struct access), spaces, and an embedded backquote (must double)
+    val points = Seq((1L, 101L, 5L), (1L, 102L, 30L))
+      .toDF("k", "pid", "t.time `x")
+    val ivals = Seq((1L, 0L, 10L, "a")).toDF("k", "s col", "e col", "tag")
+    val got = RangeJoin.pointInInterval(points, ivals,
+        "k", "t.time `x", "s col", "e col", 7L)
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    assert(got == Set((101L, "a")))
+    // a pre-existing __bucket column must error loudly, not be
+    // silently overwritten
+    val clash = points.withColumnRenamed("pid", "__bucket")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(clash, ivals,
+        "k", "t.time `x", "s col", "e col", 7L)
+    }
+    assert(e.getMessage.contains("__bucket"))
+  }
+
   test("minhashIncrementalKeep drops batch docs near-dup to base, keeps the rest") {
     // base doc 1 and batch doc 3 share identical text (J = 1.0);
     // batch doc 6 is unique; batch docs are NOT deduped against each

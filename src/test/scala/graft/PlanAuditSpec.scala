@@ -431,6 +431,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
+  test("dedup_clusters_incremental: base labels broadcast-joined, never shuffled") {
+    // the O(batch) merge contract: the persisted base label table
+    // rides the STREAMED side of broadcast joins (endpoint resolve +
+    // relabel apply); every SortMergeJoin in the plan belongs to the
+    // batch pair-generation side, never to a base-label scan. The
+    // projected-graph CC ran on the driver (union-find fast path), so
+    // no iterative join stages appear at all.
+    val df = SparkEntry.queries("dedup_clusters_incremental")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // locate base-label parquet scans: they read the graft_ccbase
+    // artifact; none may sit under a shuffle exchange on its own path
+    assert(p.contains("graft_ccbase"),
+      "build must read the persisted base label artifact:\n" + p.take(1200))
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.zipWithIndex.filter(_._1.contains("graft_ccbase")).map(_._2)
+    scanIdx.foreach { i =>
+      // walk upward at decreasing indentation: the first join above a
+      // base-label scan must be a BroadcastHashJoin
+      def indent(s: String) = s.prefixLength(c => !c.isLetterOrDigit)
+      var j = i - 1
+      var found = ""
+      while (j >= 0 && found.isEmpty) {
+        val l = lines(j)
+        if (indent(l) < indent(lines(i)) && l.contains("Join")) found = l
+        j -= 1
+      }
+      assert(found.isEmpty || found.contains("BroadcastHashJoin"),
+        s"base-label scan must feed a broadcast join, got: $found")
+    }
+  }
+
   test("catalog_attach: auto-discovered catalog broadcast onto particles") {
     val p = plan("catalog_attach")
     // the Group table (dimension-scale) broadcasts; the particle scan
