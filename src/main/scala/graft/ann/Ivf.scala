@@ -55,6 +55,40 @@ object Ivf {
       call_function("graft_nearest_centroid", col(vec), centLit)), centers)
   }
 
+  /** BATCH top-k through the IVF blocking — the similarity-JOIN shape
+    * at corpus scale: instead of crossing every query with the whole
+    * corpus (ann_batch's exact plan, O(Q·N) cosines), each query
+    * scores only its `nProbe` nearest cells.
+    *
+    * Shape: the per-query probe list is derived IN-PLAN from the
+    * centroid literal (Q×C distance rows → GroupTopK nProbe — tiny
+    * beside the corpus, no driver collect of queries), then the
+    * corpus joins the BROADCAST (query, cell) list on `cell` — with a
+    * cell-partitioned at-rest corpus the join is a pruned scan of the
+    * union of probed cells, and each corpus row meets only the
+    * queries probing its cell (expected Q·nProbe/C per row, not Q).
+    * Cosines are codegen'd map-side; per-query top-k via GroupTopK's
+    * two-phase reduction. Output: (qId, id, cos, rk). */
+  def batchTopK(indexed: DataFrame, centers: Array[Array[Double]],
+      id: String, vec: String, queries: DataFrame, qId: String,
+      qVec: String, k: Int, nProbe: Int, digits: Int = 6): DataFrame = {
+    import graft.functions.VectorOps
+    val centLit = typedLit(centers.map(_.toSeq).toSeq)
+    val qcand = queries.select(col(qId), col(qVec),
+        posexplode(centLit).as(Seq("cell", "__cent")))
+      .withColumn("__d2",
+        VectorOps.l2(col(qVec).cast("array<double>"), col("__cent")))
+    val qCells = graft.operators.GroupTopK.topK(qcand, Seq(qId),
+        Seq(col("__d2"), col("cell")), nProbe)
+      .select(col(qId), col(qVec), col("cell"))
+    val scored = indexed.join(broadcast(qCells), Seq("cell"))
+      .withColumn("cos", VectorOps.roundAt(
+        VectorOps.cosineFast(col(vec), col(qVec)), digits))
+      .select(col(qId), col(id), col("cos"))
+    graft.operators.GroupTopK.topK(scored, Seq(qId),
+      Seq(col("cos").desc, col(id)), k)
+  }
+
   /** Probe the `nProbe` nearest cells (by L2 to centroid, the k-means
     * geometry) and exact-rank the survivors by cosine. */
   def topK(indexed: DataFrame, centers: Array[Array[Double]], id: String,

@@ -75,6 +75,22 @@ object AnnQueries {
       (p, centers, q)
     })
 
+  // ann_batch_ivf's steady-state artifact: quantizer + the
+  // cell-partitioned >=10 corpus (its split differs from ann_ivf's)
+  private val ivfBatchBenchMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]])]()
+  private def ivfBatchBenchFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Array[Array[Double]]) =
+    ivfBatchBenchMemo.computeIfAbsent(d, _ => {
+      val e = Tables.embeddings(s, d)
+      val (_, sample) = headSample(e, 65536)
+      val (indexed, centers) = Ivf.buildFromSample(
+        e.filter(col("vec_id") >= 10), "embedding", nCells = 16, sample)
+      val p = Fixtures.tmpPath("graft_ivfbatch_bench", d)
+      indexed.write.mode("overwrite").partitionBy("cell").parquet(p)
+      (p, centers)
+    })
+
   private val pqBenchMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.ann.Pq.Codebooks, Seq[Double])]()
   private def pqBenchFor(s: org.apache.spark.sql.SparkSession,
@@ -273,6 +289,59 @@ object AnnQueries {
         |  FROM p)
         |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin),
+
+    // --- IVF-blocked BATCH top-k: the similarity JOIN at corpus
+    // scale — each query scores only its nProbe nearest cells instead
+    // of the whole corpus (ann_batch's exact cross is the baseline;
+    // this is the plan you run when Q×N cosines stop fitting the
+    // cluster). Probe lists derive in-plan from the centroid literal;
+    // the corpus joins the broadcast (query, cell) list on cell — a
+    // pruned scan when the corpus is cell-partitioned at rest.
+    // Recall-verdict oracled per query against the in-engine exact
+    // batch top-k (itself DuckDB-validated via ann_batch). ---
+    "ann_batch_ivf" -> QueryDef.sqlBench(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val corpus = e.filter(col("vec_id") >= 10)
+        val (_, sample) = headSample(e, 65536)
+        val (indexed, centers) = Ivf.buildFromSample(
+          corpus, "embedding", nCells = 16, sample)
+        val ann = Ivf.batchTopK(indexed, centers, "vec_id", "embedding",
+          queries, "q_id", "q_emb", k = 3, nProbe = 6)
+        val exactScored = corpus.crossJoin(broadcast(queries))
+          .withColumn("cos", graft.functions.VectorOps.roundAt(
+            graft.functions.VectorOps.cosineFast(
+              col("embedding"), col("q_emb")), 6))
+          .select(col("q_id"), col("vec_id"), col("cos"))
+        val exact = graft.operators.GroupTopK.topK(exactScored,
+          Seq("q_id"), Seq(col("cos").desc, col("vec_id")), k = 3)
+        // per-query hits of the exact top-3 found by the IVF path.
+        // Verdict: every query recovers >= 1 of its exact top-3
+        // (count==10 after the semi-join implies min_hits >= 1) AND
+        // total recall >= 18/30 — measured 25/30 at the fixed seed;
+        // blind probing of 6/16 cells would expect ~11/30, so the
+        // gate separates a working blocker from a broken one with
+        // margin on both sides
+        ann.join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+            "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+          .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("tot"))
+          .select(col("n_queries").cast("long").as("n_queries"),
+            (col("n_queries") === 10 && col("tot") >= 18).as("recall_ok"))
+      },
+      "SELECT 10 AS n_queries, TRUE AS recall_ok",
+      // bench: steady-state batch probe — memoized quantizer +
+      // persisted cell-partitioned corpus, no exact-recall gate (the
+      // query table is re-read per execution: it is the live input)
+      (s, d) => {
+        val (p, centers) = ivfBatchBenchFor(s, d)
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        Ivf.batchTopK(s.read.parquet(p), centers, "vec_id", "embedding",
+          queries, "q_id", "q_emb", k = 3, nProbe = 6)
+      }),
 
     // --- random-hyperplane LSH bucketed ANN — recall-verdict oracled
     // (spec additionally measures candidate-set pruning) ---

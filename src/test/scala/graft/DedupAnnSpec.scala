@@ -104,6 +104,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(cellSizes == 8, "quantizer should populate all cells")
   }
 
+  test("batch IVF top-k: exhaustive probe == exact batch top-k; probes prune") {
+    import graft.operators.GroupTopK
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = embs.filter(col("vec_id") >= 10)
+    val exact = GroupTopK.topK(
+      corpus.crossJoin(broadcast(queries))
+        .withColumn("cos", graft.functions.VectorOps.roundAt(
+          graft.functions.VectorOps.cosineFast(col("embedding"), col("q_emb")), 6))
+        .select(col("q_id"), col("vec_id"), col("cos")),
+      Seq("q_id"), Seq(col("cos").desc, col("vec_id")), k = 3)
+      .select("q_id", "vec_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val (indexed, centers) = graft.ann.Ivf.build(
+      corpus, "vec_id", "embedding", nCells = 8)
+    // probing EVERY cell is exhaustive → identical to the exact join
+    val full = graft.ann.Ivf.batchTopK(indexed, centers, "vec_id",
+        "embedding", queries, "q_id", "q_emb", k = 3, nProbe = 8)
+      .select("q_id", "vec_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+    // partial probing returns k rows per query (from probed cells only)
+    val part = graft.ann.Ivf.batchTopK(indexed, centers, "vec_id",
+      "embedding", queries, "q_id", "q_emb", k = 3, nProbe = 2)
+    assert(part.groupBy("q_id").count().select("count")
+      .as[Long].collect().forall(_ == 3))
+  }
+
   test("embcos blocks compose with LSH buckets when no labels exist") {
     // the general 100TB path: block key = deterministic LSH bucket
     val bucketed = embs.withColumn("bucket",
