@@ -596,6 +596,30 @@ object Load {
     ds
   }
 
+  /** Format conversion — scida `utilities.py:10 copy_to_zarr`
+    * (Dataset(fp_in).save(fp_out) with a zarr target): read any
+    * supported dataset and rewrite it as a zarr store via the
+    * executor-parallel ZarrSave (chunk files written straight from
+    * the partitions carrying those rows — nothing flows through the
+    * driver). Header metadata rides to the store root so the copy
+    * re-detects its family/cosmology on load exactly like the
+    * original (`flavor`/`dataset` read zarr root attrs). Requires a
+    * row-indexed source (hdf5/zarr/fits — every graft ingestion
+    * source emits `row_id`). */
+  def copyToZarr(spark: SparkSession, inPath: String, outPath: String,
+      group: String = "", chunkRows: Int = 1 << 16,
+      compress: Boolean = true): Unit = {
+    val df = dataFrame(spark, inPath, group)
+    require(df.columns.contains("row_id"),
+      s"copyToZarr needs a row-indexed source (hdf5/zarr/fits), got ${detect(inPath)}")
+    val rootAttrs = attrsOf(detect(inPath), inPath)
+      .flatMap(_.get("/Header")).getOrElse(Map.empty)
+    graft.sources.zarr.ZarrSave.save(df, "row_id", outPath, chunkRows,
+      compress,
+      attrs = if (rootAttrs.isEmpty) Map.empty
+        else Map("/" -> rootAttrs))
+  }
+
   private def attrsOf(fmt: Format, path: String,
       fileprefix: String = ""): Option[Map[String, Map[String, Any]]] =
     fmt match {

@@ -462,6 +462,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_batch_ivf: probe list broadcast onto the corpus, no corpus cross") {
+    // audit the BENCH build: the pure IVF path (the Verify build also
+    // carries the exact-cross recall gate, which crosses by design)
+    val p = SparkEntry.benchQueries("ann_batch_ivf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the (query, cell) probe list meets the corpus through a
+    // broadcast EQUI-join on cell — never a cross/nested-loop over
+    // all queries, never a corpus hash shuffle for the queries
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the IVF path must not cross queries with the whole corpus:\n" + p.take(800))
+  }
+
   test("catalog_attach: auto-discovered catalog broadcast onto particles") {
     val p = plan("catalog_attach")
     // the Group table (dimension-scale) broadcasts; the particle scan

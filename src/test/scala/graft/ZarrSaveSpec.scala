@@ -50,6 +50,38 @@ class ZarrSaveSpec extends SparkSpec {
     assert(back.agg(sum("v")).head().getDouble(0) == (0 until 10).map(_ * 1.5).sum)
   }
 
+  test("copyToZarr converts an HDF5 snapshot to an equivalent zarr store (utilities.py copy_to_zarr)") {
+    import graft.sources.Load
+    import graft.sources.hdf5.Hdf5Writer
+    val dir = Files.createTempDirectory("graft_c2z").toString
+    // a small arepo-flavored snapshot: markers + cosmology + data
+    Hdf5Writer.write(s"$dir/snap.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> Hdf5Writer.Group(attrs = Seq(
+        "Git_commit" -> "0badc0de", "Time" -> 0.5,
+        "Redshift" -> 1.0, "HubbleParam" -> 0.6774)),
+      "PartType0" -> Hdf5Writer.Group(children = Seq(
+        "Masses" -> Hdf5Writer.F64(Array(1.0, 2.0, 3.0)),
+        "ParticleIDs" -> Hdf5Writer.I64(Array(10L, 20L, 30L)))))))
+    val out = dir + "/store"
+    Load.copyToZarr(spark, dir, out, chunkRows = 2)
+    // the copy re-detects the family (root attrs carried over) ...
+    assert(Load.flavor(out) == "arepo")
+    // ... loads with the same cosmology and unit defaults ...
+    val ds = Load.dataset(spark, out)
+    assert(ds.cosmology.exists(_.h == 0.6774))
+    assert(ds.unitOf("Masses_phys").contains("Msun"))
+    // ... and carries identical values
+    val got = ds.select("row_id", "Masses", "ParticleIDs")
+      .as[(Long, Double, Long)].collect().toSeq.sorted
+    assert(got == Seq((0L, 1.0, 10L), (1L, 2.0, 20L), (2L, 3.0, 30L)))
+    // parquet input (no row index) is rejected loudly
+    val pq = dir + "/t.parquet"
+    spark.range(3).write.parquet(pq)
+    val e = intercept[IllegalArgumentException](
+      Load.copyToZarr(spark, pq, dir + "/store2"))
+    assert(e.getMessage.contains("row-indexed"))
+  }
+
   test("non-contiguous or duplicated row index fails loudly") {
     val dir = Files.createTempDirectory("graft_zsave_bad").toString + "/s"
     val gap = Seq((0L, 1.0), (2L, 2.0)).toDF("id", "v") // id 1 missing
