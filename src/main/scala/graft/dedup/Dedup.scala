@@ -269,18 +269,45 @@ object Dedup {
       text: String, k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
     require(sigLen % bands == 0, "bands must divide signature length")
     val shB = persisted(withShingles(spread(base), id, text, k))
+    minhashIncrementalPairsFromIndex(
+      bandTableOf(shB, id, sigLen, bands), shB, batch, id, text,
+      k, sigLen, bands, minJ)
+  }
+
+  /** Band-key table (id, band, key) of a corpus — the persisted index
+    * artifact an incremental near-dup store maintains append-only
+    * across batches (alongside the (id, sh) shingle table). Probe it
+    * with `minhashIncrementalPairsFromIndex`. */
+  def minhashBandIndex(docs: DataFrame, id: String, text: String, k: Int,
+      sigLen: Int, bands: Int): DataFrame = {
+    require(sigLen % bands == 0, "bands must divide signature length")
+    bandTableOf(withShingles(spread(docs), id, text, k), id, sigLen, bands)
+  }
+
+  private def bandTableOf(sh: DataFrame, id: String, sigLen: Int,
+      bands: Int): DataFrame =
+    Hashing.minhashSignatures(sh, id, "sh", sigLen)
+      .select(col(id),
+        explode(Hashing.bandKeys(col("sig"), bands, sigLen / bands)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** `minhashIncrementalPairs` in its steady state: the base side
+    * arrives as PERSISTED artifacts — the band index (id, band, key)
+    * per `minhashBandIndex` and the (id, sh) shingle table — so each
+    * increment computes signatures for the BATCH only and the base
+    * text is never re-read. O(batch + matches), the shape a 100 TB
+    * dedup store actually runs batch-over-batch. */
+  def minhashIncrementalPairsFromIndex(baseBands: DataFrame,
+      baseShingles: DataFrame, batch: DataFrame, id: String, text: String,
+      k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
+    require(sigLen % bands == 0, "bands must divide signature length")
     val shN = persisted(withShingles(spread(batch), id, text, k))
-    def bandTable(sh: DataFrame): DataFrame =
-      Hashing.minhashSignatures(sh, id, "sh", sigLen)
-        .select(col(id),
-          explode(Hashing.bandKeys(col("sig"), bands, sigLen / bands)).as("bk"))
-        .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bandTable(shN).toDF("doc_n", "band", "key")
-      .join(bandTable(shB).toDF("doc_b", "band", "key"), Seq("band", "key"))
+    val cand = bandTableOf(shN, id, sigLen, bands).toDF("doc_n", "band", "key")
+      .join(baseBands.toDF("doc_b", "band", "key"), Seq("band", "key"))
       .select("doc_n", "doc_b").distinct()
     cand
       .join(shN.toDF("doc_n", "sh_n"), Seq("doc_n"))
-      .join(shB.toDF("doc_b", "sh_b"), Seq("doc_b"))
+      .join(baseShingles.toDF("doc_b", "sh_b"), Seq("doc_b"))
       .withColumn("j",
         VectorOps.roundAt(Hashing.jaccard(col("sh_n"), col("sh_b")), 6))
       .filter(col("j") >= minJ)
@@ -335,14 +362,17 @@ object Dedup {
     val lmap = graft.CacheScope.track(
       broadcast(ends).join(lbl, col("e") === col("id"))
         .select(col("e"), col("cluster").as("l")))
-    // project pairs onto super-nodes (batch endpoints map to themselves)
-    val proj = p
+    // project pairs onto super-nodes (batch endpoints map to
+    // themselves). O(batch) rows scanned by four downstream actions
+    // (node set, CC probe+collect, relabel) — cache the projection,
+    // not just the raw pairs, so the label joins run once.
+    val proj = graft.CacheScope.track(p
       .join(broadcast(lmap).withColumnRenamed("e", "a")
         .withColumnRenamed("l", "la"), Seq("a"), "left")
       .join(broadcast(lmap.withColumnRenamed("e", "b")
         .withColumnRenamed("l", "lb")), Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("pa"),
-        coalesce(col("lb"), col("b")).as("pb"))
+        coalesce(col("lb"), col("b")).as("pb")))
     val nodes = proj.select(col("pa").as("n"))
       .union(proj.select(col("pb").as("n"))).distinct()
     // merged labels of the touched super-nodes (projected graph is

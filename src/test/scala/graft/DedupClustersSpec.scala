@@ -62,6 +62,35 @@ class DedupClustersSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
 
+  test("incremental pairs from a persisted base index match the inline derivation") {
+    // the bench path's steady-state artifacts (band table + shingle
+    // table written at ingest) must produce the exact pair set the
+    // inline base derivation does
+    import java.nio.file.Files
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely different content with no overlap here"),
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "unrelated new batch document about other things")
+    ).toDF("doc_id", "text")
+    val base = docs.filter($"doc_id" < 10L)
+    val batch = docs.filter($"doc_id" >= 10L)
+    val dir = Files.createTempDirectory("graft_bidx").toString
+    Dedup.minhashBandIndex(base, "doc_id", "text", k = 3, sigLen = 64,
+      bands = 16).write.parquet(s"$dir/bands")
+    Dedup.withShingles(base, "doc_id", "text", 3).write.parquet(s"$dir/sh")
+    val fromIdx = Dedup.minhashIncrementalPairsFromIndex(
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sh"),
+        batch, "doc_id", "text", k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.minhashIncrementalPairs(base, batch, "doc_id", "text",
+        k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIdx == inline)
+    assert(fromIdx.map(p => (p._1, p._2)) == Set((10L, 1L)))
+  }
+
   test("clustersIncremental never shuffles the base label table") {
     val baseLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster")
     val batch = Seq(9L).toDF("doc_id")
