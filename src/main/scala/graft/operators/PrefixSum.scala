@@ -127,4 +127,89 @@ object PrefixSum {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Per-group exclusive prefix sum at scale: adds `outCol` =
+    * exclusive prefix sum of `len` WITHIN each `group`, rows ordered
+    * by ascending `key` inside the group. The window equivalent
+    * (`PARTITION BY group ORDER BY key`) serializes EACH group into
+    * one task — fatal when a group is a whole language/domain of a
+    * 100 TB corpus. Same 3-phase shape as [[exclusive]], but
+    * range-partitioned by (group, key) so a huge group spans MANY
+    * buckets, and the driver statistic is one running total per
+    * (bucket, group) RUN — groups are contiguous in the range order,
+    * so that is O(buckets + groups), never O(rows). (group, key)
+    * pairs must be unique; `group` must be non-null. Output layout:
+    * range-partitioned by (group, key), sorted within partitions. */
+  def exclusivePerGroup(dfIn: DataFrame, group: String, key: String,
+      len: Column, buckets: Int, outCol: String = "offset"): DataFrame = {
+    val lenType = dfIn.select(len).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(lenType),
+      s"prefix-sum length must be integral (a count/length), got $lenType")
+    val in = graft.CacheScope.track(dfIn.withColumn("__len", len.cast(LongType)))
+    val ranged = graft.CacheScope.track(
+      in.repartitionByRange(buckets, col(group), col(key))
+        .sortWithinPartitions(group, key)
+        .withColumn("__b", spark_partition_id()))
+    // phase 2: per-(bucket, group) totals — bounded by run count
+    val totals: Map[(Int, String), Long] = ranged
+      .select(col("__b"), col(group).cast(StringType), col("__len")).rdd
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+        it.foreach { r =>
+          require(!r.isNullAt(1), "per-group prefix sum: null group")
+          val add = if (r.isNullAt(2)) 0L else r.getLong(2)
+          val k = (r.getInt(0), r.getString(1))
+          m.update(k, m.getOrElse(k, 0L) + add)
+        }
+        m.iterator
+      }.collect().groupMapReduce(_._1)(_._2)(_ + _)
+    // driver scan per group in ascending-bucket order: each group's
+    // running total entering every bucket it spans. Only the WITHIN-
+    // group bucket order matters, so the string grouping used here
+    // need not agree with the range partitioner's inter-group order.
+    val bases: Map[(Int, String), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+      var g = ""
+      var run = 0L
+      totals.keys.toArray.sortBy(k => (k._2, k._1)).foreach { k =>
+        if (k._2 != g) { g = k._2; run = 0L }
+        m(k) = run
+        run += totals(k)
+      }
+      m.toMap
+    }
+    // phase 3: narrow streaming pass; the counter restarts at each
+    // (bucket, group) run's own base, so consumer-side coalescing of
+    // whole buckets cannot corrupt offsets (same contract as
+    // [[exclusive]]).
+    val outSchema = StructType(
+      ranged.schema.fields.filterNot(f => f.name == "__len" || f.name == "__b") :+
+        StructField(outCol, LongType, nullable = false))
+    val keep = ranged.schema.fields.zipWithIndex
+      .filterNot(f => f._1.name == "__len" || f._1.name == "__b").map(_._2)
+    val lenIdx = ranged.schema.fieldIndex("__len")
+    val bIdx = ranged.schema.fieldIndex("__b")
+    val gIdx = ranged.schema.fieldIndex(group)
+    ranged.mapPartitions { it =>
+      var curB = -1
+      var curG: String = null
+      var run = 0L
+      val closed = scala.collection.mutable.BitSet.empty
+      it.map { r =>
+        val b = r.getInt(bIdx)
+        val g = String.valueOf(r.get(gIdx))
+        if (b != curB) {
+          require(!closed.contains(b),
+            s"prefix-sum bucket $b seen non-contiguously — layout violated")
+          if (curB >= 0) closed += curB
+          curB = b; curG = null
+        }
+        if (g != curG) { curG = g; run = bases.getOrElse((b, g), 0L) }
+        val l = if (r.isNullAt(lenIdx)) 0L else r.getLong(lenIdx)
+        val off = run
+        run += l
+        Row.fromSeq(keep.map(r.get).toSeq :+ off)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

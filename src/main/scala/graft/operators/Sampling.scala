@@ -90,4 +90,44 @@ object Sampling {
     val n = math.floor(f * 0x1000000L).toLong
     f"${math.min(n, 0xffffffL)}%06x"
   }
+
+  /** Deterministic hash-priority for budget filling: 8 hex digits of
+    * the id's md5 (the "random" shuffle order, reproducible across
+    * retries/partitionings) followed by the zero-padded id itself —
+    * globally unique, so the fill order is total. Exposed for the
+    * oracle replay (`substr(md5(CAST(id AS VARCHAR)),1,8) ||
+    * lpad(CAST(id AS VARCHAR),20,'0')`). */
+  def hashPriority(idCol: Column): Column =
+    concat(substring(md5(idCol.cast("string")), 1, 8),
+      lpad(idCol.cast("string"), 20, "0"))
+
+  /** Token-budget curation — the terminal step of a training-data
+    * pipeline: fill each stratum's token budget with a deterministic
+    * hash-ordered prefix of its documents. A doc is kept iff the
+    * stratum's running weight BEFORE it is under the budget, so each
+    * budgeted stratum fills to at least its budget (overshooting by
+    * at most one doc) and a doc's fate is a pure function of the
+    * corpus + budgets, never of partitioning. Strata absent from
+    * `budgets` are dropped (they have budget 0). Output: input
+    * columns + `cum_before` (the running weight before the doc, for
+    * audit).
+    *
+    * Scale shape: per-stratum exclusive prefix sums via
+    * [[PrefixSum.exclusivePerGroup]] — range-partitioned (stratum,
+    * priority) buckets, a bounded per-(bucket, stratum) driver
+    * statistic, and a narrow streaming pass. Never a
+    * PARTITION-BY-stratum window: that serializes a whole language
+    * into one task. */
+  def budgetSelect(df: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, budgets: Map[String, Long],
+      buckets: Int = 32): DataFrame = {
+    val inBudget = budgets.keys.toSeq
+    val pri = PrefixSum.exclusivePerGroup(
+      df.filter(col(stratumCol).isin(inBudget: _*))
+        .withColumn("__pri", hashPriority(col(idCol))),
+      stratumCol, "__pri", weight, buckets, outCol = "cum_before")
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (v, b)) =>
+      when(col(stratumCol) === v, lit(b)).otherwise(acc) }
+    pri.filter(col("cum_before") < budget).drop("__pri")
+  }
 }

@@ -25,6 +25,17 @@ object CorpusQueries {
   /** Per-language keep fractions for the data-mixing sample. */
   private val mixRates = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
 
+  // sample_budget's per-language char budgets: all four BIND at both
+  // sf0.01 and sf0.1 (stratum mass 19.5k–615k chars), 'es' is
+  // deliberately unbudgeted
+  private val budgetMap = Map("en" -> 30000L, "de" -> 8000L,
+    "fr" -> 8000L, "zh" -> 10000L)
+  private def budgetLangsSql: String =
+    budgetMap.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+  private def budgetCaseSql: String =
+    "CASE lang " + budgetMap.toSeq.sorted.map { case (l, b) =>
+      s"WHEN '$l' THEN $b" }.mkString(" ") + " END"
+
   // sample_temperature's build→oracle handshake: the build derives the
   // per-stratum copy rates from corpus counts (driver-side, O(strata))
   // and records them; the oracle thunk — resolved AFTER builds run —
@@ -287,6 +298,37 @@ object CorpusQueries {
            |FROM c JOIN series s ON s.copy <= c.copies
            |ORDER BY c.doc_id, s.copy""".stripMargin
       }),
+
+    // --- token-budget curation (the terminal pipeline step): each
+    // stratum's budget fills with a deterministic hash-ordered prefix
+    // of its docs — keep while the stratum's running weight BEFORE
+    // the doc is under budget (fills to >= budget, overshoot <= one
+    // doc; a doc's fate is a pure function of corpus + budgets).
+    // Strata outside the budget map drop ('es' here — the contract's
+    // negative case). Runs on the per-group scalable PrefixSum (range
+    // buckets + bounded driver statistic), never a
+    // PARTITION-BY-stratum window — the oracle replays with exactly
+    // that window, which is the correctness-equivalent DuckDB can
+    // afford single-node. ---
+    "sample_budget" -> QueryDef.sql(
+      (s, d) => Sampling.budgetSelect(Tables.documents(s, d),
+          "doc_id", "lang", col("n_chars"), budgetMap)
+        .select("doc_id", "lang", "cum_before")
+        .sortWithinPartitions("doc_id"),
+      s"""WITH pri AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ||
+         |      lpad(CAST(doc_id AS VARCHAR), 20, '0') AS pri
+         |  FROM documents WHERE lang IN ($budgetLangsSql)
+         |), cum AS (
+         |  SELECT doc_id, lang,
+         |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY pri
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM pri)
+         |SELECT doc_id, lang, cum_before FROM cum
+         |WHERE cum_before < $budgetCaseSql
+         |ORDER BY doc_id""".stripMargin),
 
     // --- sequence packing (training-batch assembly): docs are
     // concatenated in doc_id order into one token stream and cut into

@@ -229,4 +229,64 @@ class CorpusOpsSpec extends SparkSpec {
     val shards = out.map(_._4).distinct.sorted
     assert(shards.head == 0L && shards.toSeq == (0L to shards.last).toSeq)
   }
+
+  test("per-group prefix sum: resets per group, spans buckets, matches a window") {
+    // 3 groups of very different sizes over 8 buckets — the big group
+    // MUST span multiple range buckets (that is the point of the
+    // operator vs a partition-by-group window)
+    val rows = (1L to 400L).map(i => (i, if (i <= 300) "big"
+      else if (i <= 380) "mid" else "tiny", 1L + i % 7))
+    val df = rows.toDF("id", "g", "n")
+      .withColumn("k", lpad(col("id").cast("string"), 8, "0"))
+    val out = graft.operators.PrefixSum.exclusivePerGroup(df, "g", "k",
+        col("n"), buckets = 8, outCol = "off")
+      .select("g", "k", "n", "off")
+      .as[(String, String, Long, Long)].collect()
+    // reference: per-group running sum in key order
+    val expect = rows.sortBy(r => (r._2, r._1))
+      .groupBy(_._2).flatMap { case (g, rs) =>
+        var run = 0L
+        rs.sortBy(_._1).map { r => val o = (r._1, run); run += r._3; o }
+      }.toMap
+    out.foreach { case (g, k, n, off) =>
+      assert(off == expect(k.toLong), s"group $g key $k: $off != ${expect(k.toLong)}")
+    }
+    // partition-invariance: a different input layout lands identically
+    val out2 = graft.operators.PrefixSum.exclusivePerGroup(
+        df.repartition(13), "g", "k", col("n"), buckets = 5, outCol = "off")
+      .select("k", "off").as[(String, Long)].collect().toMap
+    assert(out2 == out.map(r => r._2 -> r._4).toMap)
+  }
+
+  test("budgetSelect fills each budget, overshoots <= one doc, drops unbudgeted strata") {
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 10L))
+      .toDF("doc_id", "lang", "w")
+    val budgets = Map("a" -> 200L, "b" -> 45L) // c unbudgeted
+    val out = graft.operators.Sampling.budgetSelect(docs, "doc_id", "lang",
+        col("w"), budgets, buckets = 4)
+      .select("doc_id", "lang", "cum_before")
+      .as[(Long, String, Long)].collect()
+    assert(!out.exists(_._2 == "c"))
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_ => 10L).sum).toMap
+    // filled to >= budget, overshoot at most one doc's weight
+    assert(byLang("a") >= 200L && byLang("a") < 200L + 10L + 1)
+    assert(byLang("b") >= 45L && byLang("b") <= 45L + 10L)
+    // kept set is the hash-priority prefix: every kept doc's priority
+    // precedes every dropped doc's priority within its stratum
+    val pri = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      md + id.toString.reverse.padTo(20, '0').reverse.mkString
+    }
+    for (l <- Seq("a", "b")) {
+      val keptIds = out.filter(_._2 == l).map(_._1).toSet
+      val all = (1L to 300L).filter(i => (if (i % 3 == 0) "a"
+        else if (i % 3 == 1) "b" else "c") == l)
+      val maxKept = keptIds.map(pri).max
+      val minDropped = (all.toSet -- keptIds).map(pri).min
+      assert(maxKept < minDropped, s"stratum $l: kept set is not a priority prefix")
+    }
+  }
 }

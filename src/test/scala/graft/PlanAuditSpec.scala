@@ -206,6 +206,20 @@ class PlanAuditSpec extends SparkSpec {
       "bucketing must be a range exchange (sampled inside the action)")
   }
 
+  test("sample_budget: per-stratum fill via bucketed prefix sum, no stratum window") {
+    val p = plan("sample_budget")
+    // budget fill runs on the per-GROUP bucketed prefix sum; a
+    // PARTITION BY lang window would serialize each whole language
+    // into one task at corpus scale
+    assert(!p.contains("Window"),
+      "budget fill must not plan a window:\n" + p.take(1200))
+    assert(p.contains("rangepartitioning"),
+      "bucketing must be a range exchange (sampled inside the action)")
+    // the lang IN (...) budget filter reaches the parquet scan
+    assert(p.contains("PushedFilters: [In(lang") ||
+      p.contains("In(lang,"), p.take(1200))
+  }
+
   test("dedup_minhash: signatures finish map-side (no explode aggregate before banding)") {
     val p = plan("dedup_minhash")
     assert(p.contains("graft_minhash"),
