@@ -63,6 +63,7 @@ def main():
     # graft-vs-oracle is not an equivalent-work comparison — their
     # rows show "(gate)" and are excluded from the aggregate ratio.
     verdict_only = {"ann_ivf", "ann_ivfpq", "ann_lsh", "ann_pq",
+                    "ann_batch_ivf",
                     "sketch_distinct", "sketch_freq", "sketch_percentiles",
                     "sketch_union", "dedup_simhash"}
 
