@@ -104,6 +104,63 @@ object Ivf {
       id, vec, qCol, k, digits)
   }
 
+  /** Per-cell ANGULAR radii — the index-time statistic behind exact
+    * pruned radius search: θmax(c) = the largest angle between cell
+    * c's centroid and any of its members whose cosine is defined
+    * (zero-norm members have NaN cosine; they can never pass a radius
+    * filter, so they need no covering — Spark's `min` orders NaN above
+    * every number and thus skips them). One O(cells) aggregate +
+    * collect — a statistic, maintained beside the index at ingest. */
+  def cellRadii(indexed: DataFrame, centers: Array[Array[Double]],
+      vec: String): Map[Int, Double] = {
+    import graft.functions.VectorOps
+    val centLit = typedLit(centers.map(_.toSeq).toSeq)
+    indexed.groupBy("cell")
+      .agg(min(VectorOps.cosineFast(col(vec),
+        element_at(centLit, col("cell") + 1))).as("min_cos"))
+      .collect().map { r =>
+        val mc = r.getDouble(1)
+        r.getInt(0) -> math.acos(math.max(-1.0, math.min(1.0, mc)))
+      }.toMap
+  }
+
+  /** Cells the angular triangle inequality cannot rule out for a
+    * radius-`minCos` query: member angles obey
+    * θ(q,x) >= θ(q,c) − θmax(c), so cell c is skipped only when even
+    * its nearest possible member falls outside the radius —
+    * θ(q,c) − θmax(c) > acos(minCos) (+ a 1e-3 rad guard covering the
+    * 6-dp cosine rounding both engines apply). LOSSLESS: the pruned
+    * scan returns exactly the full scan's rows. A cell whose radius
+    * statistic is NaN (all members zero-norm) is safely skipped. */
+  def radiusProbeCells(centers: Array[Array[Double]],
+      radii: Map[Int, Double], q: Seq[Double], minCos: Double): Seq[Int] = {
+    val qa = q.toArray
+    val qn = math.sqrt(qa.map(x => x * x).sum)
+    val thetaR = math.acos(math.max(-1.0, math.min(1.0, minCos)))
+    centers.indices.filter { c =>
+      val ct = centers(c)
+      val cn = math.sqrt(ct.map(x => x * x).sum)
+      val cosQC = ct.zip(qa).map { case (a, b) => a * b }.sum / (qn * cn)
+      val thetaQC = math.acos(math.max(-1.0, math.min(1.0, cosQC)))
+      thetaQC - radii.getOrElse(c, Double.NaN) <= thetaR + 1e-3
+    }
+  }
+
+  /** EXACT radius search through lossless IVF pruning: precisely
+    * `Ann.radiusSearch`'s rows, scanning only [[radiusProbeCells]] —
+    * with a cell-partitioned at-rest corpus the probe is a
+    * partition-pruned scan. The win grows with corpus clusteredness
+    * (real embedding corpora cluster; uniform-random vectors prune
+    * little — the bound is honest about that). */
+  def radiusSearch(indexed: DataFrame, centers: Array[Array[Double]],
+      radii: Map[Int, Double], id: String, vec: String, q: Seq[Double],
+      minCos: Double, digits: Int = 6): DataFrame = {
+    val probes = radiusProbeCells(centers, radii, q, minCos)
+    Ann.radiusSearch(
+      indexed.filter(col("cell").isin(probes.map(Integer.valueOf): _*)),
+      id, vec, typedLit(q), minCos, digits)
+  }
+
   private def sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var j = 0

@@ -66,6 +66,38 @@ object AnnQueries {
   private[queries] def batchIvfProbe(nCells: Int): Int =
     math.max(6, (nCells * 3 + 7) / 8)
 
+  // NOT isnan per cosSql's contract: a zero-norm vector's 0/0
+  // cosine is NaN, which DuckDB orders ABOVE every number (so
+  // `NaN >= t` is true) while Spark's filter rejects it. Shared by
+  // ann_radius and ann_radius_ivf — the pruned variant is EXACT, so
+  // both hash-compare against the same full replay.
+  private def radiusOracleSql: String =
+    s"""SELECT e.vec_id,
+      |  ${QueryDef.cosSql("e.embedding", "q.embedding")} AS cos
+      |FROM embeddings e
+      |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |WHERE e.vec_id != 0
+      |  AND NOT isnan(${QueryDef.cosSql("e.embedding", "q.embedding")})
+      |  AND ${QueryDef.cosSql("e.embedding", "q.embedding")} >= 0.2
+      |ORDER BY e.vec_id""".stripMargin
+
+  private val ivfRadiusBenchMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]], Map[Int, Double], Seq[Double])]()
+  private def ivfRadiusBenchFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Array[Array[Double]], Map[Int, Double], Seq[Double]) =
+    ivfRadiusBenchMemo.computeIfAbsent(d, _ => {
+      val e = Tables.embeddings(s, d)
+      val (q, sample) = headSample(e, 65536)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val (indexed, centers) = Ivf.buildFromSample(corpus, "embedding",
+        nCells = batchIvfCells(sample.length), sample)
+      val idx = graft.CacheScope.track(indexed)
+      val radii = Ivf.cellRadii(idx, centers, "embedding")
+      val p = Fixtures.tmpPath("graft_ivfradius_bench", d)
+      idx.write.mode("overwrite").partitionBy("cell").parquet(p)
+      (p, centers, radii, q)
+    })
+
   // ann_ivfpq's bench-path index, built ONCE per (JVM, dataset) and
   // persisted cell-partitioned (the at-rest IVFADC layout): production
   // maintains codebooks + code table as index artifacts beside the
@@ -169,17 +201,44 @@ object AnnQueries {
           "vec_id", "embedding", col("q_vec"), minCos = 0.2)
           .orderBy("vec_id")
       },
-      // NOT isnan per cosSql's contract: a zero-norm vector's 0/0
-      // cosine is NaN, which DuckDB orders ABOVE every number (so
-      // `NaN >= t` is true) while Spark's filter rejects it
-      s"""SELECT e.vec_id,
-        |  ${QueryDef.cosSql("e.embedding", "q.embedding")} AS cos
-        |FROM embeddings e
-        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |WHERE e.vec_id != 0
-        |  AND NOT isnan(${QueryDef.cosSql("e.embedding", "q.embedding")})
-        |  AND ${QueryDef.cosSql("e.embedding", "q.embedding")} >= 0.2
-        |ORDER BY e.vec_id""".stripMargin),
+      radiusOracleSql),
+
+    // --- EXACT radius search through LOSSLESS IVF pruning: per-cell
+    // angular radii (an O(cells) index statistic) + the triangle
+    // inequality skip every cell that provably cannot hold a
+    // within-radius member, and the surviving cells get the identical
+    // exact cosine filter — so the oracle is ann_radius's FULL exact
+    // replay, hash-compared (an equality gate, not a recall verdict:
+    // pruning that loses a row fails the hash). With the
+    // cell-partitioned at-rest corpus the probe is a partition-pruned
+    // scan; the prune rate grows with corpus clusteredness (real
+    // embedding corpora cluster; uniform-random test vectors prune
+    // little, which the bound is honest about). ---
+    "ann_radius_ivf" -> QueryDef.sqlBench(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (q, sample) = headSample(e, 65536)
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val (indexed, centers) = Ivf.buildFromSample(corpus, "embedding",
+          nCells = batchIvfCells(sample.length), sample)
+        // radii aggregate + pruned scan share one assignment pass
+        val idx = graft.CacheScope.track(indexed)
+        val radii = Ivf.cellRadii(idx, centers, "embedding")
+        Ivf.radiusSearch(idx, centers, radii, "vec_id", "embedding", q,
+            minCos = 0.2)
+          .orderBy("vec_id")
+      },
+      radiusOracleSql,
+      // bench: probe the persisted cell-partitioned corpus with the
+      // memoized quantizer + radii — the steady-state pruned scan
+      (s, d) => {
+        val (p, centers, radii, q) = ivfRadiusBenchFor(s, d)
+        val probes = Ivf.radiusProbeCells(centers, radii, q, minCos = 0.2)
+        graft.ann.Ann.radiusSearch(
+          s.read.parquet(p)
+            .filter(col("cell").isin(probes.map(Integer.valueOf): _*)),
+          "vec_id", "embedding", typedLit(q), minCos = 0.2)
+      }),
 
     // --- IVF ANN: k-means coarse quantizer (fixed seed), probe the 4
     // nearest of 16 cells, exact re-rank — recall-verdict oracled

@@ -104,6 +104,47 @@ class DedupAnnSpec extends SparkSpec {
     assert(cellSizes == 8, "quantizer should populate all cells")
   }
 
+  test("IVF radius: lossless pruning — equals full scan; prunes on clustered data") {
+    import graft.ann.Ivf
+    // equality on the real (uniform-ish) corpus at two thresholds
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val rest = embs.filter(col("vec_id") =!= 0)
+    val (indexed, centers) = Ivf.build(rest, "vec_id", "embedding", nCells = 8)
+    val radii = Ivf.cellRadii(indexed, centers, "embedding")
+    for (t <- Seq(0.2, 0.05)) {
+      val pruned = Ivf.radiusSearch(indexed, centers, radii,
+          "vec_id", "embedding", q, minCos = t)
+        .as[(Long, Double)].collect().toSet
+      val full = Ann.radiusSearch(rest.crossJoin(broadcast(
+          embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")))),
+          "vec_id", "embedding", col("q_vec"), minCos = t)
+        .as[(Long, Double)].collect().toSet
+      assert(pruned == full, s"threshold $t: pruned != full scan")
+    }
+    // clustered corpus: 3 tight clusters around orthogonal axes — the
+    // bound must PRUNE the far clusters and still return exactly the
+    // near cluster's members
+    val dims = 8
+    val mk = (axis: Int, i: Int) => Array.tabulate(dims)(j =>
+      (if (j == axis) 1.0f else 0.0f) + (if (j == (axis + i) % dims) 0.01f * (i % 5) else 0.0f))
+    val rows = for (a <- 0 until 3; i <- 0 until 40)
+      yield ((a * 40 + i + 1).toLong, mk(a * 2, i).toSeq)
+    val cdf = rows.toDF("vec_id", "embedding")
+    val (cidx, ccent) = Ivf.build(cdf, "vec_id", "embedding", nCells = 3)
+    val cradii = Ivf.cellRadii(cidx, ccent, "embedding")
+    val cq = Array.tabulate(dims)(j => if (j == 0) 1.0 else 0.0).toSeq
+    val probes = Ivf.radiusProbeCells(ccent, cradii, cq, minCos = 0.9)
+    assert(probes.size < 3, s"expected pruning on clustered data, probed $probes")
+    val prunedC = Ivf.radiusSearch(cidx, ccent, cradii,
+        "vec_id", "embedding", cq, minCos = 0.9)
+      .as[(Long, Double)].collect().toSet
+    val fullC = Ann.radiusSearch(cdf, "vec_id", "embedding",
+        typedLit(cq), minCos = 0.9)
+      .as[(Long, Double)].collect().toSet
+    assert(prunedC == fullC && prunedC.nonEmpty)
+  }
+
   test("batch IVF top-k: exhaustive probe == exact batch top-k; probes prune") {
     import graft.operators.GroupTopK
     val queries = embs.filter(col("vec_id") < 10)

@@ -490,6 +490,16 @@ class PlanAuditSpec extends SparkSpec {
       "the IVF path must not cross queries with the whole corpus:\n" + p.take(800))
   }
 
+  test("ann_radius_ivf: bench probe is a partition-pruned scan of the cell layout") {
+    val p = SparkEntry.benchQueries("ann_radius_ivf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the isin(probed cells) predicate must land on the PARTITION
+    // column of the at-rest layout — pruning file groups, not rows
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      "probe must prune cell partitions:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("catalog_attach: auto-discovered catalog broadcast onto particles") {
     val p = plan("catalog_attach")
     // the Group table (dimension-scale) broadcasts; the particle scan
