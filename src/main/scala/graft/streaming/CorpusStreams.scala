@@ -209,6 +209,62 @@ object CorpusStreams {
       .filter(!col("__hit"))
       .select(col("doc_id"), col("ts_ms"))
 
+  final case class BudgetRow(doc_id: Long, ts_ms: Long, stratum: String,
+    w: Long)
+  final case class BudgetState(spent: Long)
+  final case class BudgetAdmit(doc_id: Long, ts_ms: Long, stratum: String,
+    cum_before: Long)
+
+  /** Stateful token-budget gate — the ONLINE half of the batch
+    * `sample_budget`: each stratum admits documents in ARRIVAL order
+    * until its budget is spent, then drops everything after (overshoot
+    * ≤ one doc, same fill contract as the batch op). The batch
+    * operator's privilege — hash-priority order — needs the whole
+    * corpus up front; a stream cannot reorder the future, so
+    * first-come-first-served IS the online budget semantics.
+    *
+    * State: ONE long per stratum (admitted weight), `NoTimeout` — a
+    * budget is corpus-lifetime, and O(strata) state never needs a
+    * horizon. Strata absent from `budgets` drop before the state
+    * store. Determinism: a micro-batch slice is processed in
+    * (ts, id) order, so replaying the same micro-batch boundaries
+    * admits the same set; on a BATCH frame the same function sees one
+    * slice and admits exactly the (ts, id)-ordered prefix (the
+    * equivalence the spec pins). Emits admitted rows only, with the
+    * stratum's weight before them (audit column, mirrors
+    * `sample_budget`). */
+  def budgetGate(docs: DataFrame, budgets: Map[String, Long],
+      idCol: String = "doc_id", stratumCol: String = "lang",
+      weightCol: String = "n_chars", tsCol: String = "ts")
+      : org.apache.spark.sql.Dataset[BudgetAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rows = docs
+      .filter(col(stratumCol).isin(budgets.keys.toSeq: _*))
+      .select(col(idCol).cast("long").as("doc_id"),
+        unix_millis(col(tsCol)).as("ts_ms"),
+        col(stratumCol).cast("string").as("stratum"),
+        col(weightCol).cast("long").as("w"))
+      .as[BudgetRow]
+    rows.groupByKey(_.stratum)
+      .flatMapGroupsWithState[BudgetState, BudgetAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (stratum, slice, state: GroupState[BudgetState]) =>
+          val budget = budgets(stratum)
+          var spent = state.getOption.map(_.spent).getOrElse(0L)
+          val out = slice.toSeq.sortBy(r => (r.ts_ms, r.doc_id)).flatMap { r =>
+            if (spent < budget) {
+              val admit = BudgetAdmit(r.doc_id, r.ts_ms, stratum, spent)
+              spent += r.w
+              Some(admit)
+            } else None
+          }
+          state.update(BudgetState(spent))
+          out.iterator
+      }
+  }
+
   /** The full ingest pipeline: gate → in-horizon dedup → token
     * counts. One lazy plan; runs identically on a batch frame (minus
     * the watermark state bound) — the batch/stream-equivalence spec

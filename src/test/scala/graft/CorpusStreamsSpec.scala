@@ -175,4 +175,39 @@ class CorpusStreamsSpec extends SparkSpec {
           java.lang.Long.bitCount(sims(id2) ^ sims(id)) <= 3 } => id }.sorted
     assert(got == want && want == Seq(1L, 2L, 4L))
   }
+
+  test("budget gate: per-stratum arrival-order fill, state survives micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Long)]
+    val sdf = in.toDF().toDF("doc_id", "ts", "lang", "n_chars")
+    val budgets = Map("en" -> 100L, "de" -> 45L) // fr unbudgeted
+    val q = CorpusStreams.budgetGate(sdf, budgets)
+      .writeStream.format("memory").queryName("budgeted")
+      .outputMode("append").start()
+    // en docs of 40 chars each: budget 100 admits 3 (spent 0,40,80 —
+    // overshoot one doc at 120); de 20 chars: 45 admits 3; fr drops
+    val rows = (1L to 6L).map(i => (i, ts(i.toInt), "en", 40L)) ++
+      (11L to 16L).map(i => (i, ts(i.toInt), "de", 20L)) ++
+      Seq((21L, ts(1), "fr", 5L))
+    try {
+      in.addData(rows.take(4)) // en 1-4 in batch 1
+      q.processAllAvailable()
+      in.addData(rows.drop(4)) // rest in batch 2: en budget already spent
+      q.processAllAvailable()
+      val got = spark.table("budgeted")
+        .select("doc_id", "stratum", "cum_before")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.filter(_._2 == "en").map(_._1).toSeq == Seq(1L, 2L, 3L),
+        s"en must admit the arrival prefix: ${got.toSeq}")
+      assert(got.filter(_._2 == "en").map(_._3).toSeq == Seq(0L, 40L, 80L))
+      assert(got.filter(_._2 == "de").map(_._1).toSeq == Seq(11L, 12L, 13L))
+      assert(!got.exists(_._2 == "fr"))
+    } finally q.stop()
+    // batch replay: the same function on the same rows admits the
+    // identical set (one slice, (ts, id)-ordered prefix)
+    val batch = CorpusStreams.budgetGate(
+        rows.toDF("doc_id", "ts", "lang", "n_chars"), budgets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batch == Seq(1L, 2L, 3L, 11L, 12L, 13L))
+  }
 }
