@@ -490,6 +490,17 @@ class PlanAuditSpec extends SparkSpec {
       "the IVF path must not cross queries with the whole corpus:\n" + p.take(800))
   }
 
+  test("cluster_assign: one map-side codegen'd assignment pass, no join") {
+    val p = SparkEntry.benchQueries("cluster_assign")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the codebook rides as a literal inside the projection — the
+    // whole assignment is scan → project; any join/aggregate means
+    // the quantizer leaked into the data path
+    assert(p.contains("graft_nearest_centroid"), p.take(800))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "assignment must be a pure map pass:\n" + p.take(800))
+  }
+
   test("ann_radius_ivf: bench probe is a partition-pruned scan of the cell layout") {
     val p = SparkEntry.benchQueries("ann_radius_ivf")(spark, sfDir)
       .queryExecution.executedPlan.toString
