@@ -71,6 +71,53 @@ object TextQueries {
           |FROM b ORDER BY doc_id""".stripMargin
       }),
 
+    // --- corpus-support quality score: the count-based stand-in for
+    // CCNet-style LM filtering — a doc whose word BIGRAMS mostly
+    // appear in other documents too reads like the corpus; a doc full
+    // of corpus-unique bigrams is an outlier (gibberish, boilerplate
+    // mangling, wrong language). Cross-DOC statistics, unlike every
+    // within-doc quality gate. support_frac = fraction of the doc's
+    // distinct bigrams whose document frequency >= 2. All-integer
+    // counts until one final 6-dp-rounded division — engine-exact.
+    // Scale shape: explode distinct bigrams (graft_shingles k=2, the
+    // one-pass native expression), ONE bigram-keyed shuffle for doc
+    // frequencies, join back on bigram (both sides bigram-partitioned
+    // — no second shuffle of the big side), per-doc re-aggregation.
+    // ---
+    "ngram_support" -> QueryDef.sql(
+      (s, d) => {
+        val bg = graft.CacheScope.track(
+          QueryDef.spread(Tables.documents(s, d))
+            .select(col("doc_id"),
+              explode(graft.functions.Hashing.shingles(col("text"), 2)).as("bg")))
+        val df = bg.groupBy("bg")
+          .agg(count(lit(1)).as("df")) // shingles are per-doc DISTINCT
+        bg.join(df, Seq("bg"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            roundAt(sum(when(col("df") >= 2, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("support_frac"))
+          .orderBy("doc_id")
+      },
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_transform(range(1, len(w)),
+        |        i -> array_to_string(w[i:i+1], ' '))
+        |    ELSE [text] END)) AS bg
+        |  FROM ws
+        |), dfreq AS (
+        |  SELECT bg, count(*) AS df FROM sh GROUP BY bg
+        |)
+        |SELECT s.doc_id,
+        |  count(*) AS n_bigrams,
+        |  floor((sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*))*1000000 + 0.5)/1000000 AS support_frac
+        |FROM sh s JOIN dfreq f ON f.bg = s.bg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
     // --- quality scores: length, word count, punct + stopword ratios ---
     "text_quality" -> QueryDef.sql(
       (s, d) => Tables.documents(s, d)
