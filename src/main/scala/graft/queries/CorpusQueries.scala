@@ -128,6 +128,39 @@ object CorpusQueries {
         |  CAST(sum(length(norm)) AS BIGINT) AS sum_len
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin),
 
+    // --- URL-level dedup — the crawl-pipeline step BEFORE content
+    // dedup: raw URLs differ by case, www, tracking params and
+    // fragments but normalize to one canonical form; a canonical URL
+    // keeps its lowest doc_id (first crawl wins), everything else is
+    // a re-fetch. Same synthesize-and-predict oracle protocol as
+    // url_normalize: the raw form is derived from doc_id so DuckDB
+    // predicts the canonical arithmetically while Spark runs the real
+    // normalizer over the real strings — a normalizer change that
+    // breaks canonicalization hash-fails. doc_id % 50 paths make
+    // genuine dup groups (different tracking junk, same canonical).
+    // ---
+    "dedup_url" -> QueryDef.sql(
+      (s, d) => {
+        val did = col("doc_id")
+        val raw = concat(lit("https://WWW.Host"), (did % 7).cast("string"),
+          lit(".Example.COM/p/"), (did % 50).cast("string"),
+          when(did % 2 === 0,
+            concat(lit("?utm_source=feed&sid="), did.cast("string")))
+            .otherwise(lit("")),
+          when(did % 5 === 0, lit("#sec")).otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(did, TextOps.normalizeUrl(raw).as("url"))
+          .groupBy("url")
+          .agg(count(lit(1)).as("n_docs"), min(did).as("keep_doc"))
+          .orderBy("url")
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'host' || (doc_id % 7) || '.example.com/p/' || (doc_id % 50) AS url
+        |  FROM documents)
+        |SELECT url, count(*) AS n_docs, min(doc_id) AS keep_doc
+        |FROM u GROUP BY url ORDER BY url""".stripMargin),
+
     // --- paragraph-level exact dedup: each doc gets a unique intro
     // paragraph, a boilerplate paragraph shared by every 40th doc,
     // and its (usually unique) body; a paragraph survives only in the

@@ -620,6 +620,32 @@ object Load {
         else Map("/" -> rootAttrs))
   }
 
+  /** The reverse conversion — zarr (or any row-indexed source) →
+    * chunked-HDF5 snapshot layout, through the executor-parallel
+    * Hdf5Save (each chunk-id partition writes ONE self-contained
+    * `snap.K.hdf5`; the driver writes nothing). Header attrs carry
+    * into every file's /Header beside the writer's own
+    * NumPart_ThisFile, so the copy re-detects family/cosmology on
+    * load like the original. Column cap: Hdf5Save's 8-dataset SNOD
+    * limit — select the fields to convert via `cols` when the source
+    * is wider. */
+  def copyToHdf5(spark: SparkSession, inPath: String, outPath: String,
+      group: String = "", chunkRows: Int = 1 << 16,
+      cols: Seq[String] = Nil, hdf5Group: String = "PartType0"): Unit = {
+    val df0 = dataFrame(spark, inPath, group)
+    require(df0.columns.contains("row_id"),
+      s"copyToHdf5 needs a row-indexed source (hdf5/zarr/fits), got ${detect(inPath)}")
+    val df = if (cols.isEmpty) df0
+      else df0.select("row_id", cols: _*)
+    val rootAttrs = attrsOf(detect(inPath), inPath)
+      .flatMap(_.get("/Header")).orElse(
+        attrsOf(detect(inPath), inPath).flatMap(_.get("/")))
+      .getOrElse(Map.empty)
+    graft.sources.hdf5.Hdf5Save.save(df, "row_id", outPath,
+      group = hdf5Group, chunkRows = chunkRows,
+      headerAttrs = rootAttrs.toSeq)
+  }
+
   private def attrsOf(fmt: Format, path: String,
       fileprefix: String = ""): Option[Map[String, Map[String, Any]]] =
     fmt match {

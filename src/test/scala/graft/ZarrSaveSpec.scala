@@ -82,6 +82,34 @@ class ZarrSaveSpec extends SparkSpec {
     assert(e.getMessage.contains("row-indexed"))
   }
 
+  test("copyToHdf5 converts a zarr store back to a chunked-HDF5 snapshot") {
+    import graft.sources.Load
+    import graft.sources.hdf5.Hdf5Writer
+    val dir = Files.createTempDirectory("graft_z2h").toString
+    Hdf5Writer.write(s"$dir/snap.0.hdf5", Hdf5Writer.Group(children = Seq(
+      "Header" -> Hdf5Writer.Group(attrs = Seq(
+        "Git_commit" -> "0badc0de", "Time" -> 0.25,
+        "Redshift" -> 3.0, "HubbleParam" -> 0.6774)),
+      "PartType0" -> Hdf5Writer.Group(children = Seq(
+        "Masses" -> Hdf5Writer.F64(Array(1.0, 2.0, 3.0, 4.0, 5.0)),
+        "ParticleIDs" -> Hdf5Writer.I64(Array(10L, 20L, 30L, 40L, 50L)))))))
+    val store = dir + "/store"
+    Load.copyToZarr(spark, dir, store, chunkRows = 2)
+    // zarr -> chunked hdf5 (2 rows/chunk -> 3 snap.K.hdf5 files)
+    val back = dir + "/back"
+    Load.copyToHdf5(spark, store, back, chunkRows = 2)
+    assert(new java.io.File(back).listFiles().count(
+      _.getName.matches("snap\\.\\d+\\.hdf5")) == 3)
+    // the round-trip re-detects the family and carries the values
+    assert(Load.flavor(back) == "arepo")
+    val ds = Load.dataset(spark, back)
+    assert(ds.cosmology.exists(_.h == 0.6774))
+    val got = ds.select("row_id", "Masses", "ParticleIDs")
+      .as[(Long, Double, Long)].collect().toSeq.sorted
+    assert(got == Seq((0L, 1.0, 10L), (1L, 2.0, 20L), (2L, 3.0, 30L),
+      (3L, 4.0, 40L), (4L, 5.0, 50L)))
+  }
+
   test("non-contiguous or duplicated row index fails loudly") {
     val dir = Files.createTempDirectory("graft_zsave_bad").toString + "/s"
     val gap = Seq((0L, 1.0), (2L, 2.0)).toDF("id", "v") // id 1 missing
