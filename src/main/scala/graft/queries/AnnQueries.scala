@@ -493,6 +493,78 @@ object AnnQueries {
           nProbe = batchIvfProbe(centers.length))
       }),
 
+    // --- int8 scalar quantization of the embedding corpus (the
+    // storage/serving compression step of an embedding pipeline:
+    // 4x smaller vectors for ANN serving and near-dup sweeps).
+    // Per-dim min/max come from ONE map-side-combined aggregate (128
+    // agg exprs — no explode, no row multiplication), broadcast as a
+    // 1-row frame; quantization and reconstruction error are then a
+    // single codegen'd map pass over the corpus — zero data shuffle
+    // at any scale. Codes are floor((x-mn)/((mx-mn)/254)+0.5) ∈
+    // [0,254]; q_sum / q_dot are exact integer checksums of the full
+    // code vector, recon_mse replays identical left-to-right IEEE
+    // double arithmetic on both engines (QueryDef.cosSql's
+    // list_sum/aggregate ordering contract). ---
+    "embedding_quantize" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val stats = e.agg(
+          array((0 until 64).map(i =>
+            min(col("embedding").getItem(i).cast("double"))): _*).as("mns"),
+          array((0 until 64).map(i =>
+            max(col("embedding").getItem(i).cast("double"))): _*).as("mxs"))
+        e.crossJoin(broadcast(stats))
+          .select(col("vec_id"), col("embedding"), col("mns"), col("mxs"),
+            expr("""transform(sequence(0, 63), i ->
+              CAST(floor(CASE WHEN mxs[i] = mns[i] THEN CAST(0.0 AS DOUBLE)
+                ELSE (CAST(embedding[i] AS DOUBLE) - mns[i])
+                  / ((mxs[i] - mns[i]) / CAST(254.0 AS DOUBLE)) END
+                + CAST(0.5 AS DOUBLE)) AS BIGINT))""").as("codes"))
+          .select(col("vec_id"),
+            expr("aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+              .as("q_sum"),
+            expr("""aggregate(zip_with(codes, sequence(1, 64), (c, i) -> c * CAST(i AS BIGINT)),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("q_dot"),
+            graft.functions.VectorOps.roundAt(expr("""aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) ->
+              acc + (CASE WHEN mxs[i] = mns[i]
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(embedding[i] AS DOUBLE)
+                    - (mns[i] + CAST(codes[i] AS DOUBLE) * ((mxs[i] - mns[i]) / CAST(254.0 AS DOUBLE))) END)
+                * (CASE WHEN mxs[i] = mns[i]
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(embedding[i] AS DOUBLE)
+                    - (mns[i] + CAST(codes[i] AS DOUBLE) * ((mxs[i] - mns[i]) / CAST(254.0 AS DOUBLE))) END))
+              / CAST(64.0 AS DOUBLE)"""), 6).as("recon_mse"))
+          .orderBy("vec_id")
+      },
+      """WITH dimstat AS (
+        |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY i
+        |), st AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM dimstat
+        |), c AS (
+        |  SELECT e.vec_id, e.embedding, st.mns, st.mxs,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(floor(CASE WHEN st.mxs[i] = st.mns[i] THEN 0.0
+        |        ELSE (CAST(e.embedding[i] AS DOUBLE) - st.mns[i])
+        |          / ((st.mxs[i] - st.mns[i]) / 254.0) END + 0.5) AS BIGINT)) AS codes
+        |  FROM embeddings e CROSS JOIN st
+        |)
+        |SELECT vec_id,
+        |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> codes[i] * i)) AS BIGINT) AS q_dot,
+        |  floor((list_sum(list_transform(range(1, 65), i ->
+        |    (CASE WHEN mxs[i] = mns[i] THEN 0.0
+        |      ELSE CAST(embedding[i] AS DOUBLE)
+        |        - (mns[i] + CAST(codes[i] AS DOUBLE) * ((mxs[i] - mns[i]) / 254.0)) END)
+        |    * (CASE WHEN mxs[i] = mns[i] THEN 0.0
+        |      ELSE CAST(embedding[i] AS DOUBLE)
+        |        - (mns[i] + CAST(codes[i] AS DOUBLE) * ((mxs[i] - mns[i]) / 254.0)) END)))
+        |    / 64.0)*1000000 + 0.5)/1000000 AS recon_mse
+        |FROM c ORDER BY vec_id""".stripMargin),
+
     // --- random-hyperplane LSH bucketed ANN — recall-verdict oracled
     // (spec additionally measures candidate-set pruning) ---
     "ann_lsh" -> QueryDef.sql(

@@ -444,6 +444,32 @@ object CorpusQueries {
          |  FROM t)
          |SELECT start_tok // 4096 AS shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS tokens
-         |FROM cum GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM cum GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // --- per-source corpus curation rollup: the dashboard/mixture
+    // planner's view of the corpus (doc counts, char/token mass,
+    // language spread, mean doc length per provenance bucket). One
+    // low-cardinality groupBy with full map-side partial aggregation
+    // — at 100 TB this is a scan-speed pass emitting O(sources)
+    // rows. Integer aggregates exact; the one mean is a single
+    // rounded division on identical operands. ---
+    "source_stats" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("lang").as("n_langs"),
+          sum(TextOps.wsTokenCount(col("text")).cast("long")).as("total_tokens"),
+          graft.functions.VectorOps.roundAt(
+            sum("n_chars").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_chars"))
+        .orderBy("source"),
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  floor((CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    *1000000 + 0.5)/1000000 AS mean_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
   )
 }

@@ -441,6 +441,56 @@ object DedupQueries {
         |SELECT id AS doc_id, min(lbl) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
 
+    // --- quality-aware cluster dedup: the production keep policy.
+    // dedup_clusters keeps min-id; real pipelines keep the BEST
+    // member of each near-dup cluster (longest / highest-quality —
+    // here n_chars desc, doc_id asc tiebreak). Same component
+    // machinery, then one n_chars broadcast-size join and a
+    // per-CLUSTER row_number window — partitioned by cluster label,
+    // never a global window, so the selection scales with the widest
+    // cluster, not the corpus. Oracle: the RECURSIVE component
+    // closure + the same argmax replayed relationally. ---
+    "dedup_keep_best" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, sigLen = 64, bands = 16, minJ = 0.8)
+          .select("doc_a", "doc_b")
+        val cc = Dedup.connectedComponents(docs.select("doc_id"), pairs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+          .withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster"), col("keep"))
+          .orderBy("doc_id")
+      },
+      shingleCte.replaceFirst("WITH ws", "WITH RECURSIVE ws") +
+        """
+        |, pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |  HAVING floor((count(*)::DOUBLE / (sa.n + sb.n - count(*)))*1000000 + 0.5)/1000000 >= 0.8
+        |), edges AS (
+        |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.doc_id, c.cluster,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, cluster, rk = 1 AS keep
+        |FROM ranked ORDER BY doc_id""".stripMargin),
+
     // --- incremental component maintenance: a new batch's pairs
     // merge into the PERSISTED base labels without recomputing the
     // base graph (the cluster-level completion of the incremental

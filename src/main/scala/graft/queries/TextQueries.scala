@@ -347,6 +347,72 @@ object TextQueries {
     // sized — broadcast would not hold), the corpus size as a
     // broadcast scalar, then a doc-partitioned window for top-k —
     // every stage partition-parallel, no driver action. ---
+    // --- bigram-LM corpus likelihood score: the exact-count core of
+    // CCNet-style perplexity filtering. A corpus-wide add-one-smoothed
+    // bigram model P(w2|w1) = (c2+1)/(c1+V) scores every doc by its
+    // mean log-probability per transition — gibberish/outlier docs
+    // score low, corpus-typical prose scores high. Engine-stable
+    // numerics: each DISTINCT bigram's log-prob is floored to integer
+    // MICRO-nats once (the only ln in play), per-doc totals are then
+    // exact integer sums, and the single final division is identical
+    // IEEE arithmetic on both engines. Scale shape: bigram counts are
+    // one bg-keyed shuffle with map-side partial agg; unigram counts
+    // and V are vocabulary-sized; the bg→lp_micro lookup (vocab-sized)
+    // joins back to the cached occurrence stream on the same bg key;
+    // per-doc re-aggregation ends it. No windows, no driver state. ---
+    "ngram_lm_score" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        // positional bigrams WITH multiplicity (counts need raw
+        // occurrences — graft_shingles dedups, so build in-plan);
+        // guard size>=2: sequence(0,-1) would run DESCENDING
+        val bigrams = graft.CacheScope.track(
+          QueryDef.spread(words.filter(size(col("w")) >= 2))
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, concat(w[i], ' ', w[i+1]) AS bg))")).as("t"))
+            .select(col("doc_id"), col("t.w1").as("w1"), col("t.bg").as("bg")))
+        val c2 = bigrams.groupBy("bg", "w1").agg(count(lit(1)).as("c2"))
+        val c1 = words.select(explode(col("w")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = c1.agg(count(lit(1)).as("v"))
+        val lp = c2.join(c1, "w1").crossJoin(broadcast(v))
+          .select(col("bg"), floor(
+            log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+              * 1000000 + 0.5).cast("long").as("lp_micro"))
+        bigrams.join(lp, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            roundAt(sum(col("lp_micro")).cast("double")
+              / (count(lit(1)) * lit(1000000L)).cast("double"), 6).as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), bgx AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+        |  FROM ws WHERE len(w) >= 2
+        |), uni AS (
+        |  SELECT unnest(w) AS w1 FROM ws
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM uni GROUP BY w1
+        |), v AS (
+        |  SELECT count(*) AS v FROM c1
+        |), c2 AS (
+        |  SELECT bg, count(*) AS c2 FROM bgx GROUP BY bg
+        |), lp AS (
+        |  SELECT c2.bg,
+        |    CAST(floor(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE)
+        |      *1000000 + 0.5) AS BIGINT) AS lp_micro
+        |  FROM c2 JOIN c1 ON c1.w1 = string_split(c2.bg, ' ')[1] CROSS JOIN v
+        |)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  floor((CAST(sum(l.lp_micro) AS DOUBLE)
+        |    / CAST(count(*) * 1000000 AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_logp
+        |FROM bgx b JOIN lp l ON l.bg = b.bg
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
+
     "tfidf_topterms" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -511,6 +511,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("embedding_quantize: stats broadcast, quantization a pure map pass — no data shuffle") {
+    val p = plan("embedding_quantize")
+    // per-dim min/max combine map-side into ONE row (the 128-expr agg
+    // list is TRUNCATED in the plan string, so check partial_min only)
+    // and ride back as a 1-row IdentityBroadcast cross — the ONLY
+    // exchanges are that broadcast, the stats SinglePartition, and the
+    // result's range sort: ZERO hash exchanges means the corpus is
+    // never shuffled at any scale
+    assert(p.contains("partial_min"), p.take(1200))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 0, s"quantization planned $hashEx hash exchanges:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must meet the 1-row stats frame via broadcast only:\n" + p.take(800))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val ws = SparkEntry.queries("embedding_quantize")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(ws.isEmpty, "quantization must not plan a window")
+  }
+
+  test("ngram_lm_score: partial-agg counts, equi-joins only, no windows") {
+    val (nWin, _) = windowsPartitioned("ngram_lm_score")
+    assert(nWin == 0, "LM scoring must not plan a window")
+    val p = plan("ngram_lm_score")
+    // bigram/unigram counts combine map-side before their exchanges;
+    // the lookup meets the occurrence stream through a bg equi-join
+    // (the one BroadcastNestedLoopJoin is the 1-row V frame's cross —
+    // a broadcast of one row, not a data-path cross)
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "bg lookup must be an equi-join:\n" + p.take(800))
+  }
+
+  test("dedup_keep_best: keep selection windows per cluster, never globally") {
+    val (nWin, allPart) = windowsPartitioned("dedup_keep_best")
+    assert(nWin >= 1, "keep policy is a per-cluster rank window")
+    assert(allPart, "every window must be partitioned (by cluster)")
+  }
+
+  test("source_stats: one partial-agg pass at scan speed") {
+    val p = plan("source_stats")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("Join"), "rollup must not plan a join")
+  }
+
   test("catalog_attach: auto-discovered catalog broadcast onto particles") {
     val p = plan("catalog_attach")
     // the Group table (dimension-scale) broadcasts; the particle scan
