@@ -14,6 +14,37 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  // bpe_tokens' build→oracle handshake (dedup_simhash's pattern): the
+  // build writes the per-word token-count artifact to a dataset-keyed
+  // path and records it; the oracle thunk — resolved AFTER builds —
+  // replays the per-doc totals from that same table.
+  private val bpeVocabPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_bpe_vocab_default")
+
+  // trained merges are a corpus artifact (maintained at ingest in
+  // production): memoized per (JVM, dataset dir) like quantilesOf, so
+  // only the first execution pays the TakeOrdered word-count job and
+  // the driver-side merge loop
+  private val bpeTokMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[graft.functions.BpeTokenizer]]()
+
+  private def bpeTokenizerFor(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.BpeTokenizer] =
+    bpeTokMemo.computeIfAbsent(d, _ => {
+      // ONE TakeOrdered job: top-64k words by count (deterministic
+      // tiebreak on the word) bound the driver fetch at any corpus
+      // size; the merge loop is O(vocab · merges) driver work
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      s.sparkContext.broadcast(new graft.functions.BpeTokenizer(
+        graft.functions.Bpe.trainMerges(wc, numMerges = 512)))
+    })
+
   // SQL fragments mirroring TextOps, kept adjacent to their uses.
   private def dictHitsSql(dict: Seq[String]): String =
     dict.map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")
@@ -155,6 +186,58 @@ object TextQueries {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // --- REAL learned BPE tokenization (vs text_tokens' regex
+    // stand-in): train the classic Sennrich merge loop on the
+    // corpus's word counts, tokenize every doc with the codegen'd
+    // graft_bpe_count expression. Training is bounded-driver by
+    // construction — ONE TakeOrdered job fetches the top-64k words by
+    // count (the sequential merge loop is inherently driver-side, the
+    // same discipline as the ANN quantizer samples); application is a
+    // scan-speed map pass with the rank table riding as a broadcast
+    // handle. Oracle protocol (cluster_assign's): the build persists
+    // the per-WORD token counts computed by the SAME expression over
+    // the distinct-words frame, and DuckDB replays the per-doc totals
+    // relationally (explode words → join artifact → sum) — a
+    // distributed-application inconsistency (wrong word split, lost
+    // row, non-deterministic encode) hash-fails; encode CORRECTNESS
+    // itself is pinned by BpeSpec's known-merges + reconstruction
+    // invariants. ---
+    "bpe_tokens" -> QueryDef.sqlBench(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = bpeTokenizerFor(s, d)
+        val p = Fixtures.tmpPath("graft_bpe_vocab", d)
+        bpeVocabPathRef.set(p)
+        docs.select(explode(split(col("text"), " ")).as("word")).distinct()
+          .select(col("word"),
+            graft.functions.BpeColumns.tokenCount(col("word"), tok).as("n_tokens"))
+          .write.mode("overwrite").parquet(p)
+        docs.select(col("doc_id"),
+            TextOps.wsTokenCount(col("text")).cast("long").as("n_words"),
+            graft.functions.BpeColumns.tokenCount(col("text"), tok)
+              .cast("long").as("n_bpe_tokens"))
+          .sortWithinPartitions("doc_id")
+      },
+      s"""WITH ws AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), v AS (
+        |  SELECT word, n_tokens
+        |  FROM read_parquet('${bpeVocabPathRef.get}/*.parquet')
+        |)
+        |SELECT w.doc_id, count(*) AS n_words,
+        |  CAST(sum(v.n_tokens) AS BIGINT) AS n_bpe_tokens
+        |FROM ws w JOIN v USING (word)
+        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+      // bench: the steady-state shape — a production tokenizer is an
+      // ingest-maintained artifact, so time ONLY the codegen'd apply
+      // pass (the memoized trainer runs once per JVM+dataset)
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("n_words"),
+          graft.functions.BpeColumns.tokenCount(col("text"), bpeTokenizerFor(s, d))
+            .cast("long").as("n_bpe_tokens"))
+        .sortWithinPartitions("doc_id")),
 
     // --- within-document repetition (a Gopher quality signal): the
     // fraction of repeated 3-grams inside each doc, 1 − distinct/total

@@ -556,6 +556,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "rollup must not plan a join")
   }
 
+  test("bpe_tokens: steady-state tokenization is a pure codegen'd map pass") {
+    val p = SparkEntry.benchQueries("bpe_tokens")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the rank table rides as a broadcast handle inside the
+    // expression — the apply pass is scan → project → local sort,
+    // with no join, no aggregate, no exchange of the corpus
+    assert(p.contains("graft_bpe_count"), p.take(800))
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Exchange"),
+      "tokenization must not shuffle the corpus:\n" + p.take(800))
+  }
+
   test("catalog_attach: auto-discovered catalog broadcast onto particles") {
     val p = plan("catalog_attach")
     // the Group table (dimension-scale) broadcasts; the particle scan
