@@ -272,4 +272,94 @@ object BinaryMeta {
         }
       }
   }
+
+  final case class PHashRow(id: Long, phash: Long)
+
+  // DCT-II basis for the 32×32 pHash grid, built once per JVM
+  private lazy val dctCos: Array[Array[Double]] = Array.tabulate(32, 32) {
+    (u, x) => math.cos((2 * x + 1) * u * math.Pi / 64.0)
+  }
+
+  /** 64-bit perceptual hash (the classic pHash recipe): REAL decode,
+    * 32×32 bilinear grayscale reduction, 2-D DCT-II, then one bit per
+    * low-frequency coefficient (the top-left 8×8 block, DC excluded;
+    * threshold = median of those 63 + DC's replacement, computed over
+    * the 64-entry block with DC zeroed) — visually-identical images
+    * collide, small perturbations stay within a few Hamming bits,
+    * different images land far apart. Deterministic: fixed AWT
+    * bilinear path, double arithmetic, no RNG. Returns None on
+    * undecodable payloads (same tolerance as decodeImageMeta). */
+  def phash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val small = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 32, 32, null)
+    g.dispose()
+    val gray = Array.ofDim[Double](32, 32)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val rgb = small.getRGB(x, y)
+        gray(y)(x) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    // top-left 8×8 of the 2-D DCT (row pass then column pass over
+    // only the 8 needed frequencies — 32×8 work, not 32×32)
+    val rowDct = Array.ofDim[Double](32, 8)
+    y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += gray(y)(x) * dctCos(u)(x); x += 1 }
+        rowDct(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val block = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += rowDct(yy)(u) * dctCos(v)(yy); yy += 1 }
+        block(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    block(0) = 0.0 // drop DC: overall brightness must not dominate
+    val sorted = block.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (block(i) > median) h |= 1L << i; i += 1 }
+    Some(h)
+  }
+
+  /** pHash frame: one 64-bit hash per decodable payload (flatMap —
+    * corrupt blobs drop, as everywhere in this family). */
+  def phashes(df: DataFrame, idCol: String, payloadCol: String): Dataset[PHashRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap(r => phash64(r.payload).map(PHashRow(r.id, _)))
+      }
+  }
 }

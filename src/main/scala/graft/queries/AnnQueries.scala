@@ -81,6 +81,37 @@ object AnnQueries {
       |  AND ${QueryDef.cosSql("e.embedding", "q.embedding")} >= 0.2
       |ORDER BY e.vec_id""".stripMargin
 
+  // kmeans_step's handshake: the persisted START centroids the
+  // oracle replays one full distributed Lloyd step from
+  private val kmeansCentPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_kmeans_cents_default")
+
+  /** One distributed Lloyd refinement step from `centers`: codegen'd
+    * nearest-centroid assignment + micro-int quantized per-(cell,dim)
+    * means. Values quantize to integer MICROS before aggregation so
+    * per-cell sums are exact integers on both engines — the one
+    * division at the end is identical IEEE arithmetic (the
+    * ngram_lm_score discipline applied to means). */
+  private def kmeansStepFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, centers: Array[Array[Double]]) = {
+    val centLit = typedLit(centers.map(_.toSeq).toSeq)
+    Tables.embeddings(s, d)
+      .select(
+        call_function("graft_nearest_centroid",
+          col("embedding"), centLit).as("cell"),
+        expr("""transform(embedding, x ->
+          CAST(floor(CAST(x AS DOUBLE)*1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT))""")
+          .as("m"))
+      .select(col("cell"), posexplode(col("m")).as(Seq("dim", "mv")))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorOps.roundAt(
+          sum("mv").cast("double")
+            / (count(lit(1)) * lit(1000000L)).cast("double"), 6).as("mean"))
+      .orderBy("cell", "dim")
+  }
+
   // cluster_assign's centroid handshake (oracle replays the argmin
   // from the persisted quantizer) + memoized bench codebook
   private val clusterCentPathRef =
@@ -492,6 +523,53 @@ object AnnQueries {
           queries, "q_id", "q_emb", k = 3,
           nProbe = batchIvfProbe(centers.length))
       }),
+
+    // --- one DISTRIBUTED Lloyd k-means refinement step (the
+    // full-corpus training pass a production trainer iterates; the
+    // driver-side sampled lloyd in Ivf.build is the bounded
+    // INITIALIZER — this is its scale-out refinement). Assignment is
+    // the codegen'd map-side argmin with the codebook as a plan
+    // literal; the update pass quantizes elements to integer micros
+    // map-side, posexplodes to (cell, dim) and aggregates with
+    // map-side partial combine — the shuffle carries O(parts ×
+    // cells × 64) partial sums, never vectors. Oracle replays the
+    // whole step (argmin + exact integer means) from the persisted
+    // start centroids. ---
+    "kmeans_step" -> QueryDef.sqlBench(
+      (s, d) => {
+        val centers = clusterBenchCenters(s, d)
+        val p = Fixtures.tmpPath("graft_kmeans_cents", d)
+        kmeansCentPathRef.set(p)
+        import s.implicits._
+        centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        kmeansStepFrame(s, d, centers)
+      },
+      s"""WITH cents AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('${kmeansCentPathRef.get}/*.parquet')
+        |), dd AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS d2
+        |  FROM embeddings e CROSS JOIN cents c
+        |), a AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        |  FROM dd
+        |), q AS (
+        |  SELECT cell, CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS mv
+        |  FROM a, range(1, 65) t(i) WHERE rk = 1
+        |)
+        |SELECT CAST(cell AS INTEGER) AS cell, dim, count(*) AS n,
+        |  floor((CAST(sum(mv) AS DOUBLE)
+        |    / CAST(count(*) * 1000000 AS DOUBLE))*1000000 + 0.5)/1000000 AS mean
+        |FROM q GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+      // bench: the step itself (centroids are the memoized artifact)
+      (s, d) => kmeansStepFrame(s, d, clusterBenchCenters(s, d))),
 
     // --- int8 scalar quantization of the embedding corpus (the
     // storage/serving compression step of an embedding pipeline:

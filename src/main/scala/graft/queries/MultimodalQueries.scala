@@ -113,8 +113,88 @@ object MultimodalQueries {
           .toDF()
           .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
             col("channels"), col("bits"), col("n_frames"), col("duration_s")))
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // --- image-level dedup via 64-bit perceptual hash (the visual
+    // dedup step a multimodal pipeline runs before training): REAL
+    // decode → 32×32 gray → DCT-II → median-threshold bits, hashed
+    // map-side; group stats aggregate on the 8-byte key; the tiny
+    // group table broadcasts back. Fixture classes (doc_id % 16)
+    // render byte-identical stripe patterns per class, all 16
+    // mutually distinct — the oracle PREDICTS the grouping
+    // arithmetically, so a phash collision across classes, a split
+    // within a class, or a lost blob all hash-fail. Near-dup
+    // tolerance (the property hash-equality can't gate) is pinned in
+    // ImageDecodeSpec. ---
+    "dedup_phash" -> QueryDef.sqlBench(
+      (s, d) => phashGroups(synthClassImages(s, d)),
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 16) AS keep_doc,
+        |  count(*) OVER (PARTITION BY doc_id % 16) AS n_dups
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      // bench: blobs at rest — measured operator = scan + decode +
+      // DCT + group, not the fixture synthesis (memoized write)
+      (s, d) => phashGroups(s.read.parquet(clsBlobsFor(s, d))))
   )
+
+  /** Executor-parallel CLASS-pattern PNG synthesis for dedup_phash:
+    * every doc renders its class's (doc_id % 16) stripe pattern —
+    * orientation/pitch (ax, ay) ∈ {1..4}² is unique per class, so the
+    * 16 images are visually DISTINCT while same-class docs are
+    * byte-identical. Stripes put the signal in the DCT's low
+    * frequencies, exactly where pHash discriminates (a noise texture
+    * would alias flat and risk cross-class collisions). */
+  private[queries] def synthClassImages(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val cls = (id % 16).toInt
+          val ax = 1 + (cls % 4)
+          val ay = 1 + (cls / 4)
+          val img = new java.awt.image.BufferedImage(48, 48,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < 48) {
+            var y = 0
+            while (y < 48) {
+              val on = ((x * ax + y * ay) / 6) % 2 == 0
+              val v = if (on) 230 else 25
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              y += 1
+            }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  private val clsBlobCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def clsBlobsFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    clsBlobCache.computeIfAbsent(d, _ => {
+      val p = Fixtures.tmpPath("graft_mm_cls_png", d)
+      synthClassImages(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** pHash grouping over an image frame: hash map-side (the real
+    * decode+DCT), group stats on the 8-byte hash key, broadcast-join
+    * the tiny group table back. */
+  private def phashGroups(imgs: org.apache.spark.sql.DataFrame) = {
+    val ph = QueryDef.sortBarrier(
+      BinaryMeta.phashes(imgs, "doc_id", "payload").toDF())
+    val groups = ph.groupBy("phash")
+      .agg(min(col("id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+    ph.join(broadcast(groups), "phash")
+      .select(col("id").as("doc_id"), col("keep_doc"), col("n_dups"))
+      .orderBy("doc_id")
+  }
 
   /** Executor-parallel PNG synthesis (fixture generation — dims and
     * pixels pure functions of doc_id so the oracle can predict). */

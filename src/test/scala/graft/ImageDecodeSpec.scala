@@ -72,4 +72,67 @@ class ImageDecodeSpec extends SparkSpec {
     assert(back.getWidth == 16 && back.getHeight == 12)
     assert(BinaryMeta.sniffFormat(out.head.payload) == "png")
   }
+
+  // --- perceptual hash: the properties hash-equality gates can't ---
+
+  private def stripePng(ax: Int, ay: Int, bright: Int = 230,
+      dark: Int = 25): Array[Byte] = {
+    val img = new BufferedImage(48, 48, BufferedImage.TYPE_INT_RGB)
+    (0 until 48).foreach(x => (0 until 48).foreach { y =>
+      val v = if (((x * ax + y * ay) / 6) % 2 == 0) bright else dark
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("phash64: deterministic; identical images collide; junk drops") {
+    val h1 = BinaryMeta.phash64(stripePng(2, 3)).get
+    val h2 = BinaryMeta.phash64(stripePng(2, 3)).get
+    assert(h1 == h2)
+    assert(BinaryMeta.phash64("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  private def texPng(fx: Double, fy: Double, amp: Int = 120): Array[Byte] = {
+    val img = new BufferedImage(48, 48, BufferedImage.TYPE_INT_RGB)
+    (0 until 48).foreach(x => (0 until 48).foreach { y =>
+      val v0 = 128 + amp * math.sin(x * fx + 0.7) * math.cos(y * fy + 0.3)
+      val v = math.max(0, math.min(255, v0.toInt))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("phash64: all 16 fixture stripe classes hash distinct") {
+    // the exact-equality property dedup_phash's oracle gate stands on
+    val classes = for (ax <- 1 to 4; ay <- 1 to 4)
+      yield BinaryMeta.phash64(stripePng(ax, ay)).get
+    assert(classes.distinct.length == 16)
+  }
+
+  test("phash64: perceptual on smooth textures — contrast invariant, frequencies far") {
+    // photo-like spectra (where pHash operates in practice): a
+    // contrast change rescales every AC coefficient uniformly, so
+    // bits vs the median barely move; a different spatial frequency
+    // rewrites the low-freq block wholesale. (Binary stripe fixtures
+    // are deliberately NOT used here: their spectra tie half the
+    // block at zero, where median thresholding is knife-edge — the
+    // gate only needs their exact-equality/distinctness, above.)
+    val base = BinaryMeta.phash64(texPng(0.5, 0.75)).get
+    val dimmer = BinaryMeta.phash64(texPng(0.5, 0.75, amp = 70)).get
+    assert(hamming(base, dimmer) <= 4,
+      s"contrast change moved ${hamming(base, dimmer)} bits")
+    val other = BinaryMeta.phash64(texPng(1.0, 0.25)).get
+    assert(hamming(base, other) >= 16,
+      s"different texture only ${hamming(base, other)} bits away")
+    // near-dup vs distinct separation: the contrast variant sits
+    // strictly closer than the different texture — the margin a
+    // hamming-threshold dedup needs
+    assert(hamming(base, dimmer) < hamming(base, other))
+  }
 }

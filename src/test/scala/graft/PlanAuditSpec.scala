@@ -568,6 +568,24 @@ class PlanAuditSpec extends SparkSpec {
       "tokenization must not shuffle the corpus:\n" + p.take(800))
   }
 
+  test("kmeans_step: map-side assignment + partial-agg update, no joins") {
+    val p = SparkEntry.benchQueries("kmeans_step")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the codebook is a plan literal; the update's shuffle carries
+    // (cell, dim) partial sums, never raw vectors
+    assert(p.contains("graft_nearest_centroid"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1200))
+    assert(!p.contains("Join"), "the Lloyd step must not plan a join:\n" + p.take(800))
+  }
+
+  test("dedup_phash: hash map-side, group table broadcast back — no corpus SMJ") {
+    val p = SparkEntry.benchQueries("dedup_phash")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "group stats must broadcast onto the hash frame:\n" + p.take(800))
+  }
+
   test("catalog_attach: auto-discovered catalog broadcast onto particles") {
     val p = plan("catalog_attach")
     // the Group table (dimension-scale) broadcasts; the particle scan
