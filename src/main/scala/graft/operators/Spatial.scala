@@ -122,6 +122,88 @@ object Spatial {
       .select(col(aId), col(bId), col("dist_deg"))
   }
 
+  /** Two-point correlation pair counts (the DD term of the
+    * Peebles–Hauser / Landy–Szalay estimators — the statistic scida's
+    * spatial mixin exists to feed; reference: src/scida/mixins/
+    * spatial.py's cutout machinery is the prefilter step of exactly
+    * this computation): the number of unordered point pairs with
+    * separation r < `rMax`, histogrammed into `floor(r/binWidth)`
+    * radial bins.
+    *
+    * Distributed shape (the standard grid / chaining-mesh decomposition
+    * used by corrfunc-style pair counters): every point maps to a cubic
+    * cell of side `rMax`; the RIGHT copy of the corpus registers under
+    * its own cell plus the 13 lexicographically-FORWARD neighbor
+    * offsets (half the 26-shell — each unordered cell pair is probed in
+    * exactly one orientation), candidates meet on CELL-KEY EQUALITY —
+    * one hash-partitioned equi-join, never a cross product — and the
+    * exact distance verifies candidates only. Same-cell pairs dedupe on
+    * id ordering; cross-cell pairs are unique by the forward-shell
+    * construction. The aggregation is O(bins) with map-side partial
+    * combine, so the shuffle after the join carries bin partials, not
+    * pairs. At 100 TB the candidate volume is N × 14 × (cell
+    * occupancy): bounded by density, independent of total N — the
+    * right-side 14× registration is the whole replication cost.
+    * Distances are rounded at `digits` dp before binning/thresholding
+    * (sqrt is not cross-engine exact-rounded; parity protocol). */
+  def pairCounts(points: DataFrame, idCol: String,
+      x: Column, y: Column, z: Column,
+      rMax: Double, binWidth: Double, digits: Int = 9): DataFrame = {
+    require(rMax > 0 && binWidth > 0, "rMax and binWidth must be positive")
+    val reserved = Seq("__cx", "__cy", "__cz", "__px", "__py", "__pz")
+    require(!reserved.exists(points.columns.contains),
+      "__c*/__p* columns are reserved by pairCounts; rename the input column")
+    def cellOf(c: Column) = floor(c / lit(rMax)).cast("long")
+    val base = points.select(col(idCol), x.as("__px"), y.as("__py"), z.as("__pz"),
+      cellOf(x).as("__cx"), cellOf(y).as("__cy"), cellOf(z).as("__cz"))
+    // forward half-shell: (0,0,0) + the 13 offsets lexicographically
+    // greater than zero — each unordered neighbor-cell pair probed once
+    val offsets = for {
+      dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+      if (dx, dy, dz) != (0, 0, 0) &&
+        (dx > 0 || (dx == 0 && (dy > 0 || (dy == 0 && dz > 0))))
+    } yield (dx, dy, dz)
+    val offLit = typedLit((0, 0, 0) +: offsets)
+    val left = base.select(col(idCol).as("__ida"),
+      col("__px").as("__xa"), col("__py").as("__ya"), col("__pz").as("__za"),
+      col("__cx"), col("__cy"), col("__cz"))
+    // right registers under cell − offset: a match means
+    // cell(right) − cell(left) = offset, a forward (or zero) shift
+    val right = base
+      .withColumn("__o", explode(offLit))
+      .select(col(idCol).as("__idb"),
+        col("__px").as("__xb"), col("__py").as("__yb"), col("__pz").as("__zb"),
+        (col("__cx") - col("__o._1")).as("__cx"),
+        (col("__cy") - col("__o._2")).as("__cy"),
+        (col("__cz") - col("__o._3")).as("__cz"),
+        (col("__o._1") === 0 && col("__o._2") === 0 && col("__o._3") === 0)
+          .as("__self"))
+    val dx = col("__xb") - col("__xa")
+    val dy = col("__yb") - col("__ya")
+    val dz = col("__zb") - col("__za")
+    // integer-nano distances: the ONE non-exact-rounded op (sqrt) is
+    // floored to integer nanos per pair, so bin ids, thresholds and
+    // the mean's sum are exact integer arithmetic on any engine and
+    // any partition order (the ngram_lm_score discipline)
+    val scale = math.pow(10, digits)
+    val rNanos = floor(sqrt(dx * dx + dy * dy + dz * dz) * lit(scale) + lit(0.5))
+      .cast("long")
+    val binNanos = binWidth * scale
+    require(binNanos == math.rint(binNanos),
+      s"binWidth must be exact at $digits digits")
+    left.join(right, Seq("__cx", "__cy", "__cz"))
+      .filter(!col("__self") || col("__ida") < col("__idb"))
+      .withColumn("__rn", rNanos)
+      .filter(col("__rn") < lit((rMax * scale).toLong))
+      .groupBy(floor(col("__rn").cast("double") / lit(binNanos)).cast("int")
+        .as("bin"))
+      .agg(count(lit(1)).as("dd"),
+        graft.functions.VectorOps.roundAt(
+          sum(col("__rn")).cast("double") / (count(lit(1)) * lit(scale.toLong))
+            .cast("double"), 6).as("mean_r"))
+      .orderBy("bin")
+  }
+
   /** Periodic rectangular cutout — scida `rectangular_cutout_mask`
     * with pbc=True (reference: src/scida/misc.py:181, wired through
     * mixins/spatial.py:96): per-axis MINIMUM-IMAGE distance under

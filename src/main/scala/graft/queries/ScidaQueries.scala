@@ -744,6 +744,50 @@ object ScidaQueries {
         |    )) / (pi() / 180.0))*1000000000 + 0.5)/1000000000 <= 1.2
         |ORDER BY c_custkey, s_suppkey""".stripMargin),
 
+    // --- two-point correlation pair counts (the DD histogram of the
+    // Peebles–Hauser/Landy–Szalay estimators — the headline
+    // large-scale-structure statistic computed over scida-loaded
+    // snapshots; mixins/spatial.py's cutouts are its prefilter).
+    // Synthetic 3D positions derive from p_partkey by exact integer
+    // arithmetic (Weyl-lattice: key×{7919,104729,1299709} mod 1e5,
+    // /1e3 → a 100³ box at 1e-3 resolution, no duplicate points).
+    // Spark runs the grid/chaining-mesh decomposition (Spatial
+    // .pairCounts: cell-key equi-join over the 14-offset forward
+    // shell, candidate volume bounded by density not N²); the oracle
+    // replays the O(N²)-pruned band self-join — same integer-nano
+    // distances, same bins. ---
+    "paircount_2pt" -> QueryDef.sql(
+      (s, d) => {
+        val pts = Tables.part(s, d).select(col("p_partkey"),
+          ((col("p_partkey") * 7919 % 100000) / 1000.0).as("x"),
+          ((col("p_partkey") * 104729 % 100000) / 1000.0).as("y"),
+          ((col("p_partkey") * 1299709 % 100000) / 1000.0).as("z"))
+        graft.operators.Spatial.pairCounts(pts, "p_partkey",
+          col("x"), col("y"), col("z"), rMax = 8.0, binWidth = 2.0)
+      },
+      """WITH pts AS (
+        |  SELECT p_partkey AS id,
+        |    (p_partkey * 7919 % 100000) / 1000.0 AS x,
+        |    (p_partkey * 104729 % 100000) / 1000.0 AS y,
+        |    (p_partkey * 1299709 % 100000) / 1000.0 AS z
+        |  FROM part
+        |), pr AS (
+        |  SELECT CAST(floor(sqrt(
+        |      (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        |    )*1000000000 + 0.5) AS BIGINT) AS rn
+        |  FROM pts a JOIN pts b ON a.id < b.id
+        |    AND abs(a.x-b.x) <= 8.0 AND abs(a.y-b.y) <= 8.0
+        |    AND abs(a.z-b.z) <= 8.0
+        |  WHERE CAST(floor(sqrt(
+        |      (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        |    )*1000000000 + 0.5) AS BIGINT) < 8000000000
+        |)
+        |SELECT CAST(floor(CAST(rn AS DOUBLE) / 2000000000.0) AS INTEGER) AS bin,
+        |  count(*) AS dd,
+        |  floor((CAST(sum(rn) AS DOUBLE)
+        |    / CAST(count(*) * 1000000000 AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_r
+        |FROM pr GROUP BY bin ORDER BY bin""".stripMargin),
+
     // --- per-particle local subhalo index (arepo/dataset.py:1120
     // compute_localsubhaloindex, :1236 get_localshidx): rank of the
     // particle's subhalo within its group, -1 for fuzz (subhalo not

@@ -271,4 +271,36 @@ class OperatorsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(kept == Set(6L, 9L))
   }
+
+  test("pairCounts == brute-force pair histogram; grid join is equi, not cartesian") {
+    // pseudo-random but deterministic points in a 30³ box — pairs
+    // cross cell boundaries in every direction at rMax=5
+    val pts = (1L to 120L).map(i =>
+      (i, (i * 17 % 300) / 10.0, (i * 29 % 300) / 10.0, (i * 43 % 300) / 10.0))
+      .toDF("id", "x", "y", "z")
+    val got = Spatial.pairCounts(pts, "id", col("x"), col("y"), col("z"),
+        rMax = 5.0, binWidth = 1.0)
+      .select("bin", "dd").as[(Int, Long)].collect().toMap
+    // brute force over all N² ordered pairs, halved by id<
+    val rows = pts.as[(Long, Double, Double, Double)].collect()
+    val brute = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      r = math.floor(math.sqrt(math.pow(a._2 - b._2, 2) +
+        math.pow(a._3 - b._3, 2) + math.pow(a._4 - b._4, 2)) * 1e9 + 0.5) / 1e9
+      if r < 5.0
+    } yield math.floor(r).toInt).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(got == brute && got.values.sum > 0)
+    // pair discovery must be the cell-key hash equi-join — a
+    // cartesian/BNL product would be O(N²) at any scale
+    val p = Spatial.pairCounts(pts, "id", col("x"), col("y"), col("z"), 5.0, 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(600))
+    // a reserved internal name collides loudly
+    val e = intercept[IllegalArgumentException] {
+      Spatial.pairCounts(pts.withColumnRenamed("x", "__cx"), "id",
+        col("__cx"), col("y"), col("z"), 5.0, 1.0)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }
