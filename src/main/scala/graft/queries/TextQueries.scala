@@ -538,6 +538,88 @@ object TextQueries {
         |  FROM sc
         |)
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, score
-        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    // --- one synchronous full-batch training step of a hashed
+    // bag-of-words linear quality classifier (the fastText-style
+    // model behind learned quality filtering — the trainable
+    // counterpart of the Gopher-rule quality_filter). Features are
+    // md5-hashed token buckets (32 dims); the label is a length
+    // heuristic. Engine-stable numerics: start weights derive from
+    // the feature id by exact integer arithmetic (micro fixed-point),
+    // margins are exact integer sums, and the activation is the
+    // hard-sigmoid surrogate clamp(0.25·t + 0.5, 0, 1) — every op
+    // IEEE-identical cross-engine (exp is not), residuals floored to
+    // micros before the gradient's exact integer aggregation; the
+    // plan shape is activation-independent. Scale: explode → one
+    // doc-keyed agg; per-doc margins join BACK on the same doc key
+    // (co-partitioned, no extra shuffle at scale); the gradient agg
+    // is O(features) with map-side partial combine; corpus size rides
+    // as a broadcast scalar. One pass of the loop a production
+    // trainer iterates — state between passes is the 32-row weight
+    // table. ---
+    "logreg_step" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val feat = graft.CacheScope.track(
+          QueryDef.spread(docs.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .select(col("doc_id"),
+              (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % 32)
+                .cast("int").as("j"))
+            .groupBy("doc_id", "j").agg(count(lit(1)).as("x")))
+        def wMicro(j: org.apache.spark.sql.Column) =
+          j.cast("long") * lit(2654435761L) % 1001L - 500L
+        val margins = feat
+          .groupBy("doc_id").agg(sum(wMicro(col("j")) * col("x")).as("mm"))
+        val t = col("mm").cast("double") / lit(1000000.0)
+        val p = greatest(lit(0.0), least(lit(1.0), lit(0.25) * t + lit(0.5)))
+        val err = margins.join(docs.select(col("doc_id"),
+            when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y")), "doc_id")
+          .select(col("doc_id"),
+            floor((p - col("y")) * lit(1000000.0) + lit(0.5)).cast("long")
+              .as("e_micro"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        feat.join(err, "doc_id")
+          .groupBy("j")
+          .agg(count(lit(1)).as("nnz"),
+            sum(col("e_micro") * col("x")).as("grad_micro"))
+          .crossJoin(broadcast(n))
+          .select(col("j"), col("nnz"), col("grad_micro"),
+            (wMicro(col("j")) - floor(lit(0.5)
+              * col("grad_micro").cast("double") / col("n_docs").cast("double")
+              + lit(0.5)).cast("long")).as("new_w_micro"))
+          .orderBy("j")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w), 1, 4))::BIGINT % 32 AS INTEGER) AS j,
+        |    count(*) AS x
+        |  FROM w GROUP BY doc_id, j
+        |), m AS (
+        |  SELECT doc_id,
+        |    sum((CAST(j AS BIGINT) * 2654435761 % 1001 - 500) * x) AS mm
+        |  FROM f GROUP BY doc_id
+        |), e AS (
+        |  SELECT m.doc_id, CAST(floor((
+        |      greatest(0.0, least(1.0,
+        |        0.25 * (CAST(mm AS DOUBLE) / 1000000.0) + 0.5))
+        |      - CASE WHEN d.n_chars >= 300 THEN 1.0 ELSE 0.0 END
+        |    ) * 1000000.0 + 0.5) AS BIGINT) AS e_micro
+        |  FROM m JOIN documents d ON d.doc_id = m.doc_id
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |)
+        |SELECT f.j, count(*) AS nnz,
+        |  CAST(sum(e.e_micro * f.x) AS BIGINT) AS grad_micro,
+        |  CAST(CAST(f.j AS BIGINT) * 2654435761 % 1001 - 500
+        |    - CAST(floor(0.5 * CAST(sum(e.e_micro * f.x) AS DOUBLE)
+        |        / CAST(n.n_docs AS DOUBLE) + 0.5) AS BIGINT) AS BIGINT)
+        |    AS new_w_micro
+        |FROM f JOIN e ON e.doc_id = f.doc_id CROSS JOIN n
+        |GROUP BY f.j, n.n_docs
+        |ORDER BY j""".stripMargin)
   )
 }

@@ -94,4 +94,29 @@ class CurationOpsSpec extends SparkSpec {
       assert(math.abs(mean - r.getLong(2).toDouble / r.getLong(1)) < 1e-5)
     }
   }
+
+  test("logreg_step moves weights toward separating labels on a separable corpus") {
+    // word "alpha" (bucket 23) appears only in positive (long) docs,
+    // "bravo" (bucket 26) only in negative (short) docs; start weights
+    // are ~0 so p ≈ 0.5 everywhere — one gradient step must RAISE the
+    // positive-evidence weight and LOWER the negative-evidence one
+    val long = ("alpha " * 60).trim  // n_chars >= 300 → y = 1
+    val short = ("bravo " * 10).trim // n_chars < 300  → y = 0
+    val docs = Seq(
+      (1L, long, long.length.toLong), (2L, long, long.length.toLong),
+      (3L, short, short.length.toLong), (4L, short, short.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lr_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CacheScope.withScope {
+      SparkEntry.queries("logreg_step")(spark, dir).collect()
+    }.map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    def startW(j: Int): Long = j.toLong * 2654435761L % 1001L - 500L
+    val (gradPos, newPos) = out(23)
+    val (gradNeg, newNeg) = out(26)
+    assert(gradPos < 0 && newPos > startW(23),
+      s"positive-evidence weight must rise: grad=$gradPos new=$newPos")
+    assert(gradNeg > 0 && newNeg < startW(26),
+      s"negative-evidence weight must fall: grad=$gradNeg new=$newNeg")
+  }
 }
