@@ -198,6 +198,61 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN doc_id = keeper THEN length(para) ELSE 0 END) AS BIGINT) AS kept_len
         |FROM kp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // --- C4-style corpus-frequency line removal (the third C4 rule,
+    // distinct from dedup_paragraph's keep-first: a line occurring in
+    // >= 3 DISTINCT docs is boilerplate — nav menus, footers — and is
+    // dropped from EVERY doc, not kept once). Fixture: each doc gains
+    // a nav line shared by doc_id%8 and a footer shared by
+    // doc_id%100, then its text re-lined into 10-word rows. Spark
+    // runs Dedup.stripBoilerplateLines (explode → distinct-doc counts
+    // with partial agg → anti-join on the line key → ordered
+    // reassembly; two key shuffles, nothing driver-side); the oracle
+    // rebuilds the same line table and replays the count rule. A doc
+    // whose every line is boilerplate drops out entirely (C4
+    // semantics: empty docs are discarded). ---
+    "dedup_lines" -> QueryDef.sql(
+      (s, d) => {
+        val did = col("doc_id")
+        val aug = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .select(did, concat_ws("\n",
+            concat(lit("nav menu "), (did % 8).cast("string")),
+            concat(lit("copyright footer "), (did % 100).cast("string")),
+            expr("""array_join(transform(
+              sequence(0, cast(ceil(size(ws)/10.0) as int) - 1),
+              i -> array_join(slice(ws, i*10+1, 10), ' ')), '\n')"""))
+            .as("aug"))
+        graft.dedup.Dedup.stripBoilerplateLines(aug, "doc_id", "aug", minDocs = 3L)
+          .select(did, md5(col("aug")).as("fp"),
+            length(col("aug")).cast("bigint").as("kept_chars"))
+          .orderBy("doc_id")
+      },
+      """WITH series AS (
+        |  SELECT unnest(range(1, 65)) AS i
+        |), ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), lines0 AS (
+        |  SELECT doc_id, 0 AS pos, 'nav menu ' || (doc_id % 8) AS line FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'copyright footer ' || (doc_id % 100) FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, 1 + s.i,
+        |    array_to_string(w[(s.i-1)*10+1:(s.i-1)*10+10], ' ')
+        |  FROM ws JOIN series s ON s.i <= CAST(ceil(len(w)/10.0) AS INT)
+        |), boiler AS (
+        |  SELECT lower(trim(line)) AS norm
+        |  FROM lines0 WHERE length(lower(trim(line))) > 0
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        |), kept AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM lines0 l LEFT JOIN boiler b ON lower(trim(l.line)) = b.norm
+        |  WHERE b.norm IS NULL
+        |)
+        |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS fp,
+        |  CAST(length(string_agg(line, chr(10) ORDER BY pos)) AS BIGINT)
+        |    AS kept_chars
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // --- substring-level (span) exact dedup: maximal word spans of
     // length >= 8 occurring in >= 2 distinct docs — the passage-level
     // duplication that doc/paragraph dedup miss (the synthetic corpus
