@@ -362,4 +362,75 @@ object BinaryMeta {
         rows.flatMap(r => phash64(r.payload).map(PHashRow(r.id, _)))
       }
   }
+
+  final case class AudioFpRow(id: Long, afp: Long)
+
+  /** 64-bit acoustic fingerprint from a REAL PCM decode: the audio
+    * sibling of phash64. The decoded stream splits into 16 equal
+    * windows; each contributes its zero-crossing count (pitch — the
+    * classic ZCR feature) and its window-mean |amplitude| quantized
+    * to 8 bits (loudness envelope), FNV-1a-64 over the 32-int
+    * profile. Byte-identical audio collides; different tones/volume
+    * envelopes land apart. None for undecodable or non-16-bit
+    * payloads (same tolerance as decodeAudioMeta). 16-bit signed PCM
+    * both endiannesses; multi-channel profiles use channel 0. */
+  def audioFp64(in: javax.sound.sampled.AudioInputStream): Option[Long] = {
+    val f = in.getFormat
+    if (f.getSampleSizeInBits != 16) { in.close(); return None }
+    val data = in.readAllBytes(); in.close()
+    val frameSize = f.getFrameSize
+    val be = f.isBigEndian
+    val n = if (frameSize > 0) data.length / frameSize else 0
+    if (n < 32) return None
+    val wins = 16
+    val zc = new Array[Int](wins)
+    val en = new Array[Long](wins)
+    var i = 0
+    var prevSign = 0
+    while (i < n) {
+      val off = i * frameSize
+      val b0 = data(off) & 0xff
+      val b1 = data(off + 1) & 0xff
+      val s = (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+      val w = (i.toLong * wins / n).toInt
+      en(w) += math.abs(s)
+      val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+      if (sign != 0 && prevSign != 0 && sign != prevSign) zc(w) += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    var h = 0xcbf29ce484222325L
+    def mixInt(v: Int): Unit = {
+      var k = 0
+      while (k < 4) { h ^= (v >>> (k * 8)) & 0xff; h *= 0x100000001b3L; k += 1 }
+    }
+    var w = 0
+    while (w < wins) {
+      mixInt(zc(w))
+      mixInt(((en(w) * wins) / n / 256L).toInt) // mean |amp| → 8-bit level
+      w += 1
+    }
+    Some(h)
+  }
+
+  /** Acoustic-fingerprint frame (flatMap; corrupt blobs drop). Same
+    * last-successful-reader preference as decodeAudioMeta — the
+    * steady state over a one-format corpus probes exception-free. */
+  def audioFps(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioFpRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[BinRow]
+      .mapPartitions { rows =>
+        val readers = audioReaders()
+        var pref = 0
+        rows.flatMap { r =>
+          try {
+            val (in, idx) = openAudioFrom(readers, pref, r.payload)
+            pref = idx
+            audioFp64(in).map(AudioFpRow(r.id, _))
+          } catch { case _: Exception => None }
+        }
+      }
+  }
 }

@@ -134,7 +134,25 @@ object MultimodalQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
       // bench: blobs at rest — measured operator = scan + decode +
       // DCT + group, not the fixture synthesis (memoized write)
-      (s, d) => phashGroups(s.read.parquet(clsBlobsFor(s, d))))
+      (s, d) => phashGroups(s.read.parquet(clsBlobsFor(s, d)))),
+
+    // --- audio-level dedup via 64-bit acoustic fingerprint (the
+    // audio sibling of dedup_phash, completing multimodal dedup):
+    // REAL PCM decode → per-window zero-crossing + energy profile →
+    // FNV-64, hashed map-side; group stats on the 8-byte key; tiny
+    // group table broadcasts back. Fixture classes (doc_id % 12) are
+    // square waves of class-determined half-period (5+cls samples) —
+    // distinct ZCR per class, byte-identical within a class — so the
+    // oracle PREDICTS the grouping arithmetically: a fingerprint
+    // collision across classes, a split within one, or a dropped
+    // blob all hash-fail. ---
+    "dedup_audiofp" -> QueryDef.sqlBench(
+      (s, d) => afpGroups(synthClassWavs(s, d)),
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 12) AS keep_doc,
+        |  count(*) OVER (PARTITION BY doc_id % 12) AS n_dups
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      (s, d) => afpGroups(s.read.parquet(clsWavBlobsFor(s, d))))
   )
 
   /** Executor-parallel CLASS-pattern PNG synthesis for dedup_phash:
@@ -195,6 +213,68 @@ object MultimodalQueries {
       .select(col("id").as("doc_id"), col("keep_doc"), col("n_dups"))
       .orderBy("doc_id")
   }
+
+  /** Acoustic-fingerprint grouping over an audio frame (mirror of
+    * phashGroups): fingerprint map-side — the real decode + profile —
+    * group stats on the 8-byte key, broadcast the tiny group table
+    * back. */
+  private def afpGroups(wavs: org.apache.spark.sql.DataFrame) = {
+    val fp = QueryDef.sortBarrier(
+      graft.multimodal.BinaryMeta.audioFps(wavs, "doc_id", "payload").toDF())
+    val groups = fp.groupBy("afp")
+      .agg(min(col("id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+    fp.join(broadcast(groups), "afp")
+      .select(col("id").as("doc_id"), col("keep_doc"), col("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** Executor-parallel CLASS-pattern WAV synthesis for dedup_audiofp:
+    * every doc renders its class's (doc_id % 12) square wave —
+    * half-period 5 + cls samples at a fixed 8 kHz/mono/16-bit format,
+    * so the 12 tones have mutually distinct zero-crossing profiles
+    * while same-class docs are byte-identical. */
+  private[queries] def synthClassWavs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { ids =>
+        import javax.sound.sampled._
+        val wIt = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+        var writers = List.empty[javax.sound.sampled.spi.AudioFileWriter]
+        while (wIt.hasNext) writers ::= wIt.next()
+        ids.map { id =>
+          val half = 5 + (id % 12).toInt // square-wave half-period
+          val frames = 4000
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val pcm = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            val amp = if ((i / half) % 2 == 0) 12000 else -12000
+            pcm(2 * i) = (amp & 0xff).toByte
+            pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          writers.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+            case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+            case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          }
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  private val clsWavBlobCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def clsWavBlobsFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    clsWavBlobCache.computeIfAbsent(d, _ => {
+      val p = Fixtures.tmpPath("graft_mm_cls_wav", d)
+      synthClassWavs(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Executor-parallel PNG synthesis (fixture generation — dims and
     * pixels pure functions of doc_id so the oracle can predict). */

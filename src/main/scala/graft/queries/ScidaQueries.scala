@@ -885,6 +885,42 @@ object ScidaQueries {
         |FROM cur FULL OUTER JOIN prev USING (k)""".stripMargin),
 
     // --- series member selection by metadata (series.py get_dataset) ---
+    // --- cross-snapshot linear interpolation (the series workflow
+    // scida's get_dataset(z=...) nearest-pick is the degenerate case
+    // of: a quantity evaluated at a time BETWEEN two stored
+    // snapshots, per entity — trajectory smoothing / lightcone
+    // assembly). Snapshot slices and the t1 perturbation are
+    // key-derived (exact IEEE for these magnitudes); the interpolant
+    // v0 + (v1−v0)·α is the identical three-op chain on both engines,
+    // rounded at 6 dp. One entity-keyed equi-join (both sides stream
+    // at scale), inner semantics: only entities present in BOTH
+    // snapshots interpolate — exactly scida's series contract. ---
+    "series_interp" -> QueryDef.sql(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val a = c.filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("v0"))
+        val b = c.filter(pmod(col("c_custkey"), lit(4)) =!= 0)
+          .select(col("c_custkey").as("k"),
+            (col("c_acctbal") + (col("c_custkey") % 100).cast("double") / 10.0)
+              .as("v1"))
+        a.join(b, Seq("k"))
+          .select(col("k"), graft.functions.VectorOps.roundAt(
+            col("v0") + (col("v1") - col("v0")) * lit(0.3), 6).as("v_interp"))
+          .orderBy("k")
+      },
+      """WITH a AS (
+        |  SELECT c_custkey AS k, c_acctbal AS v0 FROM customer
+        |  WHERE c_custkey % 3 <> 0
+        |), b AS (
+        |  SELECT c_custkey AS k,
+        |    c_acctbal + CAST(c_custkey % 100 AS DOUBLE) / 10.0 AS v1
+        |  FROM customer WHERE c_custkey % 4 <> 0
+        |)
+        |SELECT a.k, floor((v0 + (v1 - v0) * 0.3)*1000000 + 0.5)/1000000
+        |  AS v_interp
+        |FROM a JOIN b ON a.k = b.k ORDER BY a.k""".stripMargin),
+
     "series_select" -> QueryDef.sql(
       (s, d) => {
         val e = Tables.events(s, d).withColumn("day", col("ts").cast("date"))

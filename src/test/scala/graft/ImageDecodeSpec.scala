@@ -135,4 +135,46 @@ class ImageDecodeSpec extends SparkSpec {
     // hamming-threshold dedup needs
     assert(hamming(base, dimmer) < hamming(base, other))
   }
+
+  test("audioFps: deterministic tone separation; junk and non-16-bit drop") {
+    import javax.sound.sampled._
+    def toneWav(half: Int, frames: Int = 4000, amp: Int = 12000,
+        bits: Int = 16): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, bits, 1, true, false)
+      val bytesPer = bits / 8
+      val pcm = new Array[Byte](frames * bytesPer)
+      var i = 0
+      while (i < frames) {
+        val a = if ((i / half) % 2 == 0) amp else -amp
+        pcm(bytesPer * i) = (a & 0xff).toByte
+        if (bytesPer > 1) pcm(bytesPer * i + 1) = ((a >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, toneWav(5)), (2L, toneWav(5)),          // same tone → collide
+      (3L, toneWav(9)), (4L, toneWav(9, amp = 900)), // other pitch / volume
+      (5L, "junk".getBytes("UTF-8")),              // undecodable → drops
+      (6L, toneWav(5, bits = 8)))                  // unsupported depth → drops
+      .toDF("doc_id", "payload")
+    val fps = BinaryMeta.audioFps(df, "doc_id", "payload")
+      .collect().map(r => r.id -> r.afp).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L, 4L))
+    assert(fps(1L) == fps(2L), "byte-identical tones must collide")
+    assert(fps(1L) != fps(3L), "different pitch must separate")
+    assert(fps(3L) != fps(4L), "different loudness must separate")
+    // the 12 fixture classes the dedup_audiofp oracle stands on are
+    // mutually distinct
+    val classes = (0 until 12).map(c => {
+      val b = toneWav(5 + c)
+      BinaryMeta.audioFps(Seq((c.toLong, b)).toDF("doc_id", "payload"),
+        "doc_id", "payload").collect().head.afp
+    })
+    assert(classes.distinct.length == 12)
+  }
 }
