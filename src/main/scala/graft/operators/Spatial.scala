@@ -204,6 +204,62 @@ object Spatial {
       .orderBy("bin")
   }
 
+  /** Cloud-in-cell (CIC) mass deposition onto a periodic 3-D grid —
+    * the standard density-field estimator astro pipelines run before
+    * power spectra / density analysis (scida's docs recipes bin
+    * particle mass onto grids with dask histogramdd; CIC is the
+    * order-2 version of that deposit). Each particle spreads unit
+    * mass over its 8 surrounding cells with trilinear weights;
+    * per-axis the two cells are floor(x/h − ½) and its successor,
+    * wrapped periodically.
+    *
+    * Distributed shape: a map-side 8-way explode (each contribution a
+    * (cell, weight) pair — bounded 8× row expansion, no join), then
+    * ONE hash aggregation keyed by cell id with map-side partial
+    * combine: the shuffle carries O(grid³) partials per task, never
+    * particles. Weights are floored to integer micros per
+    * CONTRIBUTION, so cell totals are exact integer sums on any
+    * engine and any partition order (the ngram_lm_score discipline).
+    * At 100 TB this is scan → explode → one bounded-key shuffle —
+    * embarrassingly scalable; grid resolution only changes the
+    * aggregation key space. */
+  def cicDeposit(points: DataFrame,
+      x: Column, y: Column, z: Column,
+      boxSize: Double, gridN: Int): DataFrame = {
+    require(gridN > 0 && boxSize > 0, "gridN and boxSize must be positive")
+    val h = boxSize / gridN
+    def axis(c: Column): (Column, Column) = {
+      val xi = c / lit(h)
+      val i = floor(xi - lit(0.5)).cast("long")
+      val f = (xi - lit(0.5)) - i.cast("double")
+      (i, f)
+    }
+    val (ix, fx) = axis(x); val (iy, fy) = axis(y); val (iz, fz) = axis(z)
+    val dxs = Seq(0, 1)
+    // 8 trilinear contributions, built as one array column and
+    // exploded — map-side only, no join
+    val contribCols = dxs.flatMap(dx => dxs.flatMap(dy => dxs.map { dz =>
+      def side(i: Column, f: Column, d: Int): (Column, Column) = {
+        val cell = pmod(i + lit(d.toLong), lit(gridN.toLong))
+        val w = if (d == 0) lit(1.0) - f else f
+        (cell, w)
+      }
+      val (cx, wx) = side(ix, fx, dx)
+      val (cy, wy) = side(iy, fy, dy)
+      val (cz, wz) = side(iz, fz, dz)
+      struct(cx.as("cx"), cy.as("cy"), cz.as("cz"),
+        floor(wx * wy * wz * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("w_micro"))
+    }))
+    val contribs = array(contribCols: _*)
+    points.select(explode(contribs).as("c"))
+      .groupBy(col("c.cx").as("cell_x"), col("c.cy").as("cell_y"),
+        col("c.cz").as("cell_z"))
+      .agg(count(lit(1)).as("n_contrib"),
+        sum(col("c.w_micro")).as("mass_micro"))
+      .orderBy("cell_x", "cell_y", "cell_z")
+  }
+
   /** Periodic rectangular cutout — scida `rectangular_cutout_mask`
     * with pbc=True (reference: src/scida/misc.py:181, wired through
     * mixins/spatial.py:96): per-axis MINIMUM-IMAGE distance under

@@ -648,6 +648,60 @@ object ScidaQueries {
         |WHERE rk <= 3
         |ORDER BY l_returnflag, l_linestatus, rk""".stripMargin),
 
+    // --- merger-tree progenitor matching (the SubLink/LHaloTree
+    // descendant criterion run between adjacent group catalogs: halo
+    // A's progenitor in the previous snapshot is the halo sharing the
+    // most particles; the per-type offsets/lengths machinery above is
+    // exactly what feeds the two membership tables). Membership keys
+    // derive from lineitem; a deterministic minority of particles
+    // migrate (+l_partkey%3 halos). Plan: particles aggregate to
+    // (haloA, haloB) shared counts — ONE particle-keyed shuffle with
+    // map-side partial agg — then the argmax window runs on the
+    // halo-pair table (catalog-sized, not particle-sized), ties
+    // broken on the smaller progenitor id; totals join halo-keyed.
+    // Nothing driver-side; at 100 TB only catalog-sized frames pass
+    // the window. ---
+    "progenitor_match" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          (col("l_orderkey") % 97).as("halo_a"),
+          ((col("l_orderkey") + col("l_partkey") % 3) % 97).as("halo_b"))
+        val shared = li.groupBy("halo_a", "halo_b")
+          .agg(count(lit(1)).as("shared"))
+        val tot = li.groupBy("halo_a").agg(count(lit(1)).as("n_a"))
+        val w = Window.partitionBy("halo_a")
+          .orderBy(col("shared").desc, col("halo_b").asc)
+        shared.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .join(tot, "halo_a")
+          .select(col("halo_a"), col("halo_b").as("progenitor"),
+            col("shared"), col("n_a"),
+            graft.functions.VectorOps.roundAt(
+              col("shared").cast("double") / col("n_a").cast("double"), 6)
+              .as("frac"))
+          .orderBy("halo_a")
+      },
+      """WITH m AS (
+        |  SELECT l_orderkey % 97 AS halo_a,
+        |    (l_orderkey + l_partkey % 3) % 97 AS halo_b
+        |  FROM lineitem
+        |), shared AS (
+        |  SELECT halo_a, halo_b, count(*) AS shared
+        |  FROM m GROUP BY halo_a, halo_b
+        |), tot AS (
+        |  SELECT halo_a, count(*) AS n_a FROM m GROUP BY halo_a
+        |), rk AS (
+        |  SELECT halo_a, halo_b, shared,
+        |    row_number() OVER (PARTITION BY halo_a
+        |      ORDER BY shared DESC, halo_b) AS rk
+        |  FROM shared
+        |)
+        |SELECT r.halo_a, r.halo_b AS progenitor, r.shared, t.n_a,
+        |  floor((CAST(r.shared AS DOUBLE) / CAST(t.n_a AS DOUBLE))
+        |    *1000000 + 0.5)/1000000 AS frac
+        |FROM rk r JOIN tot t ON t.halo_a = r.halo_a
+        |WHERE r.rk = 1 ORDER BY r.halo_a""".stripMargin),
+
     // --- 3D box cut-out (mixins/spatial.py) over a numeric triplet.
     // The MEASURED query scans the Z-ORDER CLUSTERED at-rest copy of
     // part (SURVEY §2 "Z-order clustered layout", written once per
@@ -787,6 +841,54 @@ object ScidaQueries {
         |  floor((CAST(sum(rn) AS DOUBLE)
         |    / CAST(count(*) * 1000000000 AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_r
         |FROM pr GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // --- cloud-in-cell density grid (the order-2 mass-deposition
+    // estimator run before power spectra; the docs' histogramdd
+    // recipes are its order-1 version). Same Weyl-lattice positions
+    // as paircount_2pt; 20³ periodic grid over the 100³ box. Spark
+    // runs Spatial.cicDeposit — map-side 8-way trilinear explode,
+    // one bounded-key hash agg, weights floored to micros per
+    // contribution so cell masses are exact integer sums. Oracle
+    // replays all 8 contributions per particle via a 2×2×2 offset
+    // cross join. ---
+    "density_cic" -> QueryDef.sql(
+      (s, d) => {
+        val pts = Tables.part(s, d).select(
+          ((col("p_partkey") * 7919 % 100000) / 1000.0).as("x"),
+          ((col("p_partkey") * 104729 % 100000) / 1000.0).as("y"),
+          ((col("p_partkey") * 1299709 % 100000) / 1000.0).as("z"))
+        graft.operators.Spatial.cicDeposit(pts,
+          col("x"), col("y"), col("z"), boxSize = 100.0, gridN = 20)
+      },
+      """WITH pts AS (
+        |  SELECT
+        |    (p_partkey * 7919 % 100000) / 1000.0 AS x,
+        |    (p_partkey * 104729 % 100000) / 1000.0 AS y,
+        |    (p_partkey * 1299709 % 100000) / 1000.0 AS z
+        |  FROM part
+        |), offs AS (
+        |  SELECT a.dx, b.dy, c.dz
+        |  FROM (VALUES (0), (1)) a(dx), (VALUES (0), (1)) b(dy),
+        |       (VALUES (0), (1)) c(dz)
+        |), contrib AS (
+        |  SELECT
+        |    ((CAST(floor(x/5.0 - 0.5) AS BIGINT) + dx) % 20 + 20) % 20 AS cell_x,
+        |    ((CAST(floor(y/5.0 - 0.5) AS BIGINT) + dy) % 20 + 20) % 20 AS cell_y,
+        |    ((CAST(floor(z/5.0 - 0.5) AS BIGINT) + dz) % 20 + 20) % 20 AS cell_z,
+        |    CAST(floor(
+        |      (CASE WHEN dx = 0 THEN 1.0 - ((x/5.0 - 0.5) - floor(x/5.0 - 0.5))
+        |            ELSE (x/5.0 - 0.5) - floor(x/5.0 - 0.5) END)
+        |      * (CASE WHEN dy = 0 THEN 1.0 - ((y/5.0 - 0.5) - floor(y/5.0 - 0.5))
+        |              ELSE (y/5.0 - 0.5) - floor(y/5.0 - 0.5) END)
+        |      * (CASE WHEN dz = 0 THEN 1.0 - ((z/5.0 - 0.5) - floor(z/5.0 - 0.5))
+        |              ELSE (z/5.0 - 0.5) - floor(z/5.0 - 0.5) END)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+        |  FROM pts CROSS JOIN offs
+        |)
+        |SELECT cell_x, cell_y, cell_z, count(*) AS n_contrib,
+        |  CAST(sum(w_micro) AS BIGINT) AS mass_micro
+        |FROM contrib GROUP BY cell_x, cell_y, cell_z
+        |ORDER BY cell_x, cell_y, cell_z""".stripMargin),
 
     // --- per-particle local subhalo index (arepo/dataset.py:1120
     // compute_localsubhaloindex, :1236 get_localshidx): rank of the

@@ -272,6 +272,45 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(6L, 9L))
   }
 
+  test("cicDeposit: trilinear weights conserve mass; wrap is periodic; map-only plan") {
+    // points straddling cell centers AND the box edge (x=0.1 deposits
+    // into the wrapped cell gridN-1)
+    val pts = Seq((0.1, 5.0, 9.9), (2.5, 2.5, 2.5), (7.4, 0.0, 3.3))
+      .toDF("x", "y", "z")
+    val out = Spatial.cicDeposit(pts, col("x"), col("y"), col("z"),
+      boxSize = 10.0, gridN = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    // brute force with the same arithmetic
+    val h = 2.5
+    val brute = scala.collection.mutable.Map
+      .empty[(Long, Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    for ((x, y, z) <- Seq((0.1, 5.0, 9.9), (2.5, 2.5, 2.5), (7.4, 0.0, 3.3))) {
+      def ax(v: Double) = {
+        val xi = v / h; val i = math.floor(xi - 0.5).toLong
+        (i, (xi - 0.5) - i)
+      }
+      val (ix, fx) = ax(x); val (iy, fy) = ax(y); val (iz, fz) = ax(z)
+      for (dx <- 0 to 1; dy <- 0 to 1; dz <- 0 to 1) {
+        val cell = (((ix + dx) % 4 + 4) % 4, ((iy + dy) % 4 + 4) % 4,
+          ((iz + dz) % 4 + 4) % 4)
+        val w = (if (dx == 0) 1 - fx else fx) * (if (dy == 0) 1 - fy else fy) *
+          (if (dz == 0) 1 - fz else fz)
+        val micro = math.floor(w * 1e6 + 0.5).toLong
+        val (n0, m0) = brute(cell)
+        brute(cell) = (n0 + 1, m0 + micro)
+      }
+    }
+    assert(out == brute.toMap)
+    // each particle's 8 weights sum to 1 (± micro rounding)
+    val total = out.values.map(_._2).sum
+    assert(math.abs(total - 3L * 1000000L) <= 3 * 4)
+    // deposition is scan → explode → one aggregation: no join of any kind
+    val p = Spatial.cicDeposit(pts, col("x"), col("y"), col("z"), 10.0, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"), p.take(600))
+  }
+
   test("pairCounts == brute-force pair histogram; grid join is equi, not cartesian") {
     // pseudo-random but deterministic points in a 30³ box — pairs
     // cross cell boundaries in every direction at rMax=5
