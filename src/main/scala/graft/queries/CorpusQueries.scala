@@ -332,6 +332,35 @@ object CorpusQueries {
     // keep fractions, membership a pure function of doc_id (hash
     // threshold) — reproducible across retries, partitionings, and
     // corpus growth. Oracle applies the identical md5-prefix rule. ---
+    // --- deterministic train/val/test split assignment (the step
+    // every training pipeline runs after curation; reproducible under
+    // re-runs and corpus growth because a doc's split is a pure
+    // function of its id, the same property as dedup_incremental's
+    // keep rule). md5-prefix range thresholds give an exact-hex
+    // 208:24:24/256 partition — no RNG, no global coordination —
+    // stratification is REPORTED per (source, split) so a skewed
+    // split is visible. Map-side assignment + one low-cardinality
+    // groupBy at scan speed. ---
+    "split_assign" -> QueryDef.sql(
+      (s, d) => {
+        val pfx = substring(md5(col("doc_id").cast("string")), 1, 2)
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(pfx < "d0", "train").when(pfx < "e8", "val").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("source", "split")
+      },
+      """SELECT source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source, split
+        |ORDER BY source, split""".stripMargin),
+
     "sample_mix" -> QueryDef.sql(
       (s, d) => Sampling.stratifiedSample(
         Tables.documents(s, d), "doc_id", "lang", mixRates)
