@@ -571,6 +571,66 @@ object AnnQueries {
       // bench: the step itself (centroids are the memoized artifact)
       (s, d) => kmeansStepFrame(s, d, clusterBenchCenters(s, d))),
 
+    // --- one distributed POWER-ITERATION step toward the corpus's
+    // top principal component (the spectral sibling of kmeans_step;
+    // the matvec y = Xᵀ(Xv) a PCA/whitening trainer iterates —
+    // covariance-free, so X never materializes beyond one scan).
+    // Start vector derives from the dim index by exact integer
+    // arithmetic (no handshake table). Engine-stable numerics: the
+    // per-row dot x·v uses the left-to-right fold both engines share
+    // (QueryDef.cosSql's ordering contract), is floored to micros
+    // once per ROW, and each (row, dim) contribution d·x_j is floored
+    // to micros before the exact-integer per-dim sum — any partition
+    // order, any engine. Plan: ONE scan → map-side dot → posexplode →
+    // hash agg on 64 keys with map-side partial combine; the shuffle
+    // carries O(tasks × 64) partials, never vectors. Normalization
+    // between iterations is a 64-row driver-side detail. ---
+    "pca_power_iter" -> QueryDef.sql(
+      (s, d) => {
+        val vLit = typedLit((0 until 64).map(j =>
+          (j * 40503 % 211 - 105).toDouble / 100.0))
+        Tables.embeddings(s, d)
+          .withColumn("vv", vLit)
+          .select(floor(expr(
+            """aggregate(zip_with(embedding, vv,
+              (a, b) -> CAST(a AS DOUBLE) * b),
+              CAST(0 AS DOUBLE), (acc, t) -> acc + t)""")
+            * lit(1000000.0) + lit(0.5)).cast("long").as("dm"),
+            col("embedding"))
+          .select(col("dm"), posexplode(col("embedding")).as(Seq("dim", "xv")))
+          .select(col("dim"), floor(
+            (col("dm").cast("double") / lit(1000000.0))
+              * col("xv").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("c"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("c").as("s_micro"))
+          .select(col("dim"), col("n"), col("s_micro"),
+            graft.functions.VectorOps.roundAt(
+              col("s_micro").cast("double")
+                / (col("n") * lit(1000000L)).cast("double"), 6).as("v_new"))
+          .orderBy("dim")
+      },
+      """WITH v AS (
+        |  SELECT list_transform(range(0, 64),
+        |    j -> CAST(j*40503 % 211 - 105 AS DOUBLE)/100.0) AS vv
+        |), dm AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(floor(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(embedding[i] AS DOUBLE) * vv[i]))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS dm
+        |  FROM embeddings CROSS JOIN v
+        |), c AS (
+        |  SELECT CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(floor((CAST(dm AS DOUBLE)/1000000.0)
+        |      * CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS c
+        |  FROM dm, range(1, 65) t(i)
+        |)
+        |SELECT dim, count(*) AS n, CAST(sum(c) AS BIGINT) AS s_micro,
+        |  floor((CAST(sum(c) AS DOUBLE)
+        |    / CAST(count(*) * 1000000 AS DOUBLE))*1000000 + 0.5)/1000000
+        |    AS v_new
+        |FROM c GROUP BY dim ORDER BY dim""".stripMargin),
+
     // --- int8 scalar quantization of the embedding corpus (the
     // storage/serving compression step of an embedding pipeline:
     // 4x smaller vectors for ANN serving and near-dup sweeps).
