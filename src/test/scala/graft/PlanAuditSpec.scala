@@ -596,4 +596,34 @@ class PlanAuditSpec extends SparkSpec {
     // both-side aggregates combine map-side before their exchanges
     assert(p.contains("partial_count"), p.take(1200))
   }
+
+  test("paircount_2pt: cell-key equi-join, never a product; O(bins) partial agg") {
+    val p = plan("paircount_2pt")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "pair discovery must be the grid equi-join:\n" + p.take(800))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("density_cic: deposition is scan -> explode -> one partial agg, join-free") {
+    val p = plan("density_cic")
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1200))
+  }
+
+  test("pca_power_iter: one scan, no join, 64-key partial agg") {
+    val p = plan("pca_power_iter")
+    assert(!p.toLowerCase.contains("join"),
+      "the matvec must not plan a join:\n" + p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1200))
+    // exactly one pass over the embeddings
+    assert("Scan parquet".r.findAllIn(p).length <= 1, p.take(800))
+  }
+
+  test("progenitor_match: argmax window partitioned; particles aggregate first") {
+    val (nw, allPart) = windowsPartitioned("progenitor_match")
+    assert(nw == 1 && allPart,
+      "the rank window must partition by halo_a (catalog-sized input)")
+    val p = plan("progenitor_match")
+    assert(p.contains("partial_count"), p.take(1200))
+  }
 }
