@@ -540,6 +540,85 @@ object TextQueries {
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
 
+    // --- DSIR-style importance weighting (Xie et al.,
+    // arXiv:2302.03169 "Data Selection for Language Models via
+    // Importance Resampling"): each doc scored by the mean hashed-
+    // bigram log-likelihood RATIO between a target-domain LM (the
+    // 'en' slice here) and the raw-corpus LM — the score importance
+    // resampling then samples against. Hashed features (md5 → 256
+    // buckets) exactly as the paper's hashed n-gram estimator,
+    // add-one smoothing over the bucket space. Engine-stable: one ln
+    // per DISTINCT bucket per LM floored to micro-nats, the ratio an
+    // exact integer delta, per-doc totals exact integer sums (the
+    // ngram_lm_score discipline). Scale: occurrences cached once;
+    // bucket LMs are 256-row aggregates; delta joins back on the
+    // bucket key; per-doc re-aggregation — no windows, no driver
+    // state. ---
+    "dsir_score" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val occ = graft.CacheScope.track(
+          QueryDef.spread(docs.select(col("doc_id"), col("lang"),
+              split(col("text"), " ").as("w")))
+            .filter(size(col("w")) >= 2)
+            .select(col("doc_id"), col("lang"), explode(expr(
+              "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+              .as("bg"))
+            .select(col("doc_id"), col("lang"),
+              (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long") % 256)
+                .as("b")))
+        val cAll = occ.groupBy("b").agg(count(lit(1)).as("cr"))
+        val cT = occ.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val nAll = occ.agg(count(lit(1)).as("nr"))
+        val nT = occ.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))
+        val delta = cAll.join(cT, Seq("b"), "left").na.fill(0L, Seq("ct"))
+          .crossJoin(broadcast(nAll)).crossJoin(broadcast(nT))
+          .select(col("b"),
+            (floor(log((col("ct") + 1).cast("double")
+                / (col("nt") + 256).cast("double")) * 1000000 + 0.5).cast("long")
+              - floor(log((col("cr") + 1).cast("double")
+                / (col("nr") + 256).cast("double")) * 1000000 + 0.5).cast("long"))
+              .as("dl"))
+        occ.join(delta, "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            roundAt(sum("dl").cast("double")
+              / (count(lit(1)) * lit(1000000L)).cast("double"), 6).as("dsir_w"))
+          .orderBy("doc_id")
+      },
+      """WITH ws AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), occ AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(bg), 1, 4))::BIGINT % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |      i -> array_to_string(w[i:i+1], ' '))) AS bg
+        |    FROM ws WHERE len(w) >= 2)
+        |), cr AS (
+        |  SELECT b, count(*) AS cr FROM occ GROUP BY b
+        |), ct AS (
+        |  SELECT b, count(*) AS ct FROM occ WHERE lang = 'en' GROUP BY b
+        |), nr AS (
+        |  SELECT count(*) AS nr FROM occ
+        |), nt AS (
+        |  SELECT count(*) AS nt FROM occ WHERE lang = 'en'
+        |), delta AS (
+        |  SELECT cr.b,
+        |    CAST(floor(ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+        |      / (nt.nt + 256)::DOUBLE)*1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((cr.cr + 1)::DOUBLE
+        |      / (nr.nr + 256)::DOUBLE)*1000000 + 0.5) AS BIGINT) AS dl
+        |  FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN nr CROSS JOIN nt
+        |)
+        |SELECT o.doc_id, count(*) AS n_bigrams,
+        |  floor((CAST(sum(d.dl) AS DOUBLE)
+        |    / CAST(count(*) * 1000000 AS DOUBLE))*1000000 + 0.5)/1000000
+        |    AS dsir_w
+        |FROM occ o JOIN delta d ON d.b = o.b
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin),
+
     // --- one synchronous full-batch training step of a hashed
     // bag-of-words linear quality classifier (the fastText-style
     // model behind learned quality filtering — the trainable

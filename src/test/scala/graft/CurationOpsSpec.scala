@@ -95,6 +95,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsir_score: target-domain docs outweigh out-of-domain docs on average") {
+    val rows = CacheScope.withScope { q("dsir_score").collect() }
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = rows.partition { case (id, _) => langs(id) == "en" }
+    assert(en.nonEmpty && rest.nonEmpty)
+    val mEn = en.values.sum / en.size
+    val mRest = rest.values.sum / rest.size
+    // the importance weight exists to rank target-domain data up
+    assert(mEn > mRest, s"mean en=$mEn should exceed mean rest=$mRest")
+  }
+
   test("logreg_step moves weights toward separating labels on a separable corpus") {
     // word "alpha" (bucket 23) appears only in positive (long) docs,
     // "bravo" (bucket 26) only in negative (short) docs; start weights
