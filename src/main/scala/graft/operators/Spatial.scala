@@ -146,13 +146,18 @@ object Spatial {
     * right-side 14× registration is the whole replication cost.
     * Distances are rounded at `digits` dp before binning/thresholding
     * (sqrt is not cross-engine exact-rounded; parity protocol). */
-  def pairCounts(points: DataFrame, idCol: String,
+  /** The candidate-pair stream pairCounts aggregates and fofGroups
+    * links: one row per unordered point pair with separation
+    * `rn/10^digits < rMax`, discovered through the grid forward-shell
+    * equi-join (see pairCounts for the full shape discussion).
+    * Returns (__ida, __idb, __rn) — integer-`digits` distances. */
+  def neighborPairs(points: DataFrame, idCol: String,
       x: Column, y: Column, z: Column,
-      rMax: Double, binWidth: Double, digits: Int = 9): DataFrame = {
-    require(rMax > 0 && binWidth > 0, "rMax and binWidth must be positive")
+      rMax: Double, digits: Int = 9): DataFrame = {
+    require(rMax > 0, "rMax must be positive")
     val reserved = Seq("__cx", "__cy", "__cz", "__px", "__py", "__pz")
     require(!reserved.exists(points.columns.contains),
-      "__c*/__p* columns are reserved by pairCounts; rename the input column")
+      "__c*/__p* columns are reserved by neighborPairs; rename the input column")
     def cellOf(c: Column) = floor(c / lit(rMax)).cast("long")
     val base = points.select(col(idCol), x.as("__px"), y.as("__py"), z.as("__pz"),
       cellOf(x).as("__cx"), cellOf(y).as("__cy"), cellOf(z).as("__cz"))
@@ -188,13 +193,22 @@ object Spatial {
     val scale = math.pow(10, digits)
     val rNanos = floor(sqrt(dx * dx + dy * dy + dz * dz) * lit(scale) + lit(0.5))
       .cast("long")
-    val binNanos = binWidth * scale
-    require(binNanos == math.rint(binNanos),
-      s"binWidth must be exact at $digits digits")
     left.join(right, Seq("__cx", "__cy", "__cz"))
       .filter(!col("__self") || col("__ida") < col("__idb"))
       .withColumn("__rn", rNanos)
       .filter(col("__rn") < lit((rMax * scale).toLong))
+      .select("__ida", "__idb", "__rn")
+  }
+
+  def pairCounts(points: DataFrame, idCol: String,
+      x: Column, y: Column, z: Column,
+      rMax: Double, binWidth: Double, digits: Int = 9): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val scale = math.pow(10, digits)
+    val binNanos = binWidth * scale
+    require(binNanos == math.rint(binNanos),
+      s"binWidth must be exact at $digits digits")
+    neighborPairs(points, idCol, x, y, z, rMax, digits)
       .groupBy(floor(col("__rn").cast("double") / lit(binNanos)).cast("int")
         .as("bin"))
       .agg(count(lit(1)).as("dd"),
@@ -202,6 +216,26 @@ object Spatial {
           sum(col("__rn")).cast("double") / (count(lit(1)) * lit(scale.toLong))
             .cast("double"), 6).as("mean_r"))
       .orderBy("bin")
+  }
+
+  /** Friends-of-friends group finder (THE classic halo finder —
+    * Davis et al. 1985; the subhalo/group machinery scida loads from
+    * Gadget/Arepo catalogs is produced by exactly this algorithm at
+    * simulation time): two points closer than the linking length are
+    * friends; groups are the transitive closure. Pairs come from the
+    * grid forward-shell equi-join (candidate volume bounded by
+    * density, never N²); the closure is Dedup.connectedComponents —
+    * bounded union-find when the edge list is small, large-star/
+    * small-star O(log n) distributed rounds otherwise. Every
+    * particle gets its group's minimum member id as `fof_group`
+    * (singletons label themselves). */
+  def fofGroups(points: DataFrame, idCol: String,
+      x: Column, y: Column, z: Column, linkLen: Double): DataFrame = {
+    val pairs = neighborPairs(points, idCol, x, y, z, linkLen)
+      .select(col("__ida"), col("__idb"))
+    graft.dedup.Dedup.connectedComponents(
+        points.select(col(idCol)), pairs)
+      .select(col(idCol), col("cluster").as("fof_group"))
   }
 
   /** Cloud-in-cell (CIC) mass deposition onto a periodic 3-D grid —

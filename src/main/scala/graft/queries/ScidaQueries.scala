@@ -842,6 +842,61 @@ object ScidaQueries {
         |    / CAST(count(*) * 1000000000 AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_r
         |FROM pr GROUP BY bin ORDER BY bin""".stripMargin),
 
+    // --- friends-of-friends group finder (Davis et al. 1985 — the
+    // halo finder that PRODUCES the Group catalogs scida loads;
+    // linking length links pairs, groups are the transitive
+    // closure). Fixture: 10-member clusters on a Weyl-lattice of
+    // centers with ±0.75 deterministic offsets, so intra-cluster
+    // pairs sit under the 3.0 linking length and distinct clusters
+    // almost always apart — near-center cluster MERGES are legitimate
+    // and deterministic on both engines. Spark: grid forward-shell
+    // pair join + connectedComponents (bounded union-find /
+    // large-star rounds); oracle: the same integer-nano edge list
+    // closed with a RECURSIVE reachability CTE. Output is the group
+    // catalog (label = min member id). ---
+    "fof_groups" -> QueryDef.sql(
+      (s, d) => {
+        val k = col("p_partkey")
+        val c = floor(k / 10).cast("long")
+        val pts = Tables.part(s, d).select(col("p_partkey"),
+          ((c * 7919 % 1000) / 10.0 + ((k % 10) * 17 % 7 - 3) * 0.25).as("x"),
+          ((c * 104729 % 1000) / 10.0 + ((k % 10) * 29 % 7 - 3) * 0.25).as("y"),
+          ((c * 1299709 % 1000) / 10.0 + ((k % 10) * 43 % 7 - 3) * 0.25).as("z"))
+        graft.operators.Spatial.fofGroups(pts, "p_partkey",
+          col("x"), col("y"), col("z"), linkLen = 3.0)
+          .groupBy("fof_group")
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("fof_group")
+      },
+      """WITH RECURSIVE pts AS (
+        |  SELECT p_partkey AS id,
+        |    (p_partkey//10 * 7919 % 1000) / 10.0
+        |      + (p_partkey % 10 * 17 % 7 - 3) * 0.25 AS x,
+        |    (p_partkey//10 * 104729 % 1000) / 10.0
+        |      + (p_partkey % 10 * 29 % 7 - 3) * 0.25 AS y,
+        |    (p_partkey//10 * 1299709 % 1000) / 10.0
+        |      + (p_partkey % 10 * 43 % 7 - 3) * 0.25 AS z
+        |  FROM part
+        |), pr AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM pts a JOIN pts b ON a.id < b.id
+        |    AND abs(a.x-b.x) <= 3.0 AND abs(a.y-b.y) <= 3.0
+        |    AND abs(a.z-b.z) <= 3.0
+        |  WHERE CAST(floor(sqrt(
+        |      (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        |    )*1000000000 + 0.5) AS BIGINT) < 3000000000
+        |), edges AS (
+        |  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr
+        |), reach(id, lbl) AS (
+        |  SELECT id, id FROM pts
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        |), labels AS (
+        |  SELECT id, min(lbl) AS fof_group FROM reach GROUP BY id
+        |)
+        |SELECT fof_group, count(*) AS n_members
+        |FROM labels GROUP BY fof_group ORDER BY fof_group""".stripMargin),
+
     // --- cloud-in-cell density grid (the order-2 mass-deposition
     // estimator run before power spectra; the docs' histogramdd
     // recipes are its order-1 version). Same Weyl-lattice positions

@@ -311,6 +311,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), p.take(600))
   }
 
+  test("fofGroups links chains across cells; singletons label themselves") {
+    // chain 1-2-3 spans a cell boundary at linkLen 2 (1.5, 3.0, 4.4);
+    // 4 is beyond the link from 3; 5 is isolated — transitivity must
+    // group {1,2,3} even though 1 and 3 are 2.9 apart (> linkLen)
+    val pts = Seq(
+      (1L, 1.5, 0.0, 0.0), (2L, 3.0, 0.0, 0.0), (3L, 4.4, 0.0, 0.0),
+      (4L, 7.0, 0.0, 0.0), (5L, 50.0, 50.0, 50.0))
+      .toDF("id", "x", "y", "z")
+    val got = Spatial.fofGroups(pts, "id", col("x"), col("y"), col("z"),
+      linkLen = 2.0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("pairCounts == brute-force pair histogram; grid join is equi, not cartesian") {
     // pseudo-random but deterministic points in a 30³ box — pairs
     // cross cell boundaries in every direction at rMax=5
