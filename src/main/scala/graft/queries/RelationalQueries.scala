@@ -205,6 +205,51 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // --- PIVOT (cross-tab): long→wide reshaping with an EXPLICIT
+    // value list — the pivoted domain must be declared (or discovered
+    // by a bounded distinct scan) for the output schema to be static;
+    // Catalyst rewrites the pivot to ONE aggregation with a CASE per
+    // value (the same conditional-aggregation plan the oracle spells
+    // out), so the shuffle carries |days| × |values| partials, never
+    // a per-value pass. ---
+    "pivot_table" -> QueryDef.sql(
+      (s, d) => Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day"),
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin),
+
+    // --- UNPIVOT (melt): the inverse wide→long reshape — a map-side
+    // row explosion (3× here), no shuffle beyond the deterministic
+    // output sort; values pass through untouched so no rounding
+    // discipline is needed. ---
+    "unpivot_table" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_discount").as("discount"), col("l_tax").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |    CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+
     // --- hierarchical ROLLUP grouping sets ---
     "rollup_agg" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d)
