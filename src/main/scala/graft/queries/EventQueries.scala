@@ -42,6 +42,35 @@ object EventQueries {
         |FROM events GROUP BY hour_bucket, event_type
         |ORDER BY hour_bucket, event_type""".stripMargin),
 
+    // --- RANGE-framed sliding window (the time-based frame ROWS
+    // frames can't express: each event sees the aggregates of its
+    // user's trailing hour BY TIMESTAMP, ties included). Values
+    // quantize to integer micros BEFORE the frame sum — engines build
+    // sliding sums in different association orders (incremental vs
+    // segment tree), which only exact integers survive. Partitioned
+    // by user (never a global window); frame state is O(frame), not
+    // O(partition). ---
+    "window_range" -> QueryDef.sql(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_ns"))
+          .rangeBetween(-HourNs, 0)
+        Tables.events(s, d)
+          .withColumn("vm", floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .select(col("event_id"), col("user_id"), col("ts_ns"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("vm")).over(w).as("sum_micro_1h"))
+          .orderBy("event_id")
+      },
+      s"""SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) OVER w
+        |    AS BIGINT) AS sum_micro_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN $HourNs PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
     // --- gap-based sessionization (lag + cumulative session index) ---
     // Times in epoch MICROS on both sides: DuckDB truncates the
     // nanosecond parquet timestamps to its microsecond TIMESTAMP, so

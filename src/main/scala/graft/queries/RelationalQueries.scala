@@ -267,6 +267,25 @@ object RelationalQueries {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin),
 
+    // --- full CUBE grouping sets (adds the (·, status) marginal
+    // ROLLUP omits — all 2^k subtotal combinations in ONE Expand +
+    // aggregation pass, not k separate scans) ---
+    "cube_agg" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status"),
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin),
+
     // --- exact interpolated quantiles ---
     // One percentile aggregate with an ARRAY of percentages: the
     // (unavoidably value-buffering) exact-quantile state is built and
