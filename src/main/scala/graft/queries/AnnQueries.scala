@@ -571,6 +571,50 @@ object AnnQueries {
       // bench: the step itself (centroids are the memoized artifact)
       (s, d) => kmeansStepFrame(s, d, clusterBenchCenters(s, d))),
 
+    // --- ColBERT-style late-interaction scoring (MaxSim): a
+    // multi-vector "document" (label group) scores against a query
+    // SET as Σ_q max_d cos(q, d) — the retrieval objective behind
+    // multi-vector rerankers. Plan: the (small) query set broadcasts;
+    // scoring is one map-side pass over the corpus (codegen'd cosine
+    // per (vector, query)), then TWO bounded aggregations — max per
+    // (doc, query), sum per doc — both map-side-combined; the corpus
+    // never shuffles. Numerics: cosines floored at 6 dp; max is
+    // order-free; per-(doc,query) maxima re-floor to micros before
+    // the exact-integer per-doc sum. ---
+    "ann_maxsim" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("label") === 0 && col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cos6 = graft.functions.VectorOps.roundAt(
+          graft.functions.VectorOps.cosineFast(col("embedding"), col("q_emb")), 6)
+        e.join(broadcast(q))
+          .withColumn("c6", cos6)
+          .filter(!isnan(col("c6")))
+          .groupBy(col("label"), col("q_id"))
+          .agg(max(col("c6")).as("mx"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_q"),
+            sum(floor(col("mx") * 1000000 + lit(0.5)).cast("long"))
+              .as("maxsim_micro"))
+          .orderBy("label")
+      },
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE label = 0 AND vec_id % 10 = 0
+         |), c AS (
+         |  SELECT e.label, q.q_id,
+         |    ${QueryDef.cosSql("e.embedding", "q.q_emb")} AS c6
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE NOT isnan(${QueryDef.cosSql("e.embedding", "q.q_emb")})
+         |), m AS (
+         |  SELECT label, q_id, max(c6) AS mx FROM c GROUP BY label, q_id
+         |)
+         |SELECT label, count(*) AS n_q,
+         |  CAST(sum(CAST(floor(mx*1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS maxsim_micro
+         |FROM m GROUP BY label ORDER BY label""".stripMargin),
+
     // --- one distributed POWER-ITERATION step toward the corpus's
     // top principal component (the spectral sibling of kmeans_step;
     // the matvec y = Xᵀ(Xv) a PCA/whitening trainer iterates —

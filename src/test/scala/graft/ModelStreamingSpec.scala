@@ -179,8 +179,12 @@ class ModelStreamingSpec extends SparkSpec {
       EventStreams.Evt(1L, 6000L, 7.0))
     // NOTE: processAllAvailable() can hang with ProcessingTimeTimeout
     // (timeout scheduling keeps the stream "not caught up") — poll the
-    // sink with a deadline instead.
-    val deadline = System.currentTimeMillis + 60000
+    // sink with a deadline instead. The deadline is generous because
+    // the full suite runs many Spark suites in parallel on a shared
+    // box: under that contention a single micro-batch has been
+    // observed to exceed 60 s (the success path exits the loop on the
+    // first non-empty poll, so a long deadline costs nothing there).
+    val deadline = System.currentTimeMillis + 180000
     def closedNow() = spark.table("sess")
       .select("user_id", "n_events", "value_sum")
       .as[(Long, Long, Double)].collect().toSet
