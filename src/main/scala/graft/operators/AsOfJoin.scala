@@ -48,6 +48,30 @@ object AsOfJoin {
     asof(l, r, key, neg, payload, rangeBuckets).drop(neg)
   }
 
+  /** Nearest as-of: the right row closest in time in EITHER direction
+    * (pandas merge_asof direction='nearest'); ties go backward.
+    * Composes the backward and forward passes — each one window over
+    * the same key — then a per-row codegen'd pick; no extra join. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String],
+      rangeBuckets: Int = 0): DataFrame = {
+    val bSuf = "__b"; val fSuf = "__f"
+    val bt = "__bt"; val ft = "__ft"
+    val rB = right.select((col(key) +: col(time) +:
+      payload.map(p => col(p).as(p + bSuf))): _*).withColumn(bt, col(time))
+    val rF = right.select((col(key) +: col(time) +:
+      payload.map(p => col(p).as(p + fSuf))): _*).withColumn(ft, col(time))
+    val back = asof(left, rB, key, time, payload.map(_ + bSuf) :+ bt, rangeBuckets)
+    val both = asofForward(back, rF, key, time, payload.map(_ + fSuf) :+ ft,
+      rangeBuckets)
+    val pickBack = col(ft).isNull ||
+      (col(bt).isNotNull && (col(time) - col(bt)) <= (col(ft) - col(time)))
+    val out = payload.foldLeft(both) { (df, p) =>
+      df.withColumn(p, when(pickBack, col(p + bSuf)).otherwise(col(p + fSuf)))
+    }
+    out.drop((payload.map(_ + bSuf) ++ payload.map(_ + fSuf) :+ bt :+ ft): _*)
+  }
+
   /** @param left  rows to enrich; must contain `key` and `time`
     * @param right rows providing `payload` columns; must contain
     *              `key`, `time`, and `payload`

@@ -193,6 +193,60 @@ object EventQueries {
         |  ON a.user_id = b.user_id AND b.ts >= a.ts
         |ORDER BY a.user_id, a.event_id""".stripMargin),
 
+    // --- nearest as-of (pandas merge_asof direction='nearest'; the
+    // snapshot-matching rule series workflows use when "closest in
+    // time" beats "latest before"): backward + forward passes compose
+    // — each ONE window over the same key — then a codegen'd per-row
+    // pick, ties backward. dt is exact integer micros on both
+    // engines. ---
+    "asof_nearest" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"), col("value").as("view_value"),
+            col("ts_us").as("view_ts"))
+        AsOfJoin.asofNearest(clicks, views, "user_id", "ts_us",
+            Seq("view_value", "view_ts"), rangeBuckets = 32)
+          .filter(col("view_value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            roundAt(col("view_value"), 2).as("view_value"),
+            abs(col("ts_us") - col("view_ts")).as("dt_us"))
+          .sortWithinPartitions("user_id", "event_id")
+      },
+      """WITH a AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), v AS (
+        |  SELECT user_id, ts, value AS view_value FROM events
+        |  WHERE event_type = 'view'
+        |), b AS (
+        |  SELECT a.event_id, a.user_id, a.ts, bb.view_value AS bv,
+        |    bb.ts AS bt
+        |  FROM a ASOF LEFT JOIN v bb
+        |    ON a.user_id = bb.user_id AND bb.ts <= a.ts
+        |), bf AS (
+        |  SELECT b.event_id, b.user_id, b.ts, b.bv, b.bt,
+        |    ff.view_value AS fv, ff.ts AS ft
+        |  FROM b ASOF LEFT JOIN v ff
+        |    ON b.user_id = ff.user_id AND ff.ts >= b.ts
+        |)
+        |SELECT event_id, user_id,
+        |  floor((CASE WHEN ft IS NULL
+        |      OR (bt IS NOT NULL AND epoch_us(ts) - epoch_us(bt)
+        |          <= epoch_us(ft) - epoch_us(ts))
+        |    THEN bv ELSE fv END)*100 + 0.5)/100 AS view_value,
+        |  CAST(CASE WHEN ft IS NULL
+        |      OR (bt IS NOT NULL AND epoch_us(ts) - epoch_us(bt)
+        |          <= epoch_us(ft) - epoch_us(ts))
+        |    THEN epoch_us(ts) - epoch_us(bt)
+        |    ELSE epoch_us(ft) - epoch_us(ts) END AS BIGINT) AS dt_us
+        |FROM bf WHERE (CASE WHEN ft IS NULL
+        |      OR (bt IS NOT NULL AND epoch_us(ts) - epoch_us(bt)
+        |          <= epoch_us(ft) - epoch_us(ts))
+        |    THEN bv ELSE fv END) IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin),
+
     // --- bounded interval (point-in-range) join: every click joins
     // the same-user views whose 72 h attribution window contains it.
     // A raw BETWEEN join plans as a nested loop — operators.RangeJoin
