@@ -897,6 +897,74 @@ object ScidaQueries {
         |SELECT fof_group, count(*) AS n_members
         |FROM labels GROUP BY fof_group ORDER BY fof_group""".stripMargin),
 
+    // --- halo mass function over the FoF catalog (the first
+    // statistic computed from any group finder's output: dN/dlog M —
+    // here the log2-binned multiplicity histogram of group sizes,
+    // mass ∝ members since particles are equal-mass). Composes
+    // fof_groups' catalog with one O(bins) aggregation; the bin id is
+    // exact integer arithmetic (binary-digit count − 1), no float
+    // logs. ---
+    "halo_massfunc" -> QueryDef.sql(
+      (s, d) => {
+        val k = col("p_partkey")
+        val c = floor(k / 10).cast("long")
+        // size-diverse catalog: cluster c keeps its first (c%9 + 2)
+        // members near the center; the remnant is displaced +20 in x
+        // and clusters (or singles) on its own — group sizes span
+        // several log2 bins instead of a uniform 10
+        val disp = when(k % 10 < c % 9 + 2, lit(0.0)).otherwise(lit(20.0))
+        val pts = Tables.part(s, d).select(col("p_partkey"),
+          ((c * 7919 % 1000) / 10.0 + ((k % 10) * 17 % 7 - 3) * 0.25 + disp)
+            .as("x"),
+          ((c * 104729 % 1000) / 10.0 + ((k % 10) * 29 % 7 - 3) * 0.25).as("y"),
+          ((c * 1299709 % 1000) / 10.0 + ((k % 10) * 43 % 7 - 3) * 0.25).as("z"))
+        graft.operators.Spatial.fofGroups(pts, "p_partkey",
+          col("x"), col("y"), col("z"), linkLen = 3.0)
+          .groupBy("fof_group")
+          .agg(count(lit(1)).as("n_members"))
+          // floor(log2 n) as EXACT integer arithmetic: binary-digit
+          // count − 1 (float log2 is not exactly integral at powers
+          // of two on every engine — the floor would be knife-edge)
+          .groupBy((length(bin(col("n_members"))) - 1).as("log2_bin"))
+          .agg(count(lit(1)).as("n_halos"),
+            sum("n_members").as("total_members"))
+          .orderBy("log2_bin")
+      },
+      """WITH RECURSIVE pts AS (
+        |  SELECT p_partkey AS id,
+        |    (p_partkey//10 * 7919 % 1000) / 10.0
+        |      + (p_partkey % 10 * 17 % 7 - 3) * 0.25
+        |      + (CASE WHEN p_partkey % 10 < p_partkey//10 % 9 + 2
+        |              THEN 0.0 ELSE 20.0 END) AS x,
+        |    (p_partkey//10 * 104729 % 1000) / 10.0
+        |      + (p_partkey % 10 * 29 % 7 - 3) * 0.25 AS y,
+        |    (p_partkey//10 * 1299709 % 1000) / 10.0
+        |      + (p_partkey % 10 * 43 % 7 - 3) * 0.25 AS z
+        |  FROM part
+        |), pr AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM pts a JOIN pts b ON a.id < b.id
+        |    AND abs(a.x-b.x) <= 3.0 AND abs(a.y-b.y) <= 3.0
+        |    AND abs(a.z-b.z) <= 3.0
+        |  WHERE CAST(floor(sqrt(
+        |      (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        |    )*1000000000 + 0.5) AS BIGINT) < 3000000000
+        |), edges AS (
+        |  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr
+        |), reach(id, lbl) AS (
+        |  SELECT id, id FROM pts
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        |), labels AS (
+        |  SELECT id, min(lbl) AS fof_group FROM reach GROUP BY id
+        |), halos AS (
+        |  SELECT fof_group, count(*) AS n_members
+        |  FROM labels GROUP BY fof_group
+        |)
+        |SELECT CAST(length(bin(n_members)) - 1 AS INTEGER) AS log2_bin,
+        |  count(*) AS n_halos, CAST(sum(n_members) AS BIGINT) AS total_members
+        |FROM halos GROUP BY log2_bin ORDER BY log2_bin""".stripMargin),
+
     // --- cloud-in-cell density grid (the order-2 mass-deposition
     // estimator run before power spectra; the docs' histogramdd
     // recipes are its order-1 version). Same Weyl-lattice positions

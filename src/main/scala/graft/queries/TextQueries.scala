@@ -540,6 +540,81 @@ object TextQueries {
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
 
+    // --- BM25 ranked retrieval (Robertson–Spärck Jones; k1=1.2,
+    // b=0.75 — the sparse-retrieval scorer that complements the dense
+    // ANN family): a fixed query-term set scores every doc through
+    // the inverted-index shape — explode → per-(doc,term) tf, terms
+    // semi-joined to the query set EARLY (the posting-list prune: the
+    // full vocabulary never aggregates), df + corpus stats as
+    // broadcast scalars, one codegen'd per-(doc,term) score floored
+    // to micros, exact-integer per-doc sum, global top-20 as
+    // TakeOrdered. Engine-stable: ln once per DISTINCT query term
+    // (micro-nats); the tf saturation & length normalization chain is
+    // identical IEEE on both engines; ranking ties break on doc_id
+    // over exact integer scores. ---
+    "bm25_topk" -> QueryDef.sql(
+      (s, d) => {
+        val qTerms = Seq("table", "key", "row", "data", "value")
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_words"))
+        val tf = QueryDef.spread(docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isInCollection(qTerms))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val idf = df.crossJoin(broadcast(n))
+          .select(col("term"), floor(log(
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * 1000000 + 0.5).cast("long").as("idf_micro"))
+        val k1 = 1.2; val b = 0.75
+        val avdl = col("n_words").cast("double") / col("n_docs").cast("double")
+        val sat = col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / avdl))
+        tf.join(broadcast(idf), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            floor(col("idf_micro").cast("double") / 1000000.0 * sat
+              * 1000000.0 + 0.5).cast("long").as("s_micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum("s_micro").as("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      """WITH n AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl, term,
+        |    count(*) AS tf
+        |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term IN ('table', 'key', 'row', 'data', 'value')
+        |  GROUP BY doc_id, dl, term
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        |), idf AS (
+        |  SELECT term, CAST(floor(ln(
+        |      (n.n_docs - df.df + 0.5) / (df.df + 0.5))*1000000 + 0.5)
+        |    AS BIGINT) AS idf_micro
+        |  FROM df CROSS JOIN n
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(CAST(idf.idf_micro AS DOUBLE) / 1000000.0
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+        |         / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |            + 0.75 * CAST(tf.dl AS DOUBLE)
+        |              / (CAST(n.n_words AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+        |  FROM tf JOIN idf ON idf.term = tf.term CROSS JOIN n
+        |)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  CAST(sum(s_micro) AS BIGINT) AS score_micro
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin),
+
     // --- DSIR-style importance weighting (Xie et al.,
     // arXiv:2302.03169 "Data Selection for Language Models via
     // Importance Resampling"): each doc scored by the mean hashed-
