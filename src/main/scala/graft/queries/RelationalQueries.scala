@@ -205,6 +205,91 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // --- one distributed PageRank iteration (the graph sibling of
+    // kmeans_step/logreg_step/pca_power_iter: the power-method step a
+    // ranking pipeline iterates; damping 0.85, scores scaled ×N so
+    // start pr = 1). Graph derives from lineitem key arithmetic
+    // (distinct directed edges on 2000 nodes). Plan: outdegrees are
+    // one node-keyed agg; per-edge contributions floor(1/outdeg) to
+    // micros map-side; ONE dst-keyed shuffle with map-side partial
+    // combine carries the exact-integer sums; dangling nodes keep the
+    // (1−d) teleport term via a left join from the node set. ---
+    "pagerank_step" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val edges = li.select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst"))).distinct()
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val contrib = edges.join(outdeg, "src")
+          .select(col("dst"),
+            floor(lit(1000000.0) / col("outdeg").cast("double") + lit(0.5))
+              .cast("long").as("c_micro"))
+          .groupBy("dst").agg(sum("c_micro").as("in_micro"))
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            coalesce(col("in_micro"), lit(0L)).as("in_micro"),
+            graft.functions.VectorOps.roundAt(
+              lit(0.15) + lit(0.85) *
+                (coalesce(col("in_micro"), lit(0L)).cast("double")
+                  / lit(1000000.0)), 6).as("pr_new"))
+          .orderBy("node")
+      },
+      """WITH edges AS (
+        |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+        |  FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |), outdeg AS (
+        |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+        |), contrib AS (
+        |  SELECT e.dst, CAST(sum(CAST(floor(
+        |      1000000.0 / CAST(o.outdeg AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS in_micro
+        |  FROM edges e JOIN outdeg o ON o.src = e.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT n.node, coalesce(c.in_micro, 0) AS in_micro,
+        |  floor((0.15 + 0.85 * (CAST(coalesce(c.in_micro, 0) AS DOUBLE)
+        |    / 1000000.0))*1000000 + 0.5)/1000000 AS pr_new
+        |FROM nodes n LEFT JOIN contrib c ON c.dst = n.node
+        |ORDER BY n.node""".stripMargin),
+
+    // --- distributed triangle counting (the clustering-coefficient /
+    // community-structure primitive): canonical a<b orientation so
+    // each triangle counts ONCE — wedges join on the smaller-id
+    // endpoint, the closing edge verifies by equi-join against the
+    // oriented edge set. Both joins are key-partitioned equi-joins;
+    // wedge volume is Σ deg² (the algorithm's inherent cost), never
+    // |V|³. ---
+    "triangle_count" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val e = li.select((col("l_orderkey") % 2000).as("a"),
+          (col("l_partkey") % 2000).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .distinct()
+        val e1 = e.select(col("u").as("x"), col("v").as("y"))
+        val e2 = e.select(col("u").as("x"), col("v").as("z"))
+        val wedges = e1.join(e2, Seq("x")).filter(col("y") < col("z"))
+        wedges.join(e.select(col("u").as("y"), col("v").as("z")),
+            Seq("y", "z"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_orderkey % 2000, l_partkey % 2000) AS u,
+        |    greatest(l_orderkey % 2000, l_partkey % 2000) AS v
+        |  FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000
+        |)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
+
     // --- PIVOT (cross-tab): long→wide reshaping with an EXPLICIT
     // value list — the pivoted domain must be declared (or discovered
     // by a bounded distinct scan) for the output schema to be static;
