@@ -84,6 +84,7 @@ def main():
         "  baselined on the ORIGINAL parquet (their oracles' form); the graft",
         "  side additionally pays the chunked write+read of the fixture.",
         "- Synthesize-and-predict queries (multimodal_decode/_audio,",
+        "  dedup_phash, dedup_audiofp,",
         "  pii_redact, url_normalize, sample_mix) have oracles that PREDICT",
         "  the operator's output arithmetically instead of performing the",
         "  work (codec round-trip, regex scrub, md5 sampling), so their",

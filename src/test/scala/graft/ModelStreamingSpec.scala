@@ -193,7 +193,13 @@ class ModelStreamingSpec extends SparkSpec {
       Thread.sleep(250); closed = closedNow()
     }
     q.stop()
-    // first session (2 events, sum 3.0) closes when the 6000us event arrives
-    assert(closed == Set((1L, 2L, 3.0)))
+    // first session (2 events, sum 3.0) closes when the 6000us event
+    // arrives. The SECOND session (the lone 6000us event) closes via
+    // the processing-time timeout ~1ms of wall time later — whether it
+    // appears depends on how many micro-batches ran before the poll
+    // saw data, and BOTH outcomes are correct sessionize behavior, so
+    // accept it rather than race it.
+    assert(closed.contains((1L, 2L, 3.0)))
+    assert(closed.subsetOf(Set((1L, 2L, 3.0), (1L, 1L, 7.0))))
   }
 }
