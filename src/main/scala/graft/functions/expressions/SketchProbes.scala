@@ -35,26 +35,36 @@ case class BloomMightContain(child: Expression,
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_bloom_might_contain expects string, got ${other.catalogString}")
+      s"graft_bloom_might_contain expects string or bigint, got ${other.catalogString}")
   }
 
+  // probe method must match the INSERT encoding: DataFrameStatFunctions
+  // .bloomFilter on a bigint column putLongs, on a string column
+  // putStrings — mixing them silently never matches
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    v != null && bloom.value.mightContainString(v.toString)
+    v != null && (child.dataType match {
+      case LongType => bloom.value.mightContainLong(v.asInstanceOf[Long])
+      case _ => bloom.value.mightContainString(v.toString)
+    })
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val b = ctx.addReferenceObj("bloomBc", bloom,
       "org.apache.spark.broadcast.Broadcast")
     val c = child.genCode(ctx)
+    val probe = child.dataType match {
+      case LongType => s"mightContainLong(${c.value})"
+      case _ => s"mightContainString(${c.value}.toString())"
+    }
     ev.copy(code = code"""
       ${c.code}
       boolean ${ev.value} = false;
       if (!${c.isNull}) {
         ${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
-          $b.value()).mightContainString(${c.value}.toString());
+          $b.value()).$probe;
       }""", isNull = FalseLiteral)
   }
 

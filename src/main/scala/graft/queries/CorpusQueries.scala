@@ -554,6 +554,34 @@ object CorpusQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  floor((CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |    *1000000 + 0.5)/1000000 AS mean_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // --- deterministic per-group uniform sample (the reproducible
+    // reservoir): per source, keep the k docs with the smallest
+    // md5(doc_id) — hash-rank bottom-k IS a uniform sample, and a
+    // doc's fate is a pure function of its id (stable across runs,
+    // partitionings, and re-ingests — the property audit pipelines
+    // need that rand()-based sampling lacks). Scale shape: the
+    // two-phase graft_topk_rows aggregate (per-partition k-heaps,
+    // merge at k·groups rows) — never a per-group window over raw
+    // rows, never a global sort. ---
+    "group_sample" -> QueryDef.sql(
+      (s, d) => {
+        val h = md5(col("doc_id").cast("string"))
+        val sortStruct = struct(h.as("h"), col("doc_id").as("id"))
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(call_function("graft_topk_rows", sortStruct, lit(5)).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.id").as("doc_id"), col("col.h").as("h"))
+          .orderBy("source", "rk")
+      },
+      """SELECT source, rk, doc_id, h FROM (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
   )
 }

@@ -279,6 +279,75 @@ object EventQueries {
          |GROUP BY a.event_id, a.user_id
          |ORDER BY a.event_id""".stripMargin),
 
+    // --- per-key interval coverage (union length): each view event
+    // spans [ts, ts + value-derived duration); per user, merge
+    // overlapping spans and report distinct covered time + island
+    // count — the "total active time" / coverage primitive (same
+    // sweep as genomic interval union). ONE user-keyed shuffle: the
+    // island sweep is a per-user window (prev-max-end), and the two
+    // downstream aggregations cluster on supersets of user_id, which
+    // HashPartitioning(user_id) already satisfies — no further
+    // exchange (a per-key sweep is bounded by the key's own events,
+    // never the table). All arithmetic on integer micros; island
+    // COUNT and covered length are invariant to tie order among
+    // equal starts, so the result is deterministic without a global
+    // tiebreak. ---
+    "interval_union" -> QueryDef.sql(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("t_start", "t_end")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val spans = Tables.events(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("t_start"),
+            (col("ts_us") + greatest(floor(col("value") * 1000000 + 0.5)
+              .cast("long"), lit(1L))).as("t_end"))
+        val islands = spans
+          .withColumn("prev_max", max(col("t_end")).over(w))
+          .withColumn("is_new",
+            when(col("prev_max").isNull || col("t_start") > col("prev_max"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("is_new")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("t_start", "t_end")
+              .rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        islands.groupBy("user_id", "island")
+          .agg(min("t_start").as("i_start"), max("t_end").as("i_end"),
+            count(lit(1)).as("n_spans"))
+          .groupBy("user_id")
+          .agg(sum(col("i_end") - col("i_start")).as("covered_us"),
+            count(lit(1)).as("n_islands"),
+            sum("n_spans").as("n_intervals"))
+          .orderBy("user_id")
+      },
+      """WITH spans AS (
+        |  SELECT user_id, epoch_us(ts) AS t_start,
+        |    epoch_us(ts) + greatest(CAST(floor(value * 1000000 + 0.5)
+        |      AS BIGINT), 1) AS t_end
+        |  FROM events WHERE event_type = 'view'
+        |), m AS (
+        |  SELECT user_id, t_start, t_end,
+        |    max(t_end) OVER (PARTITION BY user_id ORDER BY t_start, t_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM spans
+        |), f AS (
+        |  SELECT user_id, t_start, t_end,
+        |    CAST(sum(CASE WHEN prev_max IS NULL OR t_start > prev_max
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY t_start, t_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM m
+        |), isl AS (
+        |  SELECT user_id, island, min(t_start) AS i_start,
+        |    max(t_end) AS i_end, count(*) AS n_spans
+        |  FROM f GROUP BY user_id, island
+        |)
+        |SELECT user_id, sum(i_end - i_start) AS covered_us,
+        |  count(*) AS n_islands, sum(n_spans) AS n_intervals
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // --- ORDERED funnel (view → click → purchase, strictly later
     // steps): per user, the earliest view anchors the funnel, the
     // first click AFTER it advances it, the first purchase after

