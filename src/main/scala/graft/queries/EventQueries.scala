@@ -279,6 +279,86 @@ object EventQueries {
          |GROUP BY a.event_id, a.user_id
          |ORDER BY a.event_id""".stripMargin),
 
+    // --- robust per-type anomaly statistics (median/MAD outlier
+    // gate — the monitoring primitive that mean/stddev z-scores get
+    // wrong under the very outliers they hunt): values quantize to
+    // integer cents, per-type median and MAD come from the DISCRETE
+    // value-histogram machinery (DiscreteStats, cardinality-guarded),
+    // and the outlier rule |v − med| > 3·MAD stays all-integer.
+    // Scale shape: the raw scan aggregates ONCE into the (type,
+    // value) histogram; both medians, the deviation histogram (built
+    // from the value histogram, never a second scan) and the outlier
+    // count are histogram-sized work; the 5-row stat tables broadcast.
+    // Discrete selection (smallest value with 2·cum ≥ n + n mod 2)
+    // avoids interpolation drift entirely. ---
+    "anomaly_zscore" -> QueryDef.sql(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        val hist = graft.CacheScope.track(
+          graft.operators.DiscreteStats.groupValueCounts(
+            ev, Seq("event_type"), col("vc")))
+        def discreteMedian(h: org.apache.spark.sql.DataFrame, vCol: String,
+            out: String) = {
+          val cum = h
+            .withColumn("cum", sum("c").over(W.partitionBy("event_type")
+              .orderBy(vCol).rowsBetween(W.unboundedPreceding, 0)))
+            .withColumn("n", sum("c").over(W.partitionBy("event_type")))
+          cum.filter(col("cum") * 2 >= col("n") + pmod(col("n"), lit(2L)))
+            .groupBy("event_type")
+            .agg(min(vCol).as(out), max("n").as("n"))
+        }
+        val med = discreteMedian(hist, "v", "med_c")
+        val devHist = hist.join(broadcast(med.select("event_type", "med_c")),
+            Seq("event_type"))
+          .groupBy(col("event_type"), abs(col("v") - col("med_c")).as("dev"))
+          .agg(sum("c").as("c"))
+        val dh = graft.CacheScope.track(devHist)
+        val mad = discreteMedian(dh.withColumnRenamed("dev", "v"), "v", "mad_c")
+          .drop("n")
+        dh.join(broadcast(med), Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), max("med_c").as("med_c"),
+            max("mad_c").as("mad_c"),
+            coalesce(sum(when(col("dev") > col("mad_c") * 3, col("c"))),
+              lit(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type, vc AS v, count(*) AS c FROM ev GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT event_type, v, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h
+        |), med AS (
+        |  SELECT event_type, min(v) AS med_c, CAST(max(n) AS BIGINT) AS n
+        |  FROM cm WHERE cum*2 >= n + n % 2 GROUP BY 1
+        |), dh AS (
+        |  SELECT h.event_type, abs(h.v - m.med_c) AS dev, sum(h.c) AS c
+        |  FROM h JOIN med m USING (event_type) GROUP BY 1, 2
+        |), dcm AS (
+        |  SELECT event_type, dev, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM dh
+        |), mad AS (
+        |  SELECT event_type, min(dev) AS mad_c
+        |  FROM dcm WHERE cum*2 >= n + n % 2 GROUP BY 1
+        |)
+        |SELECT m.event_type, m.n, m.med_c, a.mad_c,
+        |  CAST(coalesce(sum(CASE WHEN d.dev > 3*a.mad_c THEN d.c END), 0)
+        |    AS BIGINT) AS n_outliers
+        |FROM med m JOIN mad a USING (event_type) JOIN dh d USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin),
+
     // --- per-key interval coverage (union length): each view event
     // spans [ts, ts + value-derived duration); per user, merge
     // overlapping spans and report distinct covered time + island

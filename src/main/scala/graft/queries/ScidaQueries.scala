@@ -76,6 +76,20 @@ object ScidaQueries {
       graft.operators.ExactQuantiles.values(
         Tables(s, d, table), column, probs))
 
+  // power_spectrum's engine-shared constants: the k-vector probe list
+  // (k_idx, kx, ky, kz) and the N=20 integer-micro trig lookup tables
+  // (cos/sin of 2π·m/20). One derivation site — both the Spark plan
+  // and the interpolated oracle literals read THESE values, so the
+  // quantization is definitionally identical on both engines.
+  private val psProbes: Seq[(Int, Int, Int, Int)] = Seq(
+    (1, 1, 0, 0), (2, 0, 1, 0), (3, 0, 0, 1), (4, 1, 1, 0),
+    (5, 1, 0, 1), (6, 0, 1, 1), (7, 1, 1, 1), (8, 2, 0, 0),
+    (9, 2, 1, 0), (10, 2, 1, 1))
+  private val psCosMicro: Seq[Long] =
+    (0 until 20).map(m => math.round(math.cos(2 * math.Pi * m / 20) * 1e6))
+  private val psSinMicro: Seq[Long] =
+    (0 until 20).map(m => math.round(math.sin(2 * math.Pi * m / 20) * 1e6))
+
   def defs: Map[String, QueryDef] = Map(
     // --- load + projection (scida load() + field access; pruning pushed to scan) ---
     "load_project" -> QueryDef.sql(
@@ -1012,6 +1026,99 @@ object ScidaQueries {
         |  CAST(sum(w_micro) AS BIGINT) AS mass_micro
         |FROM contrib GROUP BY cell_x, cell_y, cell_z
         |ORDER BY cell_x, cell_y, cell_z""".stripMargin),
+
+    // --- matter power spectrum probe (the estimator the CIC grid
+    // exists to feed — scida docs' clustering recipes): brute-force
+    // DFT of the density grid at a LITERAL probe list of k-vectors.
+    // Engine-exact by construction: on a regular N-grid every phase
+    // k·x reduces to 2π·m/N with m = (kx·cx+ky·cy+kz·cz) mod N, so
+    // cos/sin enter as ONE N-entry integer-micro lookup table shared
+    // literally by both engines — no engine trig in the data path,
+    // and Re/Im are exact integer sums (mass_micro × trig_micro;
+    // bound ~total_mass_micro·1e6 ≈ 2e16 here, well under int64 —
+    // at production particle counts rescale the table or widen to
+    // decimal). Scale shape: grid cells × |k-probes| map-side
+    // explode, partial agg straight to |k| rows. A FULL spectrum at
+    // scale is a distributed FFT (pencil decomposition) — this
+    // operator is the bounded-probe form (growth-rate tracking, BAO
+    // peak monitoring) that needs no transpose shuffles. ---
+    "power_spectrum" -> QueryDef.sql(
+      (s, d) => {
+        val pts = Tables.part(s, d).select(
+          ((col("p_partkey") * 7919 % 100000) / 1000.0).as("x"),
+          ((col("p_partkey") * 104729 % 100000) / 1000.0).as("y"),
+          ((col("p_partkey") * 1299709 % 100000) / 1000.0).as("z"))
+        val grid = graft.operators.Spatial.cicDeposit(pts,
+          col("x"), col("y"), col("z"), boxSize = 100.0, gridN = 20)
+        val ks = psProbes.map { case (i, kx, ky, kz) => (i, kx, ky, kz) }
+        val g = grid.select(col("cell_x"), col("cell_y"), col("cell_z"),
+            col("mass_micro"), explode(typedLit(ks)).as("k"))
+          .select(col("k._1").as("k_idx"),
+            pmod(col("k._2") * col("cell_x") + col("k._3") * col("cell_y")
+              + col("k._4") * col("cell_z"), lit(20L)).cast("int").as("m"),
+            col("mass_micro"))
+        g.select(col("k_idx"),
+            (col("mass_micro") * element_at(typedLit(psCosMicro), col("m") + 1))
+              .as("re_c"),
+            (col("mass_micro") * element_at(typedLit(psSinMicro), col("m") + 1))
+              .as("im_c"))
+          .groupBy("k_idx")
+          .agg(sum("re_c").as("re_u"), sum("im_c").as("im_u"))
+          .select(col("k_idx"), col("re_u"), col("im_u"),
+            graft.functions.VectorOps.roundAt(
+              (col("re_u") / 1e12) * (col("re_u") / 1e12)
+                + (col("im_u") / 1e12) * (col("im_u") / 1e12), 6).as("p_k"))
+          .orderBy("k_idx")
+      }, {
+        val kvals = psProbes.map { case (i, kx, ky, kz) =>
+          s"($i, $kx, $ky, $kz)" }.mkString(", ")
+        val cosL = psCosMicro.mkString("[", ", ", "]")
+        val sinL = psSinMicro.mkString("[", ", ", "]")
+        s"""WITH pts AS (
+        |  SELECT
+        |    (p_partkey * 7919 % 100000) / 1000.0 AS x,
+        |    (p_partkey * 104729 % 100000) / 1000.0 AS y,
+        |    (p_partkey * 1299709 % 100000) / 1000.0 AS z
+        |  FROM part
+        |), offs AS (
+        |  SELECT a.dx, b.dy, c.dz
+        |  FROM (VALUES (0), (1)) a(dx), (VALUES (0), (1)) b(dy),
+        |       (VALUES (0), (1)) c(dz)
+        |), grid AS (
+        |  SELECT
+        |    ((CAST(floor(x/5.0 - 0.5) AS BIGINT) + dx) % 20 + 20) % 20 AS cell_x,
+        |    ((CAST(floor(y/5.0 - 0.5) AS BIGINT) + dy) % 20 + 20) % 20 AS cell_y,
+        |    ((CAST(floor(z/5.0 - 0.5) AS BIGINT) + dz) % 20 + 20) % 20 AS cell_z,
+        |    CAST(sum(CAST(floor(
+        |      (CASE WHEN dx = 0 THEN 1.0 - ((x/5.0 - 0.5) - floor(x/5.0 - 0.5))
+        |            ELSE (x/5.0 - 0.5) - floor(x/5.0 - 0.5) END)
+        |      * (CASE WHEN dy = 0 THEN 1.0 - ((y/5.0 - 0.5) - floor(y/5.0 - 0.5))
+        |              ELSE (y/5.0 - 0.5) - floor(y/5.0 - 0.5) END)
+        |      * (CASE WHEN dz = 0 THEN 1.0 - ((z/5.0 - 0.5) - floor(z/5.0 - 0.5))
+        |              ELSE (z/5.0 - 0.5) - floor(z/5.0 - 0.5) END)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mass_micro
+        |  FROM pts CROSS JOIN offs
+        |  GROUP BY 1, 2, 3
+        |), ks(k_idx, kx, ky, kz) AS (
+        |  VALUES $kvals
+        |), ph AS (
+        |  SELECT k_idx,
+        |    CAST((kx*cell_x + ky*cell_y + kz*cell_z) % 20 AS INT) AS m,
+        |    mass_micro
+        |  FROM grid CROSS JOIN ks
+        |), terms AS (
+        |  SELECT k_idx,
+        |    mass_micro * ($cosL)[m + 1] AS re_c,
+        |    mass_micro * ($sinL)[m + 1] AS im_c
+        |  FROM ph
+        |)
+        |SELECT k_idx, CAST(sum(re_c) AS BIGINT) AS re_u,
+        |  CAST(sum(im_c) AS BIGINT) AS im_u,
+        |  floor(((CAST(sum(re_c) AS DOUBLE)/1e12) * (CAST(sum(re_c) AS DOUBLE)/1e12)
+        |    + (CAST(sum(im_c) AS DOUBLE)/1e12) * (CAST(sum(im_c) AS DOUBLE)/1e12))
+        |    *1000000 + 0.5)/1000000 AS p_k
+        |FROM terms GROUP BY k_idx ORDER BY k_idx""".stripMargin
+      }),
 
     // --- per-particle local subhalo index (arepo/dataset.py:1120
     // compute_localsubhaloindex, :1236 get_localshidx): rank of the

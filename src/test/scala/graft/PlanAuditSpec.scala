@@ -665,6 +665,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx <= 1, s"expected one user_id hash exchange, got $hashEx:\n" + p.take(1500))
   }
 
+  test("power_spectrum: literal-table DFT — explode+partial agg, no join, no trig") {
+    val p = plan("power_spectrum")
+    assert(!p.toLowerCase.contains("join"),
+      "k-probes ride as an exploded literal, not a join:\n" + p.take(800))
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(!p.toUpperCase.contains("COS("),
+      "no engine trig in the data path — the literal table is the point")
+  }
+
+  test("anomaly_zscore: histogram-sized windows partitioned; stat tables broadcast") {
+    val (nw, allPart) = windowsPartitioned("anomaly_zscore")
+    assert(nw == 4 && allPart,
+      s"all four cumulative/total windows must partition by event_type (got $nw)")
+    assert(plan("anomaly_zscore").contains("BroadcastHashJoin"),
+      "5-row stat tables must broadcast")
+  }
+
   test("bpe_pair_counts: corpus pass is the word count; top-20 is TakeOrdered") {
     val p = plan("bpe_pair_counts")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
