@@ -395,6 +395,48 @@ object DedupQueries {
 
     // --- corpus n-gram statistics: global top-20 3-shingles by doc
     // frequency (partial-agg'd counts + TakeOrdered) ---
+    // --- per-doc n-gram novelty (the corpus-curation profiling
+    // statistic behind "how much of this batch is genuinely new
+    // text"): fraction of a doc's distinct 3-gram shingles whose
+    // FIRST corpus occurrence (min doc_id over carriers) is this doc.
+    // Sinks toward 0 for boilerplate-heavy docs, 1 for novel text —
+    // the per-doc view that dedup keep-rules aggregate away. Scale
+    // shape: one-pass native shingling inside the scan, ONE
+    // shingle-keyed shuffle for first-carriers, join back on shingle
+    // (both sides shingle-partitioned — no second shuffle of the
+    // exploded side), per-doc re-aggregation; the exploded frame is
+    // tracked so the self-referencing join reuses it instead of
+    // re-shingling the corpus per branch. All-integer counts until
+    // the final 6-dp division. ---
+    "ngram_novelty" -> QueryDef.sql(
+      (s, d) => {
+        val sh = graft.CacheScope.track(
+          Dedup.withShingles(QueryDef.spread(Tables.documents(s, d)),
+              "doc_id", "text", 3)
+            .select(col("doc_id"), explode(col("sh")).as("shingle")))
+        val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+        sh.join(first, Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"),
+            graft.functions.VectorOps.roundAt(
+              sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+                .cast("double") / count(lit(1)), 6).as("novelty_frac"))
+          .orderBy("doc_id")
+      },
+      shingleCte +
+        """
+        |, first AS (
+        |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+        |)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  floor((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*))*1000000 + 0.5)/1000000 AS novelty_frac
+        |FROM sh s JOIN first f USING (shingle)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
     "ngram_freq" -> QueryDef.sql(
       (s, d) => Dedup.withShingles(Tables.documents(s, d), "doc_id", "text", 3)
         .select(explode(col("sh")).as("shingle"))

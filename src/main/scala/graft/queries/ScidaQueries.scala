@@ -979,6 +979,61 @@ object ScidaQueries {
         |  count(*) AS n_halos, CAST(sum(n_members) AS BIGINT) AS total_members
         |FROM halos GROUP BY log2_bin ORDER BY log2_bin""".stripMargin),
 
+    // --- per-halo velocity dispersion (the Subfind SubhaloVelDisp
+    // analogue — group catalogs ship σ_v as a first-class halo
+    // property): per deterministic cluster, the 1-D-equivalent 3-D
+    // dispersion σ = sqrt(Σ_axes (n·Σv² − (Σv)²) / (3n²)). Exact
+    // cross-engine by construction: synthetic velocities are INTEGER
+    // deci-units, so all five moments are exact integer sums (one
+    // map-side-combined pass); the single division chain + sqrt at
+    // the end is identical IEEE on both engines. The anomaly_zscore /
+    // kmeans_step discipline applied to second moments. ---
+    "halo_veldisp" -> QueryDef.sql(
+      (s, d) => {
+        val k = col("p_partkey")
+        Tables.part(s, d)
+          .select(floor(k / 10).cast("long").as("halo"),
+            (k * 31 % 200 - 100).as("vx"),
+            (k * 57 % 200 - 100).as("vy"),
+            (k * 83 % 200 - 100).as("vz"))
+          .groupBy("halo")
+          .agg(count(lit(1)).as("n"),
+            sum("vx").as("sx"), sum(col("vx") * col("vx")).as("sxx"),
+            sum("vy").as("sy"), sum(col("vy") * col("vy")).as("syy"),
+            sum("vz").as("sz"), sum(col("vz") * col("vz")).as("szz"))
+          .select(col("halo"), col("n"),
+            graft.functions.VectorOps.roundAt(
+              col("sx").cast("double") / col("n") / 10.0, 6).as("mean_vx"),
+            graft.functions.VectorOps.roundAt(sqrt(
+              ((col("n") * col("sxx") - col("sx") * col("sx"))
+                + (col("n") * col("syy") - col("sy") * col("sy"))
+                + (col("n") * col("szz") - col("sz") * col("sz")))
+                .cast("double")
+                / (col("n") * col("n")).cast("double") / 100.0 / 3.0),
+              6).as("sigma_3d"))
+          .orderBy("halo")
+      },
+      """WITH v AS (
+        |  SELECT p_partkey // 10 AS halo,
+        |    p_partkey * 31 % 200 - 100 AS vx,
+        |    p_partkey * 57 % 200 - 100 AS vy,
+        |    p_partkey * 83 % 200 - 100 AS vz
+        |  FROM part
+        |), m AS (
+        |  SELECT halo, count(*) AS n,
+        |    sum(vx) AS sx, sum(vx*vx) AS sxx,
+        |    sum(vy) AS sy, sum(vy*vy) AS syy,
+        |    sum(vz) AS sz, sum(vz*vz) AS szz
+        |  FROM v GROUP BY halo
+        |)
+        |SELECT halo, n,
+        |  floor((CAST(sx AS DOUBLE) / n / 10.0)*1000000 + 0.5)/1000000
+        |    AS mean_vx,
+        |  floor(sqrt(CAST((n*sxx - sx*sx) + (n*syy - sy*sy) + (n*szz - sz*sz)
+        |      AS DOUBLE) / CAST(n*n AS DOUBLE) / 100.0 / 3.0)
+        |    *1000000 + 0.5)/1000000 AS sigma_3d
+        |FROM m ORDER BY halo""".stripMargin),
+
     // --- cloud-in-cell density grid (the order-2 mass-deposition
     // estimator run before power spectra; the docs' histogramdd
     // recipes are its order-1 version). Same Weyl-lattice positions

@@ -47,6 +47,27 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Streaming anomaly gate — the ONLINE half of the batch
+    * `anomaly_zscore` query: robust per-key (median, MAD) statistics
+    * are a BATCH artifact (maintained by the offline pipeline, rows
+    * (key, med_c, mad_c) in integer cents), broadcast onto the stream,
+    * and each arriving event flags as anomalous iff
+    * |cents(value) − med| > 3·MAD. Stateless (no watermark, no state
+    * store): a row's verdict is a pure function of (row, stats), so
+    * the admitted set is identical across batch, micro-batched
+    * arrival, and replay — same backfill-safety argument as the
+    * sampling/decontamination gates. Keys absent from the stats table
+    * pass un-flagged (left join): a brand-new event type must not be
+    * silently dropped by a stale model. */
+  def anomalyGate(events: DataFrame, stats: DataFrame,
+      key: String = "event_type", valueCol: String = "value"): DataFrame = {
+    val vc = floor(col(valueCol) * 100 + 0.5).cast("long")
+    events
+      .join(broadcast(stats), Seq(key), "left")
+      .withColumn("is_anomaly",
+        coalesce(abs(vc - col("med_c")) > col("mad_c") * 3, lit(false)))
+  }
+
   /** Stream-stream INTERVAL join: match each event with responses for
     * the same key arriving within [0, horizon) after it. Both sides
     * are watermarked so the engine can discard buffered rows once no

@@ -144,6 +144,38 @@ class ModelStreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 5.0, "gold"), (2L, 7.0, "basic")))
   }
 
+  test("streaming anomaly gate flags by broadcast stats; batch replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val sdf = mem.toDF().toDF("event_type", "value")
+    // batch-maintained robust stats in cents: median 500, MAD 100
+    val stats = Seq(("click", 500L, 100L)).toDF("event_type", "med_c", "mad_c")
+    val q = EventStreams.anomalyGate(sdf, stats)
+      .writeStream.format("memory").queryName("agate")
+      .outputMode("append").start()
+    val rows = Seq(
+      ("click", 5.0),   // |500-500| = 0      → normal
+      ("click", 8.1),   // |810-500| = 310    → anomaly (> 300)
+      ("click", 2.0),   // |200-500| = 300    → NOT > 300 → normal
+      ("signup", 99.0)) // no stats row       → passes un-flagged
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("agate").select("event_type", "value", "is_anomaly")
+      .as[(String, Double, Boolean)].collect().toSet
+    q.stop()
+    val expected = Set(("click", 5.0, false), ("click", 8.1, true),
+      ("click", 2.0, false), ("signup", 99.0, false))
+    assert(got == expected)
+    // batch replay over the same rows = identical verdicts (stateless
+    // gate: fate is a pure function of (row, stats))
+    val batch = EventStreams.anomalyGate(
+      rows.toDF("event_type", "value"), stats)
+      .select("event_type", "value", "is_anomaly")
+      .as[(String, Double, Boolean)].collect().toSet
+    assert(batch == expected)
+  }
+
   test("stream-stream interval join matches responses within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
