@@ -610,6 +610,50 @@ object RelationalQueries {
           element_at(col("ps"), 2).as("e50"),
           element_at(col("ps"), 3).as("e75"))),
 
+    // --- bounded-depth BFS (frontier expansion — the reachability /
+    // shortest-hop primitive completing the graph family beside
+    // pagerank_step/triangle_count): dist(v) = min hops from a
+    // literal source set, expanded K=2 rounds. Each round is ONE
+    // edge-keyed equi-join of the (tiny) frontier against the
+    // symmetrized edge set + a min-dist aggregate — the frontier
+    // broadcasts while small, the join is key-partitioned when it
+    // isn't; deeper BFS iterates the same step with localCheckpoint
+    // per round (the dedup_clusters discipline — lineage must not
+    // grow with depth). ---
+    "bfs_step" -> QueryDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val fwd = li.select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val edges = graft.CacheScope.track(
+          fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+        val sources = Seq(0L, 7L)
+        import s.implicits._
+        var dist = sources.toDF("node").withColumn("dist", lit(0L))
+        for (round <- 1 to 2) {
+          val next = dist.join(edges, dist("node") === edges("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+          dist = dist.union(next)
+            .groupBy("node").agg(min("dist").as("dist"))
+        }
+        dist.orderBy("node", "dist")
+      },
+      """WITH RECURSIVE fwd AS (
+        |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+        |  FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000
+        |), edges AS (
+        |  SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+        |), reach(node, dist) AS (
+        |  SELECT * FROM (VALUES (0, 0), (7, 0)) v(node, dist)
+        |  UNION
+        |  SELECT e.dst, r.dist + 1 FROM reach r
+        |  JOIN edges e ON e.src = r.node WHERE r.dist < 2
+        |)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(min(dist) AS BIGINT) AS dist
+        |FROM reach GROUP BY node ORDER BY node, dist""".stripMargin),
+
     // --- Bloom-prefiltered join (the explicit runtime-filter
     // pattern): a selective predicate on the dim side (urgent orders)
     // becomes a broadcast Bloom probed map-side IN THE FACT SCAN, so

@@ -277,6 +277,78 @@ object TextQueries {
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
 
+    // --- ROUGE-style n-gram overlap between paired documents (the
+    // generation-eval primitive: candidate vs reference): docs pair
+    // as (2k → ref, 2k+1 → candidate); set-ROUGE-2 over distinct
+    // bigrams, so precision = |∩|/|cand|, recall = |∩|/|ref| and
+    // F1 collapses ALGEBRAICALLY to 2|∩|/(|ref|+|cand|) — every
+    // metric one integer ratio, no float accumulation. Scale shape:
+    // one-pass native shingling inside the scan (tracked — the
+    // ref/cand self-join must not re-shingle per branch), the
+    // overlap is a (pair, bigram)-keyed equi-join, sizes a bounded
+    // partial agg; incomplete trailing pairs drop on the inner size
+    // join, zero-overlap pairs survive via the left join. ---
+    "rouge_overlap" -> QueryDef.sql(
+      (s, d) => {
+        val sh = graft.CacheScope.track(
+          QueryDef.spread(Tables.documents(s, d))
+            .select(floor(col("doc_id") / 2).cast("long").as("pair"),
+              (col("doc_id") % 2 === 1).as("is_cand"),
+              explode(graft.functions.Hashing.shingles(col("text"), 2))
+                .as("bg")))
+        val sizes = sh.groupBy("pair", "is_cand").agg(count(lit(1)).as("n"))
+        val nref = sizes.filter(!col("is_cand"))
+          .select(col("pair"), col("n").as("n_ref"))
+        val ncand = sizes.filter(col("is_cand"))
+          .select(col("pair"), col("n").as("n_cand"))
+        val ov = sh.filter(!col("is_cand")).select(col("pair"), col("bg"))
+          .join(sh.filter(col("is_cand")).select(col("pair"), col("bg")),
+            Seq("pair", "bg"))
+          .groupBy("pair").agg(count(lit(1)).as("n_overlap"))
+        nref.join(ncand, Seq("pair"))
+          .join(ov, Seq("pair"), "left")
+          .select(col("pair"), col("n_ref"), col("n_cand"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            roundAt(coalesce(col("n_overlap"), lit(0L)).cast("double")
+              / col("n_cand"), 6).as("rouge_p"),
+            roundAt(coalesce(col("n_overlap"), lit(0L)).cast("double")
+              / col("n_ref"), 6).as("rouge_r"),
+            roundAt(lit(2.0) * coalesce(col("n_overlap"), lit(0L))
+              / (col("n_ref") + col("n_cand")), 6).as("rouge_f"))
+          .orderBy("pair")
+      },
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+        |), sh AS (
+        |  SELECT doc_id // 2 AS pair, doc_id % 2 = 1 AS is_cand,
+        |    unnest(list_distinct(
+        |      CASE WHEN len(w) >= 2 THEN
+        |        list_transform(range(1, len(w)),
+        |          i -> array_to_string(w[i:i+1], ' '))
+        |      ELSE [text] END)) AS bg
+        |  FROM ws
+        |), sizes AS (
+        |  SELECT pair, is_cand, count(*) AS n FROM sh GROUP BY 1, 2
+        |), ov AS (
+        |  SELECT r.pair, count(*) AS n_overlap
+        |  FROM (SELECT pair, bg FROM sh WHERE NOT is_cand) r
+        |  JOIN (SELECT pair, bg FROM sh WHERE is_cand) c
+        |    ON c.pair = r.pair AND c.bg = r.bg
+        |  GROUP BY 1
+        |)
+        |SELECT nr.pair, nr.n AS n_ref, nc.n AS n_cand,
+        |  coalesce(o.n_overlap, 0) AS n_overlap,
+        |  floor((coalesce(o.n_overlap, 0)::DOUBLE / nc.n)*1000000 + 0.5)
+        |    /1000000 AS rouge_p,
+        |  floor((coalesce(o.n_overlap, 0)::DOUBLE / nr.n)*1000000 + 0.5)
+        |    /1000000 AS rouge_r,
+        |  floor((2.0 * coalesce(o.n_overlap, 0) / (nr.n + nc.n))*1000000 + 0.5)
+        |    /1000000 AS rouge_f
+        |FROM (SELECT pair, n FROM sizes WHERE NOT is_cand) nr
+        |JOIN (SELECT pair, n FROM sizes WHERE is_cand) nc ON nc.pair = nr.pair
+        |LEFT JOIN ov o ON o.pair = nr.pair
+        |ORDER BY nr.pair""".stripMargin),
+
     // --- within-document repetition (a Gopher quality signal): the
     // fraction of repeated 3-grams inside each doc, 1 − distinct/total
     // (total 3-grams = n_words − 2; docs too short for a 3-gram report

@@ -665,6 +665,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx <= 1, s"expected one user_id hash exchange, got $hashEx:\n" + p.take(1500))
   }
 
+  test("bfs_step: frontier expansion is equi-joins + partial min, never a product") {
+    val p = plan("bfs_step")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    assert(p.contains("partial_min"), p.take(1200))
+  }
+
+  test("rouge_overlap: overlap is a (pair,bigram) equi-join; sizes partial-agg") {
+    val p = plan("rouge_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
   test("power_spectrum: literal-table DFT — explode+partial agg, no join, no trig") {
     val p = plan("power_spectrum")
     assert(!p.toLowerCase.contains("join"),
