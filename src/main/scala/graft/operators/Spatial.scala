@@ -259,6 +259,16 @@ object Spatial {
     * aggregation key space. */
   def cicDeposit(points: DataFrame,
       x: Column, y: Column, z: Column,
+      boxSize: Double, gridN: Int): DataFrame =
+    cicDepositUnsorted(points, x, y, z, boxSize, gridN)
+      .orderBy("cell_x", "cell_y", "cell_z")
+
+  /** [[cicDeposit]] without the output ordering — for consumers that
+    * immediately re-aggregate the grid (power spectra, profile
+    * stacks): the range exchange + sort would be pure waste between
+    * two hash aggregations. */
+  def cicDepositUnsorted(points: DataFrame,
+      x: Column, y: Column, z: Column,
       boxSize: Double, gridN: Int): DataFrame = {
     require(gridN > 0 && boxSize > 0, "gridN and boxSize must be positive")
     val h = boxSize / gridN
@@ -291,7 +301,6 @@ object Spatial {
         col("c.cz").as("cell_z"))
       .agg(count(lit(1)).as("n_contrib"),
         sum(col("c.w_micro")).as("mass_micro"))
-      .orderBy("cell_x", "cell_y", "cell_z")
   }
 
   /** Periodic rectangular cutout — scida `rectangular_cutout_mask`

@@ -632,7 +632,12 @@ object RelationalQueries {
         import s.implicits._
         var dist = sources.toDF("node").withColumn("dist", lit(0L))
         for (round <- 1 to 2) {
-          val next = dist.join(edges, dist("node") === edges("src"))
+          // the frontier is small at bounded depth — broadcast it so
+          // the (cached) edge set is never re-shuffled per round; a
+          // wide-frontier BFS drops the hint and lets the equi-join
+          // key-partition both sides
+          val next = dist.hint("broadcast")
+            .join(edges, dist("node") === edges("src"))
             .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
           dist = dist.union(next)
             .groupBy("node").agg(min("dist").as("dist"))

@@ -1103,7 +1103,7 @@ object ScidaQueries {
           ((col("p_partkey") * 7919 % 100000) / 1000.0).as("x"),
           ((col("p_partkey") * 104729 % 100000) / 1000.0).as("y"),
           ((col("p_partkey") * 1299709 % 100000) / 1000.0).as("z"))
-        val grid = graft.operators.Spatial.cicDeposit(pts,
+        val grid = graft.operators.Spatial.cicDepositUnsorted(pts,
           col("x"), col("y"), col("z"), boxSize = 100.0, gridN = 20)
         val ks = psProbes.map { case (i, kx, ky, kz) => (i, kx, ky, kz) }
         val g = grid.select(col("cell_x"), col("cell_y"), col("cell_z"),
