@@ -277,6 +277,116 @@ object TextQueries {
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
 
+    // --- collocation mining by lift (the PMI-without-the-log
+    // association statistic: lift(a,b) = N·c(ab)/(c(a)·c(b)), PMI =
+    // log2(lift), and log2 is monotone — so ranking by lift IS
+    // ranking by PMI while staying in EXACT integer arithmetic:
+    // score_micro = (N·c(ab)·1e6) div (c(a)·c(b)), no engine log, no
+    // float ties at the top-k cut). Occurrence-counted word bigrams
+    // (not the dedup family's distinct shingles); min-support ≥ 5
+    // kills rare-pair noise. Scale shape: the token stream explodes
+    // ONCE (tracked) for unigram counts, bigram counting is the same
+    // map-side-combined pass over in-doc arrays, the two unigram
+    // joins are word-keyed equi-joins, the 1-row total broadcasts,
+    // top-20 is TakeOrdered. ---
+    "cooc_lift" -> QueryDef.sql(
+      (s, d) => {
+        val wl = filter(split(col("text"), " "), w => length(w) > 0)
+        val docs = QueryDef.spread(Tables.documents(s, d))
+          .select(wl.as("wl"))
+        val uni = graft.CacheScope.track(
+          docs.select(explode(col("wl")).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("c")))
+        val total = uni.agg(sum("c").as("n_total"))
+        val bg = docs.filter(size(col("wl")) >= 2)
+          .select(explode(transform(
+              sequence(lit(0), size(col("wl")) - 2),
+              i => struct(element_at(col("wl"), i + 1).as("wa"),
+                element_at(col("wl"), i + 2).as("wb")))).as("b"))
+          .groupBy(col("b.wa").as("wa"), col("b.wb").as("wb"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        bg.join(uni.select(col("w").as("wa"), col("c").as("c_a")), Seq("wa"))
+          .join(uni.select(col("w").as("wb"), col("c").as("c_b")), Seq("wb"))
+          .crossJoin(broadcast(total))
+          .withColumn("num", col("n_total") * col("c_ab") * lit(1000000L))
+          .withColumn("lift_micro", expr("num div (c_a * c_b)"))
+          .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
+            col("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("wa"), col("wb"))
+          .limit(20)
+      },
+      """WITH ws AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(w) AS word FROM ws
+        |), uc AS (
+        |  SELECT word, count(*) AS c FROM uni GROUP BY word
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uc
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM ws WHERE len(w) >= 2
+        |), bc AS (
+        |  SELECT string_split(b, ' ')[1] AS wa, string_split(b, ' ')[2] AS wb,
+        |    count(*) AS c_ab
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT bc.wa, bc.wb, bc.c_ab, a.c AS c_a, b.c AS c_b,
+        |  (t.n_total * bc.c_ab * 1000000) // (a.c * b.c) AS lift_micro
+        |FROM bc JOIN uc a ON a.word = bc.wa JOIN uc b ON b.word = bc.wb
+        |CROSS JOIN tot t
+        |ORDER BY lift_micro DESC, bc.wa, bc.wb LIMIT 20""".stripMargin),
+
+    // --- vocabulary coverage / OOV rate (the tokenizer-budget
+    // statistic: what fraction of corpus token OCCURRENCES does a
+    // top-k vocabulary cover, per source — the number that decides
+    // vocab size before training a tokenizer): vocab = top-1000
+    // words by (count desc, word) via TakeOrdered, broadcast back as
+    // a semi-join onto the exploded token stream; per-source totals
+    // and covered counts are partial aggs over the SAME tracked
+    // token frame (exploded once, not per branch). All-integer
+    // counts until the final 6-dp rate. ---
+    "vocab_coverage" -> QueryDef.sql(
+      (s, d) => {
+        val words = graft.CacheScope.track(
+          QueryDef.spread(Tables.documents(s, d))
+            .select(col("source"), explode(split(col("text"), " ")).as("word"))
+            .filter(length(col("word")) > 0))
+        val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word")).limit(1000)
+          .select("word")
+        val totals = words.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+        val covered = words.join(broadcast(vocab), Seq("word"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("n_covered"))
+        totals.join(covered, Seq("source"))
+          .select(col("source"), col("n_tokens"), col("n_covered"),
+            roundAt(lit(1.0) - col("n_covered").cast("double")
+              / col("n_tokens"), 6).as("oov_rate"))
+          .orderBy("source")
+      },
+      """WITH ws AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), words AS (
+        |  SELECT source, word FROM ws WHERE length(word) > 0
+        |), vocab AS (
+        |  SELECT word FROM (
+        |    SELECT word, count(*) AS cnt FROM words GROUP BY word
+        |    ORDER BY cnt DESC, word LIMIT 1000)
+        |), t AS (
+        |  SELECT source, count(*) AS n_tokens FROM words GROUP BY source
+        |), c AS (
+        |  SELECT source, count(*) AS n_covered FROM words
+        |  WHERE word IN (SELECT word FROM vocab) GROUP BY source
+        |)
+        |SELECT t.source, t.n_tokens, c.n_covered,
+        |  floor((1.0 - CAST(c.n_covered AS DOUBLE) / t.n_tokens)
+        |    *1000000 + 0.5)/1000000 AS oov_rate
+        |FROM t JOIN c ON c.source = t.source ORDER BY t.source""".stripMargin),
+
     // --- ROUGE-style n-gram overlap between paired documents (the
     // generation-eval primitive: candidate vs reference): docs pair
     // as (2k → ref, 2k+1 → candidate); set-ROUGE-2 over distinct

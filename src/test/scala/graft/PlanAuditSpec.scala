@@ -696,6 +696,21 @@ class PlanAuditSpec extends SparkSpec {
       "5-row stat tables must broadcast")
   }
 
+  test("vocab_coverage: vocab broadcast semi-join; coverage is partial aggs") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the top-k vocab must broadcast as a semi-join:\n" + p.take(1200))
+  }
+
+  test("cooc_lift: integer lift ordering, equi-joins only, TakeOrdered top-k") {
+    val p = plan("cooc_lift")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row total may cross in (as broadcast NLJ):\n" + p.take(800))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
   test("bpe_pair_counts: corpus pass is the word count; top-20 is TakeOrdered") {
     val p = plan("bpe_pair_counts")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
