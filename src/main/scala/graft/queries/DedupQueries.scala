@@ -24,6 +24,10 @@ object DedupQueries {
   private val simhashSigPathRef =
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_simhash_sigs_default")
+  // lsh_bucket_stats' persisted band-index handshake (same protocol)
+  private val lshBandsPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_lsh_bands_default")
   private def simhashSigPath(d: String): String =
     Fixtures.tmpPath("graft_simhash_sigs", d)
 
@@ -395,6 +399,43 @@ object DedupQueries {
 
     // --- corpus n-gram statistics: global top-20 3-shingles by doc
     // frequency (partial-agg'd counts + TakeOrdered) ---
+    // --- LSH band-bucket statistics (the skew observability the
+    // minhash family needs in production: candidate-join cost is
+    // Σ_buckets s·(s−1)/2, and ONE hot bucket — a boilerplate shingle
+    // set, a degenerate band — is the difference between an O(matches)
+    // dedup and an accidental quadratic join; this query is the
+    // monitor that catches it BEFORE the join runs). Per band:
+    // bucket count, max bucket, exact candidate-pair bound. Oracle
+    // protocol = dedup_simhash's: the build persists the band index
+    // (id, band, key) computed by the same native signature
+    // expressions, DuckDB replays the statistics relationally —
+    // banding drift, a lost doc, or a wrong bound all hash-fail
+    // (signature correctness itself is pinned by HashingSpec).
+    // s·(s−1) is even, so `div 2` stays exact integer arithmetic. ---
+    "lsh_bucket_stats" -> QueryDef.sql(
+      (s, d) => {
+        val p = Fixtures.tmpPath("graft_lsh_bands", d)
+        lshBandsPathRef.set(p)
+        Dedup.minhashBandIndex(Tables.documents(s, d), "doc_id", "text",
+            k = 3, sigLen = 64, bands = 16)
+          .write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+          .groupBy("band", "key").agg(count(lit(1)).as("sz"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_buckets"),
+            max("sz").as("max_size"),
+            sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+          .orderBy("band")
+      },
+      s"""WITH b AS (
+        |  SELECT band, key, count(*) AS sz
+        |  FROM read_parquet('${lshBandsPathRef.get}/*.parquet')
+        |  GROUP BY band, key
+        |)
+        |SELECT band, count(*) AS n_buckets, max(sz) AS max_size,
+        |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM b GROUP BY band ORDER BY band""".stripMargin),
+
     // --- per-doc n-gram novelty (the corpus-curation profiling
     // statistic behind "how much of this batch is genuinely new
     // text"): fraction of a doc's distinct 3-gram shingles whose

@@ -979,6 +979,55 @@ object ScidaQueries {
         |  count(*) AS n_halos, CAST(sum(n_members) AS BIGINT) AS total_members
         |FROM halos GROUP BY log2_bin ORDER BY log2_bin""".stripMargin),
 
+    // --- abundance-matching rank join (SHAM — subhalo abundance
+    // matching: the r-th most massive halo hosts the r-th most
+    // luminous galaxy): both catalogs rank by their ordering
+    // statistic and equi-join ON RANK. Ranks come from the bucketed
+    // two-phase PrefixSum (range exchange + O(buckets) driver
+    // statistic + narrow streaming pass) — NEVER a global
+    // unpartitioned row_number window, which would serialize each
+    // catalog through one task at scale (the shuffle_export
+    // discipline). Ordering keys are exact integers: cents fold into
+    // a composite (value desc, id asc) long, so rank assignment is
+    // deterministic on both engines with zero float comparisons. ---
+    "rank_match" -> QueryDef.sql(
+      (s, d) => {
+        def ranked(df: org.apache.spark.sql.DataFrame, id: String,
+            cents: org.apache.spark.sql.Column, base: Long) =
+          PrefixSum.exclusive(
+            df.select(col(id), cents.as("cents"),
+              ((lit(base) - cents) * 10000000L + col(id)).as("rk_key")),
+            "rk_key", lit(1), buckets = 32, outCol = "rank")
+        val h = ranked(Tables.orders(s, d), "o_orderkey",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"), 100000000L)
+          .select(col("rank"), col("o_orderkey").as("halo_id"),
+            col("cents").as("halo_cents"))
+        val g = ranked(Tables.customer(s, d), "c_custkey",
+          floor(col("c_acctbal") * 100 + 0.5).cast("long"), 1000000L)
+          .select(col("rank"), col("c_custkey").as("gal_id"),
+            col("cents").as("gal_cents"))
+        h.join(g, Seq("rank"))
+          .select(col("rank"), col("halo_id"), col("halo_cents"),
+            col("gal_id"), col("gal_cents"))
+          .orderBy("rank")
+      },
+      """WITH h AS (
+        |  SELECT o_orderkey AS halo_id,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS halo_cents,
+        |    row_number() OVER (ORDER BY floor(o_totalprice * 100 + 0.5) DESC,
+        |      o_orderkey) - 1 AS rank
+        |  FROM orders
+        |), g AS (
+        |  SELECT c_custkey AS gal_id,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS gal_cents,
+        |    row_number() OVER (ORDER BY floor(c_acctbal * 100 + 0.5) DESC,
+        |      c_custkey) - 1 AS rank
+        |  FROM customer
+        |)
+        |SELECT h.rank, h.halo_id, h.halo_cents, g.gal_id, g.gal_cents
+        |FROM h JOIN g ON g.rank = h.rank
+        |ORDER BY h.rank""".stripMargin),
+
     // --- per-halo velocity dispersion (the Subfind SubhaloVelDisp
     // analogue — group catalogs ship σ_v as a first-class halo
     // property): per deterministic cluster, the 1-D-equivalent 3-D

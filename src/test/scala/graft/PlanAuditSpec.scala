@@ -696,6 +696,19 @@ class PlanAuditSpec extends SparkSpec {
       "5-row stat tables must broadcast")
   }
 
+  test("rank_match: ranks come from PrefixSum — no global window anywhere") {
+    assert(windowsPartitioned("rank_match")._1 == 0,
+      "a global row_number window would serialize the catalog into one task")
+    val p = plan("rank_match")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("lsh_bucket_stats: bucket stats are two partial-agg passes, no window") {
+    val p = plan("lsh_bucket_stats")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(windowsPartitioned("lsh_bucket_stats")._1 == 0)
+  }
+
   test("vocab_coverage: vocab broadcast semi-join; coverage is partial aggs") {
     val p = plan("vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
