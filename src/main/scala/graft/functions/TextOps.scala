@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Deflate-compressed length of `bytes` at a FIXED level — the
+    * compression-ratio quality signal (Gopher-family filters use
+    * compressibility as an entropy proxy: highly compressible text is
+    * repetitive boilerplate, incompressible text is noise/binary
+    * spill; natural prose sits in between). Deterministic for a given
+    * input: fixed level, default strategy, zlib wrapper — no RNG, no
+    * timestamps (raw DEFLATE output depends only on input + settings
+    * in the JDK's zlib). */
+  def deflateLen(bytes: Array[Byte], level: Int = 6): Int = {
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 

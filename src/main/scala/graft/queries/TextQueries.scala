@@ -18,6 +18,14 @@ object TextQueries {
   // build writes the per-word token-count artifact to a dataset-keyed
   // path and records it; the oracle thunk — resolved AFTER builds —
   // replays the per-doc totals from that same table.
+  /** text_compress_ratio's per-doc row: the typed map's output. */
+  final case class DeflateRow(doc_id: Long, n_def: Long)
+
+  // text_compress_ratio's persisted per-doc artifact handshake
+  private val deflatePathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_deflate_default")
+
   private val bpeVocabPathRef =
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_bpe_vocab_default")
@@ -276,6 +284,50 @@ object TextQueries {
         |)
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+
+    // --- compression-ratio quality signal (the entropy proxy in
+    // Gopher-family filter suites: highly compressible text is
+    // repetitive boilerplate, incompressible text is noise — natural
+    // prose sits in between): per-doc DEFLATE length at a fixed
+    // level over UTF-8 bytes, ratio = n_def/n_raw, flagged
+    // low-entropy under 0.35. Scale shape: the deflate pass is a
+    // spread map-side typed map (CPU-bound per row — exactly the
+    // stage the full-parallelism guard exists for); everything after
+    // is a narrow projection. Oracle protocol = bpe_tokens': the
+    // build persists the per-doc deflate lengths computed by the
+    // same helper, DuckDB replays sizes/ratios/flags relationally
+    // (octet_length on both engines) — a lost doc, a duplicate, or
+    // any nondeterminism in the distributed application hash-fails;
+    // deflateLen itself is pinned by TextPipelineSpec on known
+    // compressible/incompressible inputs. ---
+    "text_compress_ratio" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val p = Fixtures.tmpPath("graft_deflate", d)
+        deflatePathRef.set(p)
+        QueryDef.spread(Tables.documents(s, d))
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, t) =>
+            DeflateRow(id, TextOps.deflateLen(
+              t.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toLong) }
+          .write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_raw")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_raw"), col("n_def"),
+            roundAt(col("n_def").cast("double") / col("n_raw"), 6).as("ratio"),
+            (col("n_def") * 100 < col("n_raw") * 35).as("low_entropy"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT d.doc_id, strlen(d.text) AS n_raw, f.n_def,
+        |  floor((CAST(f.n_def AS DOUBLE) / strlen(d.text))
+        |    *1000000 + 0.5)/1000000 AS ratio,
+        |  f.n_def * 100 < strlen(d.text) * 35 AS low_entropy
+        |FROM documents d
+        |JOIN read_parquet('${deflatePathRef.get}/*.parquet') f
+        |  ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
 
     // --- collocation mining by lift (the PMI-without-the-log
     // association statistic: lift(a,b) = N·c(ab)/(c(a)·c(b)), PMI =

@@ -51,4 +51,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(gated.count() == 3)
     assert(!gated.selectExpr("max(text like '%<p>%')").head().getBoolean(0))
   }
+
+  test("deflateLen: repetitive text compresses hard, noise doesn't; deterministic") {
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val boiler = b("click here to subscribe " * 200)
+    // xorshift noise — full-byte-range pseudo-random, fixed seed
+    var x = 0x9e3779b97f4a7c15L
+    val noise = Array.fill(4800) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x.toByte
+    }
+    val rBoiler = TextOps.deflateLen(boiler).toDouble / boiler.length
+    val rNoise = TextOps.deflateLen(noise).toDouble / noise.length
+    assert(rBoiler < 0.05, s"boilerplate should compress hard, got $rBoiler")
+    assert(rNoise > 0.9, s"noise should not compress, got $rNoise")
+    // deterministic across calls (no timestamps/RNG in the stream)
+    assert(TextOps.deflateLen(boiler) == TextOps.deflateLen(boiler))
+    assert(TextOps.deflateLen(Array.emptyByteArray) >= 0)
+  }
 }
