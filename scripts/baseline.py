@@ -106,7 +106,13 @@ def main():
         "- Load calibration: the graft column's pass measured Bench's",
         f"  fixed CPU probe at probe_sec={bench.get('probe_sec'):.3f}",
         f"  ({bench.get('cpus')} threads, best-of-{bench.get('runs', 2)}"
-        " per query). Probes are",
+        " per query across",
+        "  the recording window's passes — when ambient neighbor load",
+        "  keeps any single pass's probes above the 1.3x-clean bar, the",
+        "  recorded column is the per-query MIN over several full passes",
+        "  (each query's best attempt lands in SOME quiet segment; the",
+        "  same minima treatment the DuckDB column gets). Probes from",
+        "  all merged passes ride in the `probes` array. Probes are",
         "  INTERLEAVED every probe_seg queries (JSON `probes` array;",
         "  probes[i] precedes segment i, plus one final probe).",
         "  Per-segment rule: a query in segment i is load-contaminated",
@@ -158,10 +164,27 @@ def main():
                   if k in bench.get("queries", {}) and k not in verdict_only]
         gtot = sum(bench["queries"][k] for k in common)
         btot = sum(times[k] for k in common)
+        # graph/FoF oracles can only be spelled as RECURSIVE CTEs in
+        # SQL — a structurally inefficient expression of the algorithm
+        # (DuckDB re-joins the frontier each level) — so their rows
+        # flatter graft's aggregate. Report the aggregate both ways;
+        # the ex-recursive number is the conservative one.
+        recursive_ctes = {"halo_massfunc", "fof_groups", "dedup_clusters",
+                          "dedup_clusters_incremental", "bfs_step"}
+        nr = [k for k in common if k not in recursive_ctes]
+        gnr = sum(bench["queries"][k] for k in nr)
+        bnr = sum(times[k] for k in nr)
         lines += [
             "",
             f"**graft total on the same {len(common)} queries: {gtot:.2f} s "
             f"(baseline {btot:.2f} s) → aggregate ratio {gtot / btot:.2f}x**",
+            "",
+            f"Excluding the {len(common) - len(nr)} recursive-CTE-oracle rows"
+            f" ({', '.join(sorted(recursive_ctes & set(common)))} — their"
+            " DuckDB replays pay an inherently inefficient SQL expression of"
+            " the graph algorithm, flattering graft):"
+            f" **{len(nr)} queries, graft {gnr:.2f} s vs baseline"
+            f" {bnr:.2f} s → {gnr / bnr:.2f}x**",
             "",
             "Note: per-query ratios on this dataset carry a fixed overhead",
             "floor — Spark job scheduling + codegen is O(100 ms) per query",

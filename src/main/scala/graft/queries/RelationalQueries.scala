@@ -280,18 +280,48 @@ object RelationalQueries {
     "triangle_count" -> QueryDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val e = li.select((col("l_orderkey") % 2000).as("a"),
-          (col("l_partkey") % 2000).as("b"))
+        // tracked: the mask build and the edge probe must read ONE
+        // materialized distinct, not re-run the scan+distinct per use
+        val e = graft.CacheScope.track(
+          li.select((col("l_orderkey") % 2000).as("a"),
+            (col("l_partkey") % 2000).as("b"))
           .filter(col("a") =!= col("b"))
           .select(least(col("a"), col("b")).as("u"),
             greatest(col("a"), col("b")).as("v"))
-          .distinct()
-        val e1 = e.select(col("u").as("x"), col("v").as("y"))
-        val e2 = e.select(col("u").as("x"), col("v").as("z"))
-        val wedges = e1.join(e2, Seq("x")).filter(col("y") < col("z"))
-        wedges.join(e.select(col("u").as("y"), col("v").as("z")),
-            Seq("y", "z"))
-          .agg(count(lit(1)).as("n_triangles"))
+          .distinct())
+        // This fixture graph is DENSE over a BOUNDED vertex domain
+        // (ids are key mod 2000, ~26% of all pairs present), which
+        // flips the algorithm choice: the general sparse-graph wedge
+        // equi-join materializes Σ C(deg,2) ≈ 87M wedge rows here
+        // (measured; degree-ordering doesn't help — the graph is
+        // near-regular), while adjacency BITSETS are |V|²/64 bits =
+        // 62 KB total. So: per-vertex forward-neighbor masks (32
+        // longs) built by a word-keyed bit_or aggregate, broadcast
+        // onto the edges, and triangles = Σ_{u<v ∈ E}
+        // popcount(mask(u) ∧ mask(v)) — each triangle counted once
+        // at its lowest vertex, ~16M word-ANDs instead of an 87M-row
+        // join. At an UNBOUNDED vertex domain the wedge join is the
+        // right shape (it's what fof_groups/pagerank use); the
+        // bounded-domain bitset is the classic dense special case.
+        val masks = e
+          .select(col("u").as("n"), (col("v") / 64).cast("int").as("w"),
+            expr("shiftleft(1L, cast(v % 64 as int))").as("bit"))
+          .groupBy("n", "w").agg(expr("bit_or(bit)").as("bits"))
+          .groupBy("n")
+          .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+            .as("wb"))
+          .select(col("n"), transform(sequence(lit(0), lit(31)),
+            i => coalesce(element_at(col("wb"), i.cast("int")), lit(0L)))
+            .as("mask"))
+        e.join(broadcast(masks.select(col("n").as("u"), col("mask").as("mu"))),
+            Seq("u"))
+          .join(broadcast(masks.select(col("n").as("v"), col("mask").as("mv"))),
+            Seq("v"))
+          .select(aggregate(
+            zip_with(col("mu"), col("mv"),
+              (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+            lit(0L), (acc, c) => acc + c).as("tri"))
+          .agg(sum("tri").as("n_triangles"))
       },
       """WITH e AS (
         |  SELECT DISTINCT least(l_orderkey % 2000, l_partkey % 2000) AS u,

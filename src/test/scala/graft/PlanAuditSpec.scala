@@ -696,6 +696,14 @@ class PlanAuditSpec extends SparkSpec {
       "5-row stat tables must broadcast")
   }
 
+  test("triangle_count: 62KB adjacency masks broadcast; no wedge materialization") {
+    val p = plan("triangle_count")
+    assert(p.contains("BroadcastHashJoin"),
+      "the mask table must broadcast onto the edges:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(1200))
+  }
+
   test("rank_match: ranks come from PrefixSum — no global window anywhere") {
     assert(windowsPartitioned("rank_match")._1 == 0,
       "a global row_number window would serialize the catalog into one task")
