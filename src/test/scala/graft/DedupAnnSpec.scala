@@ -217,6 +217,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(survivors <= 50, s"bloom should prune novel hashes, kept $survivors")
   }
 
+  test("bloomMightContain long path: no false negatives, nulls definitely-absent") {
+    import spark.implicits._
+    val keys = (1L to 500L).map(_ * 7)
+    val keyDf = keys.toDF("k")
+    val bloom = keyDf.stat.bloomFilter("k", 500, 0.01)
+    val b = spark.sparkContext.broadcast(bloom)
+    def might(c: org.apache.spark.sql.Column) =
+      graft.functions.expressions.SketchProbes.bloomMightContain(c, b)
+    // every inserted long MUST probe true (no false negatives — the
+    // long probe must match stat.bloomFilter's putLong encoding; a
+    // string-encoded probe of a long-built filter returns ~all-false)
+    val hits = keyDf.filter(might(col("k"))).count()
+    assert(hits == keys.size, s"false negatives on the long path: $hits")
+    // absent keys mostly reject (fpp design point x slack)
+    val absent = (1L to 1000L).map(_ * 7 + 3).toDF("k")
+      .filter(might(col("k"))).count()
+    assert(absent <= 50, s"bloom long probe not pruning: $absent")
+    // null keys are "definitely absent": false, never null — both
+    // filter branches still partition all rows
+    val withNull = Seq(Some(7L), None).toDF("k")
+    assert(withNull.filter(might(col("k"))).count() == 1)
+    assert(withNull.filter(!might(col("k"))).count() == 1)
+  }
+
   test("semdedup prune == brute-force dominance rule on testdata") {
     import spark.implicits._
     val (indexed, centers) = graft.ann.Ivf.build(
