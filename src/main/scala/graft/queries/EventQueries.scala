@@ -71,6 +71,38 @@ object EventQueries {
         |  RANGE BETWEEN $HourNs PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin),
 
+    // --- sliding ROWS window (last-3-events rolling stats per user —
+    // the recency-feature shape beside window_running's cumulative
+    // and window_range's time-based frames, completing the window
+    // family). ROWS frames are ORDER-dependent, so the sort key is a
+    // total order — (ts_ns, event_id) — making the frame
+    // deterministic under ties; micro-quantized values keep every
+    // windowed aggregate integer-exact. One user-keyed exchange. ---
+    "window_rolling" -> QueryDef.sql(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(-2, 0)
+        Tables.events(s, d)
+          .withColumn("vm", floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_3"),
+            sum("vm").over(w).as("sum_micro_3"),
+            min("vm").over(w).as("min_micro_3"),
+            max("vm").over(w).as("max_micro_3"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_3,
+        |  CAST(sum(vm) OVER w AS BIGINT) AS sum_micro_3,
+        |  min(vm) OVER w AS min_micro_3,
+        |  max(vm) OVER w AS max_micro_3
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |  CAST(floor(value*1000000 + 0.5) AS BIGINT) AS vm FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
     // --- gap-based sessionization (lag + cumulative session index) ---
     // Times in epoch MICROS on both sides: DuckDB truncates the
     // nanosecond parquet timestamps to its microsecond TIMESTAMP, so

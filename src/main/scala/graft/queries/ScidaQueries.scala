@@ -1131,6 +1131,54 @@ object ScidaQueries {
         |FROM contrib GROUP BY cell_x, cell_y, cell_z
         |ORDER BY cell_x, cell_y, cell_z""".stripMargin),
 
+    // --- projected surface density map (Σ(x,y) — the column-density
+    // product behind weak-lensing convergence maps and the docs'
+    // projection plots): the CIC grid summed along the line of
+    // sight. One extra bounded-key partial agg over the unsorted
+    // deposit — the z-collapse happens IN the aggregation key space
+    // (grid-sized), never over particles. ---
+    "surface_density" -> QueryDef.sql(
+      (s, d) => {
+        val pts = Tables.part(s, d).select(
+          ((col("p_partkey") * 7919 % 100000) / 1000.0).as("x"),
+          ((col("p_partkey") * 104729 % 100000) / 1000.0).as("y"),
+          ((col("p_partkey") * 1299709 % 100000) / 1000.0).as("z"))
+        graft.operators.Spatial.cicDepositUnsorted(pts,
+            col("x"), col("y"), col("z"), boxSize = 100.0, gridN = 20)
+          .groupBy("cell_x", "cell_y")
+          .agg(sum("n_contrib").as("n_contrib"),
+            sum("mass_micro").as("mass_micro"))
+          .orderBy("cell_x", "cell_y")
+      },
+      """WITH pts AS (
+        |  SELECT
+        |    (p_partkey * 7919 % 100000) / 1000.0 AS x,
+        |    (p_partkey * 104729 % 100000) / 1000.0 AS y,
+        |    (p_partkey * 1299709 % 100000) / 1000.0 AS z
+        |  FROM part
+        |), offs AS (
+        |  SELECT a.dx, b.dy, c.dz
+        |  FROM (VALUES (0), (1)) a(dx), (VALUES (0), (1)) b(dy),
+        |       (VALUES (0), (1)) c(dz)
+        |), contrib AS (
+        |  SELECT
+        |    ((CAST(floor(x/5.0 - 0.5) AS BIGINT) + dx) % 20 + 20) % 20 AS cell_x,
+        |    ((CAST(floor(y/5.0 - 0.5) AS BIGINT) + dy) % 20 + 20) % 20 AS cell_y,
+        |    CAST(floor(
+        |      (CASE WHEN dx = 0 THEN 1.0 - ((x/5.0 - 0.5) - floor(x/5.0 - 0.5))
+        |            ELSE (x/5.0 - 0.5) - floor(x/5.0 - 0.5) END)
+        |      * (CASE WHEN dy = 0 THEN 1.0 - ((y/5.0 - 0.5) - floor(y/5.0 - 0.5))
+        |              ELSE (y/5.0 - 0.5) - floor(y/5.0 - 0.5) END)
+        |      * (CASE WHEN dz = 0 THEN 1.0 - ((z/5.0 - 0.5) - floor(z/5.0 - 0.5))
+        |              ELSE (z/5.0 - 0.5) - floor(z/5.0 - 0.5) END)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+        |  FROM pts CROSS JOIN offs
+        |)
+        |SELECT cell_x, cell_y, count(*) AS n_contrib,
+        |  CAST(sum(w_micro) AS BIGINT) AS mass_micro
+        |FROM contrib GROUP BY cell_x, cell_y
+        |ORDER BY cell_x, cell_y""".stripMargin),
+
     // --- matter power spectrum probe (the estimator the CIC grid
     // exists to feed — scida docs' clustering recipes): brute-force
     // DFT of the density grid at a LITERAL probe list of k-vectors.

@@ -696,6 +696,17 @@ class PlanAuditSpec extends SparkSpec {
       "5-row stat tables must broadcast")
   }
 
+  test("window_rolling: one partitioned window, deterministic total order") {
+    val (nw, allPart) = windowsPartitioned("window_rolling")
+    assert(nw == 1 && allPart)
+  }
+
+  test("surface_density: z-collapse in grid key space — no join, partial aggs") {
+    val p = plan("surface_density")
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(1200))
+  }
+
   test("triangle_count: 62KB adjacency masks broadcast; no wedge materialization") {
     val p = plan("triangle_count")
     assert(p.contains("BroadcastHashJoin"),
