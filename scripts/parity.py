@@ -75,6 +75,23 @@ def main():
             print(f"FAIL {name}: {len(diffs)}/{len(mr)} differing rows; first: "
                   f"{diffs[0][1]} vs {diffs[0][2]} (cols {mc})")
             bad += 1
+            continue
+        # Type parity: the driver hashes values AFTER a dataframe
+        # conversion, where a dtype skew (HUGEINT from an uncast
+        # DuckDB integer sum(), DECIMAL, int32-vs-int64) changes the
+        # hashed representation even when every value compares equal.
+        # r9 shipped three hash-fails with identical values for
+        # exactly this reason (uncast sum() -> HUGEINT). Compare
+        # DuckDB's view of both schemas and fail on any mismatch.
+        mty = {c: t for c, t, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()}
+        rty = {c: t for c, t, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM ({sql})").fetchall()}
+        skew = [(c, mty.get(c), rty.get(c)) for c in rty
+                if mty.get(c) != rty.get(c)]
+        if skew:
+            print(f"FAIL {name}: dtype skew (spark vs oracle): {skew}")
+            bad += 1
         else:
             print(f"ok   {name} ({len(mr)} rows)")
             ok += 1

@@ -237,6 +237,36 @@ final class GraftDataset private (
   def saveZarr(path: String, idCol: String, chunkRows: Int = 1 << 16): Unit =
     graft.sources.zarr.ZarrSave.save(df, idCol, path, chunkRows)
 
+  /** Recursive namespace-tree visitor — scida `walk_container`
+    * (reference: src/scida/fields.py:777, exercised by
+    * tests/unit/test_walk_container.py): depth-first over the
+    * `/`-separated field hierarchy. `onField(path, parent)` fires for
+    * each leaf field of a container (physical always; derived too
+    * when `withDerived=true`, mirroring `withrecipes` — and like the
+    * reference, visiting a derived entry never forces it: only the
+    * registry key is touched, the Column closure stays lazy).
+    * `onGroup(path, group)` fires for each sub-container (column
+    * namespaces AND attached catalogs, which are scida's
+    * `data["Group"]` containers) before descending into it. Paths are
+    * `/`-prefixed and hierarchy-absolute, the reference's
+    * `path + "/" + key` convention. Handlers default to no-ops
+    * (test_walk_container.py::test_walk_no_handlers). */
+  def walk(onField: (String, GraftDataset) => Unit = (_, _) => (),
+      onGroup: (String, GraftDataset) => Unit = (_, _) => (),
+      withDerived: Boolean = false, path: String = ""): Unit = {
+    val physPaths = df.columns.map(_.replace(sep, "/")).toSeq
+    val derPaths = if (withDerived) derived.keys.toSeq else Seq.empty
+    val all = (physPaths ++ derPaths).distinct
+    all.filterNot(_.contains("/"))
+      .foreach(k => onField(path + "/" + k, this))
+    val groups = all.filter(_.contains("/")).map(_.takeWhile(_ != '/')).distinct
+    (groups ++ catalogs.keys.filterNot(groups.contains)).foreach { g =>
+      val sub = catalogs.getOrElse(g, container(g))
+      onGroup(path + "/" + g, sub)
+      sub.walk(onField, onGroup, withDerived, path + "/" + g)
+    }
+  }
+
   /** Schema + units + derived-field report — scida info(). */
   def info: String = {
     val phys = df.schema.fields.map { f =>

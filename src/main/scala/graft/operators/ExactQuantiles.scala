@@ -81,10 +81,17 @@ object ExactQuantiles {
       val lo = picked(t.floor.toLong)
       val hi = picked(t.ceil.toLong)
       val v = lo + (hi - lo) * (t - t.floor)
-      // Spark round() semantics exactly: BigDecimal HALF_UP on the
-      // exact binary value (keeps oracle parity identical to the
-      // percentile()-based form this replaces)
-      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Shared floor-quantization rule (VectorOps.roundAt's), NOT
+      // BigDecimal HALF_UP: when the interpolated value lands on a
+      // decimal tie (common when the data is 2-dp money — midpoints
+      // are exact x.xxxx5 decimals), HALF_UP on the exact binary
+      // expansion and DuckDB's round() disagree ~22% of the time.
+      // floor(v*s+0.5)/s is pure double IEEE arithmetic, so an oracle
+      // replaying the SAME rank-selection + interpolation + floor
+      // formula (QueryDef.exactQuantileSql) is bit-identical by
+      // construction.
+      val s = math.pow(10, scale)
+      math.floor(v * s + 0.5) / s
     }
   }
 }

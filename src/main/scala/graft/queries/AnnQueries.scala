@@ -511,7 +511,7 @@ object AnnQueries {
           .select(col("n_queries").cast("long").as("n_queries"),
             (col("n_queries") === 10 && col("tot") >= 18).as("recall_ok"))
       },
-      "SELECT 10 AS n_queries, TRUE AS recall_ok",
+      "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
       // bench: steady-state batch probe — memoized quantizer +
       // persisted cell-partitioned corpus, no exact-recall gate (the
       // query table is re-read per execution: it is the live input)

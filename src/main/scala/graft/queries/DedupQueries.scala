@@ -496,7 +496,8 @@ object DedupQueries {
         |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
         |)
         |SELECT s.doc_id, count(*) AS n_shingles,
-        |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
         |  floor((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*))*1000000 + 0.5)/1000000 AS novelty_frac
         |FROM sh s JOIN first f USING (shingle)

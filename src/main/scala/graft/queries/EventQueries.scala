@@ -456,8 +456,8 @@ object EventQueries {
         |    max(t_end) AS i_end, count(*) AS n_spans
         |  FROM f GROUP BY user_id, island
         |)
-        |SELECT user_id, sum(i_end - i_start) AS covered_us,
-        |  count(*) AS n_islands, sum(n_spans) AS n_intervals
+        |SELECT user_id, CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+        |  count(*) AS n_islands, CAST(sum(n_spans) AS BIGINT) AS n_intervals
         |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     // --- ORDERED funnel (view → click → purchase, strictly later

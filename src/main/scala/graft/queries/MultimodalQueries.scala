@@ -26,7 +26,11 @@ object MultimodalQueries {
         BinaryMeta.withPayload(Tables.documents(s, d), "text"),
         "doc_id", "payload")
         .toDF()
-        .select(col("id"), col("n_bytes"), col("width"), col("height"), col("format"))
+        // longs, not ints: the oracle's octet_length() is BIGINT and
+        // the driver hashes dtype-sensitively (scripts/parity.py)
+        .select(col("id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"))
         // documents is key-sorted at rest and the meta pass is narrow:
         // a local sort pins the order without a range exchange (whose
         // sampling job would run the meta decode twice)

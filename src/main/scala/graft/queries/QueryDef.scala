@@ -59,6 +59,46 @@ object QueryDef {
        |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))
        |      *1000000 + 0.5)/1000000""".stripMargin
 
+  /** DuckDB replay of operators.ExactQuantiles.values — bit-identical
+    * by construction. `round(quantile_cont(...), k)` is NOT usable as
+    * an oracle for it: DuckDB's internal interpolation differs from
+    * `lo + (hi-lo)*frac` in the last ulp (measured ~37% of random
+    * draws), and DuckDB's round() vs BigDecimal HALF_UP disagree on
+    * decimal ties (~22% when values are 2-dp money). So the oracle
+    * replays the exact computation instead: rank-select the two
+    * neighbor VALUES (actual stored doubles — identical on both
+    * engines), interpolate with the same expression shape and operand
+    * order (IEEE doubles are deterministic), floor-quantize with the
+    * repo-wide floor(x*s+0.5)/s rule. Returns a scalar subquery
+    * emitting one row with one DOUBLE column per (prob, name).
+    *
+    * `probLit` must print the EXACT Scala double literal: probs are
+    * passed through "%.17g"-free toString, which round-trips, and
+    * DuckDB parses decimal literals to nearest-double the same way
+    * scalac does. */
+  def exactQuantileSql(table: String, column: String,
+      probs: Seq[(Double, String)], scale: Int = 4): String = {
+    val s = math.pow(10, scale)
+    def t(p: Double) = s"((n - 1) * CAST(${p} AS DOUBLE))"
+    def pick(rank: String) =
+      s"max(CASE WHEN r = CAST($rank AS BIGINT) THEN v END)"
+    val cols = probs.map { case (p, nm) =>
+      val lo = pick(s"floor(${t(p)})")
+      val hi = pick(s"ceil(${t(p)})")
+      // v = lo + (hi - lo) * (t - floor(t)); rounded = floor(v*s+0.5)/s
+      s"""floor((($lo + ($hi - $lo) * (${t(p)} - floor(${t(p)}))))
+         |      * ${s} + 0.5) / ${s} AS $nm""".stripMargin
+    }.mkString(",\n    ")
+    s"""SELECT
+       |    $cols
+       |  FROM (
+       |    SELECT v, row_number() OVER (ORDER BY v) - 1 AS r,
+       |      count(*) OVER () AS n
+       |    FROM (SELECT CAST($column AS DOUBLE) AS v FROM $table
+       |          WHERE $column IS NOT NULL))
+       |  GROUP BY n""".stripMargin
+  }
+
   /** Materialization barrier for the deterministic ORDER BY on a
     * MAP-ONLY result: orderBy is a range exchange whose
     * boundary-sampling job re-executes the child, and a map-only

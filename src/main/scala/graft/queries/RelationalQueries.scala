@@ -427,10 +427,11 @@ object RelationalQueries {
       (s, d) => graft.operators.ExactQuantiles.quantiles(
         Tables.lineitem(s, d), "l_extendedprice",
         probs = Seq(0.25, 0.5, 0.75), names = Seq("p25", "p50", "p75")),
-      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-        |FROM lineitem""".stripMargin),
+      // exact-replay oracle (QueryDef.exactQuantileSql): NOT
+      // round(quantile_cont(...),4) — DuckDB's interpolation differs
+      // in the last ulp and its round() differs on decimal ties
+      QueryDef.exactQuantileSql("lineitem", "l_extendedprice",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))),
 
     // --- exact per-group discrete quantiles (p50/p90 per return
     // flag). Scale shape: the heavy pass is a map-side-combined
@@ -626,11 +627,9 @@ object RelationalQueries {
           col("e50").between(col("lo50"), col("hi50")).as("ok50"),
           col("e75").between(col("lo75"), col("hi75")).as("ok75"))
       },
-      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
-        |FROM lineitem""".stripMargin,
+      s"""SELECT p25, p50, p75, TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+        |FROM (${QueryDef.exactQuantileSql("lineitem", "l_extendedprice",
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))})""".stripMargin,
       // bench: the mergeable quantile sketch alone (the exact-quantile
       // bracketing belongs to the correctness gate, not the operator)
       (s, d) => Tables.lineitem(s, d)
@@ -755,10 +754,9 @@ object RelationalQueries {
           // 3-row result: local sort, not a range exchange
           .coalesce(1).sortWithinPartitions("l_returnflag")
       },
-      """WITH b AS (
-        |  SELECT round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
-        |    round(quantile_cont(l_extendedprice, 0.99), 4) AS hi
-        |  FROM lineitem
+      s"""WITH b AS (
+        |  ${QueryDef.exactQuantileSql("lineitem", "l_extendedprice",
+             Seq(0.01 -> "lo", 0.99 -> "hi"))}
         |), c AS (
         |  SELECT l_returnflag, l_extendedprice,
         |    CAST(floor(least(greatest(l_extendedprice, lo), hi) * 10000 + 0.5)
@@ -766,9 +764,9 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN b
         |)
         |SELECT l_returnflag, count(*) AS n,
-        |  sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_lo,
-        |  sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_hi,
-        |  sum(tt) AS sum_tt,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(tt) AS BIGINT) AS sum_tt,
         |  floor((CAST(sum(tt) AS DOUBLE) / count(*) / 10000.0)*1000000 + 0.5)
         |    /1000000 AS w_mean
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),

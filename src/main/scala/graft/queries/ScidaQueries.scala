@@ -291,11 +291,9 @@ object ScidaQueries {
           .groupBy("bin").agg(count(lit(1)).as("n"))
           .orderBy("bin")
       },
-      """WITH b AS (
-        |  SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS b0,
-        |         round(quantile_cont(l_extendedprice, 0.5), 4) AS b1,
-        |         round(quantile_cont(l_extendedprice, 0.75), 4) AS b2
-        |  FROM lineitem)
+      s"""WITH b AS (
+        |  ${QueryDef.exactQuantileSql("lineitem", "l_extendedprice",
+             Seq(0.25 -> "b0", 0.5 -> "b1", 0.75 -> "b2"))})
         |SELECT CASE WHEN l_extendedprice <= b0 THEN 0
         |            WHEN l_extendedprice <= b1 THEN 1
         |            WHEN l_extendedprice <= b2 THEN 2
@@ -647,7 +645,8 @@ object ScidaQueries {
           .select(col("l_returnflag"), col("l_linestatus"),
             posexplode(col("top")))
           .select(col("l_returnflag"), col("l_linestatus"),
-            (col("pos") + 1).cast("int").as("rk"),
+            // long: DuckDB row_number() is BIGINT, driver hashes dtypes
+            (col("pos") + 1).cast("long").as("rk"),
             col("col.ok").as("l_orderkey"), col("col.ln").as("l_linenumber"),
             round(-col("col.np"), 2).as("price"))
           .orderBy("l_returnflag", "l_linestatus", "rk")

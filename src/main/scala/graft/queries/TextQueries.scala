@@ -161,8 +161,10 @@ object TextQueries {
     "text_quality" -> QueryDef.sql(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          length(col("text")).as("n_chars_c"),
-          TextOps.wsTokenCount(col("text")).as("n_words"),
+          // long, not int: DuckDB length()/len() are BIGINT, and the
+          // driver hashes dtype-sensitively (see scripts/parity.py)
+          length(col("text")).cast("long").as("n_chars_c"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("n_words"),
           roundAt(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
           roundAt(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"))
         // sorted-at-rest + narrow chain: local sort, not a global one
@@ -186,8 +188,8 @@ object TextQueries {
     "text_tokens" -> QueryDef.sql(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
-          TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
+          TextOps.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
         // sorted-at-rest + narrow chain: local sort, not a global one
         .sortWithinPartitions("doc_id"),
       s"""SELECT doc_id,
@@ -616,7 +618,7 @@ object TextQueries {
           .select("doc_id")
         kept.join(keep, Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
-            TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
+            TextOps.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
           .orderBy("doc_id")
       },
       {

@@ -249,6 +249,76 @@ object Load {
       configPath: String = defaultConfigPath): GraftDataset =
     dataset(spark, findPath(name, configPath), group)
 
+  /** Canonical dataset name from a name or alias — scida
+    * `get_dataset_by_name` (convenience.py:399): a key of the
+    * registry's `datasets` section resolves to itself; otherwise the
+    * first entry whose `aliases` list contains `name` wins; None when
+    * the registry has no match (the reference returns None rather
+    * than raising). Registry shape (config JSON, same structure as
+    * scida's config.yaml `datasets:` section):
+    * {{{
+    * { "datasets": { "tng50-4": {
+    *     "aliases": ["tng50_4"],
+    *     "properties": { "type": "simulation", "redshift": 0.0 } } } }
+    * }}} */
+  def datasetByAlias(name: String,
+      configPath: String = defaultConfigPath): Option[String] = {
+    val ds = datasetsSection(configPath)
+    if (ds.contains(name)) Some(name)
+    else ds.collectFirst {
+      case (k, v) if v.get("aliases").exists {
+        case xs: Seq[Any @unchecked] => xs.contains(name)
+        case _ => false
+      } => k
+    }
+  }
+
+  /** Dataset names whose `properties` match EVERY given (key, value)
+    * — scida `get_datasets_by_props` (convenience.py:430). Equality
+    * is on the parsed JSON values (strings, booleans, numbers-as-
+    * Double — mirror the registry's own types in `props`). */
+  def datasetsByProps(props: Map[String, Any],
+      configPath: String = defaultConfigPath): Seq[String] =
+    datasetsSection(configPath).collect {
+      case (k, v) =>
+        val p = v.get("properties").collect {
+          case m: Map[String @unchecked, Any @unchecked] => m
+        }.getOrElse(Map.empty[String, Any])
+        (k, props.forall { case (pk, pv) => p.get(pk).contains(pv) })
+    }.collect { case (k, true) => k }.toSeq.sorted
+
+  /** Candidate names by name OR properties — scida
+    * `get_dataset_candidates` (convenience.py:464). Exactly one of
+    * the two selectors must be given. */
+  def datasetCandidates(name: Option[String] = None,
+      props: Option[Map[String, Any]] = None,
+      configPath: String = defaultConfigPath): Seq[String] = (name, props) match {
+    case (Some(n), _) => datasetByAlias(n, configPath).toSeq
+    case (_, Some(p)) => datasetsByProps(p, configPath)
+    case _ => throw new IllegalArgumentException(
+      "Need to specify name or properties.")
+  }
+
+  /** THE dataset matching a name or property set — scida
+    * `get_dataset` (convenience.py:490): errors when the match is
+    * ambiguous or empty (reference error messages preserved). */
+  def datasetName(name: Option[String] = None,
+      props: Option[Map[String, Any]] = None,
+      configPath: String = defaultConfigPath): String = {
+    val c = datasetCandidates(name, props, configPath)
+    if (c.size > 1) throw new IllegalArgumentException(
+      "Too many dataset candidates.")
+    c.headOption.getOrElse(throw new IllegalArgumentException(
+      "No dataset candidate found."))
+  }
+
+  private def datasetsSection(configPath: String): Map[String, Map[String, Any]] =
+    loadConfig(configPath).get("datasets").collect {
+      case m: Map[String @unchecked, Any @unchecked] => m.collect {
+        case (k, v: Map[String @unchecked, Any @unchecked]) => k -> v
+      }
+    }.getOrElse(Map.empty)
+
   // ONE registry file for every config consumer (findPath/
   // datasetByName, unit tables, simulation identifiers) — delegating
   // here keeps the `graft.config.path` property / GRAFT_CONFIG_PATH /

@@ -11,10 +11,13 @@ class ExactQuantilesSpec extends SparkSpec {
 
   test("matches percentile() on real data across partitionings") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
+    // same floor-quantization rule as ExactQuantiles (VectorOps.roundAt),
+    // not round(): HALF_UP on binary doubles diverges on decimal ties
+    val rq = graft.functions.VectorOps.roundAt(_: org.apache.spark.sql.Column, 4)
     val expect = li
       .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
-      .select(round(element_at(col("ps"), 1), 4), round(element_at(col("ps"), 2), 4),
-        round(element_at(col("ps"), 3), 4))
+      .select(rq(element_at(col("ps"), 1)), rq(element_at(col("ps"), 2)),
+        rq(element_at(col("ps"), 3)))
       .as[(Double, Double, Double)].head()
     for (parts <- Seq(1, 3, 32)) {
       val got = ExactQuantiles.quantiles(li, "l_extendedprice",

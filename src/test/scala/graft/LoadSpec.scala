@@ -146,6 +146,47 @@ class LoadSpec extends SparkSpec {
     assert(ds.fieldNames.contains("Masses"))
   }
 
+  test("property-based dataset resolution (convenience.py:430-516)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsprops")
+    val cfg = root.resolve("config.json")
+    java.nio.file.Files.writeString(cfg,
+      """{"datasets": {
+        |  "tng50-4": {"aliases": ["tng50_4", "TNG50-4"],
+        |    "properties": {"type": "simulation", "redshift": 0.0, "public": true}},
+        |  "tng100-3": {"properties": {"type": "simulation", "redshift": 0.0}},
+        |  "eagle-cat": {"properties": {"type": "catalog"}},
+        |  "noprops": {}}}""".stripMargin)
+    val c = cfg.toString
+    // get_dataset_by_name: key resolves to itself, alias to its key,
+    // unknown to None (the reference returns None rather than raising)
+    assert(Load.datasetByAlias("tng50-4", c).contains("tng50-4"))
+    assert(Load.datasetByAlias("TNG50-4", c).contains("tng50-4"))
+    assert(Load.datasetByAlias("nope", c).isEmpty)
+    // get_datasets_by_props: every given (key, value) must match;
+    // numbers compare as the parsed Double, booleans as booleans
+    assert(Load.datasetsByProps(Map("type" -> "simulation"), c) ==
+      Seq("tng100-3", "tng50-4"))
+    assert(Load.datasetsByProps(
+      Map("type" -> "simulation", "public" -> true), c) == Seq("tng50-4"))
+    assert(Load.datasetsByProps(Map("redshift" -> 0.0), c) ==
+      Seq("tng100-3", "tng50-4"))
+    assert(Load.datasetsByProps(Map("type" -> "halo"), c).isEmpty)
+    // a dataset with no properties section matches only the empty query
+    assert(Load.datasetsByProps(Map.empty, c).size == 4)
+    // get_dataset_candidates / get_dataset: reference error messages
+    assert(Load.datasetName(name = Some("tng50_4"), configPath = c) == "tng50-4")
+    assert(Load.datasetName(props = Some(Map("type" -> "catalog")),
+      configPath = c) == "eagle-cat")
+    val tooMany = intercept[IllegalArgumentException](
+      Load.datasetName(props = Some(Map("type" -> "simulation")), configPath = c))
+    assert(tooMany.getMessage.contains("Too many dataset candidates."))
+    val none = intercept[IllegalArgumentException](
+      Load.datasetName(name = Some("nope"), configPath = c))
+    assert(none.getMessage.contains("No dataset candidate found."))
+    val neither = intercept[IllegalArgumentException](Load.datasetName(configPath = c))
+    assert(neither.getMessage.contains("Need to specify name or properties."))
+  }
+
   /** A TNG-layout snapshot+catalog fixture pair: arepo-flavored
     * snapdir_042 beside groups_042 holding Group+Subhalo containers
     * in one fof_subhalo_tab file. */
