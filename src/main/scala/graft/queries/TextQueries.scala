@@ -935,13 +935,15 @@ object TextQueries {
             .select(col("doc_id"), col("lang"),
               (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long") % 256)
                 .as("b")))
-        val cAll = occ.groupBy("b").agg(count(lit(1)).as("cr"))
-        val cT = occ.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val nAll = occ.agg(count(lit(1)).as("nr"))
-        val nT = occ.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))
-        val delta = cAll.join(cT, Seq("b"), "left").na.fill(0L, Seq("ct"))
-          .crossJoin(broadcast(nAll)).crossJoin(broadcast(nT))
+        // both LMs' bucket counts in ONE pass over the cached
+        // occurrences (conditional sum ≡ the left-join + fill(0) of
+        // the two-pass form), and both corpus totals in a second —
+        // 2 aggregation jobs instead of 4 over the same cache
+        val cnt = occ.groupBy("b").agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tot = occ.agg(count(lit(1)).as("nr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+        val delta = cnt.crossJoin(broadcast(tot))
           .select(col("b"),
             (floor(log((col("ct") + 1).cast("double")
                 / (col("nt") + 256).cast("double")) * 1000000 + 0.5).cast("long")

@@ -688,12 +688,21 @@ class PlanAuditSpec extends SparkSpec {
       "no engine trig in the data path — the literal table is the point")
   }
 
-  test("anomaly_zscore: histogram-sized windows partitioned; stat tables broadcast") {
-    val (nw, allPart) = windowsPartitioned("anomaly_zscore")
-    assert(nw == 4 && allPart,
-      s"all four cumulative/total windows must partition by event_type (got $nw)")
-    assert(plan("anomaly_zscore").contains("BroadcastHashJoin"),
-      "5-row stat tables must broadcast")
+  test("anomaly_zscore: two partial-agg passes into the native stats expression — no windows, no joins") {
+    val p = plan("anomaly_zscore")
+    // the r9 form spent 4 partitioned windows + 3 broadcast joins on a
+    // 5-row result; the robust stats now fold inside ONE expression
+    // over each type's collected histogram
+    assert(windowsPartitioned("anomaly_zscore")._1 == 0,
+      "median/MAD must come from graft_hist_robust_stats, not windows")
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+    assert(p.contains("partial_"),
+      "the raw scan must partial-agg into the (type, value) histogram:\n" + p.take(1200))
+    // the expression rides in the aggregate's resultExpressions, which
+    // executedPlan.simpleString elides — assert on the logical plan
+    assert(SparkEntry.queries("anomaly_zscore")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+      .contains("graft_hist_robust_stats"), p.take(1200))
   }
 
   test("window_rolling: one partitioned window, deterministic total order") {
