@@ -314,6 +314,40 @@ object Dedup {
       .select(col("doc_n"), col("doc_b"), col("j"))
   }
 
+  /** Within-batch AND batch→base near-dup edges from ONE batch
+    * signature pass — the edge set incremental CLUSTER maintenance
+    * consumes. `minhashLshPairs(batch) ∪ minhashIncrementalPairsFromIndex`
+    * computes the batch's shingles + 64-minhash signatures TWICE (once
+    * per call); here the shingle frame and band table are shared: the
+    * band table self-joins for the within-batch candidates and probes
+    * the persisted base index for the cross candidates, and one
+    * verify join (batch shingles ∪ base shingle table — id sets are
+    * disjoint) exact-checks both candidate slivers together. */
+  def minhashIncrementalEdgesFromIndex(baseBands: DataFrame,
+      baseShingles: DataFrame, batch: DataFrame, id: String, text: String,
+      k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
+    require(sigLen % bands == 0, "bands must divide signature length")
+    val shN = persisted(withShingles(spread(batch), id, text, k))
+    val bt = graft.CacheScope.track(bandTableOf(shN, id, sigLen, bands))
+    val candBB = bt.toDF("doc_a", "band", "key")
+      .join(bt.toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val candNB = bt.toDF("doc_a", "band", "key")
+      .join(baseBands.toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = shN.toDF("doc_a", "sh_a")
+    val sb = shN.toDF("doc_b", "sh_b")
+      .unionByName(baseShingles.toDF("doc_b", "sh_b"))
+    candBB.union(candNB)
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .withColumn("j",
+        VectorOps.roundAt(Hashing.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("j") >= minJ)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   def minhashIncrementalKeep(base: DataFrame, batch: DataFrame, id: String,
       text: String, k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
     val dropped = minhashIncrementalPairs(base, batch, id, text,
