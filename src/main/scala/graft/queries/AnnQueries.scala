@@ -695,28 +695,19 @@ object AnnQueries {
             min(col("embedding").getItem(i).cast("double"))): _*).as("mns"),
           array((0 until 64).map(i =>
             max(col("embedding").getItem(i).cast("double"))): _*).as("mxs"))
+        // codes/sum/dot/MSE in ONE native loop (graft_embed_quant_stats)
+        // — the previous transform + 2×aggregate + zip_with fold trees
+        // were re-analyzed by Catalyst per run and interpreted per
+        // element per fold; the arithmetic sequence is unchanged
+        // (subtract, /step, +0.5, floor; left-to-right error sum)
         e.crossJoin(broadcast(stats))
-          .select(col("vec_id"), col("embedding"), col("mns"), col("mxs"),
-            expr("""transform(sequence(0, 63), i ->
-              CAST(floor(CASE WHEN mxs[i] = mns[i] THEN CAST(0.0 AS DOUBLE)
-                ELSE (CAST(embedding[i] AS DOUBLE) - mns[i])
-                  / ((mxs[i] - mns[i]) / CAST(254.0 AS DOUBLE)) END
-                + CAST(0.5 AS DOUBLE)) AS BIGINT))""").as("codes"))
           .select(col("vec_id"),
-            expr("aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-              .as("q_sum"),
-            expr("""aggregate(zip_with(codes, sequence(1, 64), (c, i) -> c * CAST(i AS BIGINT)),
-              CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("q_dot"),
-            graft.functions.VectorOps.roundAt(expr("""aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) ->
-              acc + (CASE WHEN mxs[i] = mns[i]
-                  THEN CAST(0.0 AS DOUBLE)
-                  ELSE CAST(embedding[i] AS DOUBLE)
-                    - (mns[i] + CAST(codes[i] AS DOUBLE) * ((mxs[i] - mns[i]) / CAST(254.0 AS DOUBLE))) END)
-                * (CASE WHEN mxs[i] = mns[i]
-                  THEN CAST(0.0 AS DOUBLE)
-                  ELSE CAST(embedding[i] AS DOUBLE)
-                    - (mns[i] + CAST(codes[i] AS DOUBLE) * ((mxs[i] - mns[i]) / CAST(254.0 AS DOUBLE))) END))
-              / CAST(64.0 AS DOUBLE)"""), 6).as("recon_mse"))
+            graft.functions.expressions.EmbedQuantStats.of(
+              col("embedding"), col("mns"), col("mxs")).as("qs"))
+          .select(col("vec_id"), col("qs.q_sum").as("q_sum"),
+            col("qs.q_dot").as("q_dot"),
+            graft.functions.VectorOps.roundAt(col("qs.recon_mse"), 6)
+              .as("recon_mse"))
           .orderBy("vec_id")
       },
       """WITH dimstat AS (

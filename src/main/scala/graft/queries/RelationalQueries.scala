@@ -229,6 +229,12 @@ object RelationalQueries {
     "pagerank_step" -> QueryDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)
+        // edges feeds three branches, but NOT tracked: the branches'
+        // distinct exchanges are identical subtrees that ReuseExchange
+        // dedupes inside the one physical plan (measured: caching here
+        // ADDS a materialization pass and blocks AQE, ~2x slower —
+        // unlike lshCandidates, whose branches alias columns and so
+        // don't hash-match for reuse)
         val edges = li.select((col("l_orderkey") % 2000).as("src"),
           (col("l_partkey") % 2000).as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
@@ -303,6 +309,10 @@ object RelationalQueries {
         // join. At an UNBOUNDED vertex domain the wedge join is the
         // right shape (it's what fof_groups/pagerank use); the
         // bounded-domain bitset is the classic dense special case.
+        // NOT tracked: the two broadcast branches alias ABOVE the
+        // aggregation, so the bit_or exchange below them is an
+        // identical subtree ReuseExchange dedupes (measured: caching
+        // added a pass, no win)
         val masks = e
           .select(col("u").as("n"), (col("v") / 64).cast("int").as("w"),
             expr("shiftleft(1L, cast(v % 64 as int))").as("bit"))
