@@ -561,9 +561,12 @@ object Dedup {
     * key, regroup sorted by position — two shuffles total, both on
     * line/doc keys, nothing driver-side. */
   def stripBoilerplateLines(docs: DataFrame, id: String, text: String,
-      minDocs: Long, sep: String = "\n"): DataFrame =
-    stripLines(docs, id, text,
-      boilerplateLineSet(docs, id, text, minDocs, sep), sep)
+      minDocs: Long, sep: String = "\n"): DataFrame = {
+    // one tracked line table feeds BOTH the statistic and the strip —
+    // untracked, the split+posexplode pass over the corpus runs twice
+    val lines = graft.CacheScope.track(explodeLines(docs, id, text, sep))
+    stripLineTable(lines, id, text, boilerFromLines(lines, id, minDocs), sep)
+  }
 
   /** The normalized boilerplate line set (column `__norm`): lines in
     * >= minDocs distinct docs. At scale this is a maintained corpus
@@ -571,7 +574,11 @@ object Dedup {
     * set) — dedup_lines' bench variant reads it persisted. */
   def boilerplateLineSet(docs: DataFrame, id: String, text: String,
       minDocs: Long, sep: String = "\n"): DataFrame =
-    explodeLines(docs, id, text, sep)
+    boilerFromLines(explodeLines(docs, id, text, sep), id, minDocs)
+
+  private def boilerFromLines(lines: DataFrame, id: String,
+      minDocs: Long): DataFrame =
+    lines
       .filter(length(col("__norm")) > 0)
       .groupBy("__norm").agg(countDistinct(col(id)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -585,7 +592,11 @@ object Dedup {
     * only on the doc key for reassembly. ONE wide shuffle total. */
   def stripLines(docs: DataFrame, id: String, text: String,
       boiler: DataFrame, sep: String = "\n"): DataFrame =
-    explodeLines(docs, id, text, sep)
+    stripLineTable(explodeLines(docs, id, text, sep), id, text, boiler, sep)
+
+  private def stripLineTable(lines: DataFrame, id: String, text: String,
+      boiler: DataFrame, sep: String): DataFrame =
+    lines
       .join(broadcast(boiler), Seq("__norm"), "left_anti")
       .groupBy(col(id))
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))

@@ -70,7 +70,11 @@ object CorpusQueries {
 
   private def dedupLinesResult(docs: org.apache.spark.sql.DataFrame,
       boiler: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    Dedup.stripLines(docs, "doc_id", "aug", boiler)
+    dedupLinesSelect(Dedup.stripLines(docs, "doc_id", "aug", boiler))
+
+  private def dedupLinesSelect(stripped: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    stripped
       .select(col("doc_id"), md5(col("aug")).as("fp"),
         length(col("aug")).cast("bigint").as("kept_chars"))
       .orderBy("doc_id")
@@ -249,8 +253,11 @@ object CorpusQueries {
     // whose every line is boilerplate drops out entirely (C4
     // semantics: empty docs are discarded). ---
     "dedup_lines" -> QueryDef.sqlBench(
-      (s, d) => dedupLinesResult(linedDocs(s, d),
-        Dedup.boilerplateLineSet(linedDocs(s, d), "doc_id", "aug", minDocs = 3L)),
+      // gated build: stripBoilerplateLines shares ONE tracked line
+      // table between the statistic and the strip (the two-frame form
+      // re-lined and re-exploded the corpus twice)
+      (s, d) => dedupLinesSelect(Dedup.stripBoilerplateLines(
+        linedDocs(s, d), "doc_id", "aug", minDocs = 3L)),
       """WITH series AS (
         |  SELECT unnest(range(1, 65)) AS i
         |), ws AS (

@@ -759,4 +759,20 @@ class PlanAuditSpec extends SparkSpec {
       "word counting must map-side combine:\n" + p.take(1200))
     assert(!p.toLowerCase.contains("join"), p.take(800))
   }
+
+  test("dedup_lines: boilerplate strip is a BROADCAST anti-join — the line table never shuffles on the line key") {
+    val p = plan("dedup_lines")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the statistic-sized boiler set must broadcast onto the lines:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffled anti-join would move the FULL line table on __norm:\n" + p.take(1200))
+    // exchanges: the >=minDocs statistic build groups on __norm (two
+    // exchanges — countDistinct is a two-phase (__norm, doc) then
+    // (__norm) aggregate; the bench variant reads the statistic
+    // persisted and pays neither) and the reassembly groups on the
+    // doc key — nothing else may shuffle
+    val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).length
+    assert(hashEx <= 3,
+      s"expected <=3 hash exchanges (2-phase statistic + doc-key reassembly), got $hashEx:\n" + p.take(1500))
+  }
 }
