@@ -561,12 +561,15 @@ object Dedup {
     * key, regroup sorted by position — two shuffles total, both on
     * line/doc keys, nothing driver-side. */
   def stripBoilerplateLines(docs: DataFrame, id: String, text: String,
-      minDocs: Long, sep: String = "\n"): DataFrame = {
-    // one tracked line table feeds BOTH the statistic and the strip —
-    // untracked, the split+posexplode pass over the corpus runs twice
-    val lines = graft.CacheScope.track(explodeLines(docs, id, text, sep))
-    stripLineTable(lines, id, text, boilerFromLines(lines, id, minDocs), sep)
-  }
+      minDocs: Long, sep: String = "\n"): DataFrame =
+    stripLines(docs, id, text,
+      boilerplateLineSet(docs, id, text, minDocs, sep), sep)
+
+  /** The boiler set a single task can hold as a plan literal —
+    * normalized lines average tens of bytes, so 1M entries is tens of
+    * MB, the same budget a broadcast hash relation gets. Above it the
+    * strip falls back to the line-key anti-join. */
+  private val MaxLiteralBoiler = 1 << 20
 
   /** The normalized boilerplate line set (column `__norm`): lines in
     * >= minDocs distinct docs. At scale this is a maintained corpus
@@ -584,17 +587,44 @@ object Dedup {
       .filter(col("nd") >= minDocs)
       .select("__norm")
 
-  /** Drop every line in `boiler` from every doc, reassemble in
-    * original order. The >= minDocs filter makes boiler a
-    * statistic-sized set (the distinct nav/footer/banner lines of the
-    * corpus — C4 broadcasts the same set), so the anti-join is
-    * map-side: the full line table never shuffles on the line key,
-    * only on the doc key for reassembly. ONE wide shuffle total. */
+  /** Drop every line in `boiler` from every doc, keep original order.
+    * The >= minDocs filter makes boiler a statistic-sized set (the
+    * distinct nav/footer/banner lines of the corpus — C4 broadcasts
+    * the same set), so it ships to every task as a PLAN LITERAL and
+    * the corpus strips in ONE map-side pass (graft_strip_lines): no
+    * explode, no line-key join, no doc-key reassembly shuffle —
+    * nothing about the corpus moves. The limit-probe (one action, at
+    * most MaxLiteralBoiler+1 statistic rows on the driver — the
+    * quantilesOf/hotKeysOf bounded-statistic discipline) falls back
+    * to the broadcast line-key anti-join + doc-key regroup when the
+    * set is too large to ride the plan. */
   def stripLines(docs: DataFrame, id: String, text: String,
-      boiler: DataFrame, sep: String = "\n"): DataFrame =
-    stripLineTable(explodeLines(docs, id, text, sep), id, text, boiler, sep)
+      boiler: DataFrame, sep: String = "\n"): DataFrame = {
+    val probe = boiler.limit(MaxLiteralBoiler + 1).collect()
+    if (probe.length <= MaxLiteralBoiler)
+      stripLinesLiteral(docs, id, text, probe.map(_.getString(0)).toSet, sep)
+    else
+      stripLineTable(explodeLines(docs, id, text, sep), id, text, boiler, sep)
+  }
 
-  private def stripLineTable(lines: DataFrame, id: String, text: String,
+  /** The literal-set strip: one map-side pass, no corpus shuffle. A
+    * steady-state caller that maintains the boiler statistic as a
+    * memoized SET (the quantilesOf discipline) calls this directly and
+    * pays zero extra actions per execution. */
+  def stripLinesLiteral(docs: DataFrame, id: String, text: String,
+      boiler: Set[String], sep: String = "\n"): DataFrame =
+    // the 1-element explode is the documented Generate barrier: the
+    // isNotNull filter would otherwise push below the projection and
+    // re-inline the strip expression, evaluating it twice per doc
+    docs
+      .select(col(id), explode(array(graft.functions.expressions
+        .StripLines.of(col(text), sep, boiler))).as(text))
+      .filter(col(text).isNotNull)
+
+  /** The DataFrame fallback strip: broadcast anti-join on the line
+    * key, regroup on the doc key. Exercised directly by specs (and by
+    * stripLines when the boiler set exceeds the literal budget). */
+  def stripLineTable(lines: DataFrame, id: String, text: String,
       boiler: DataFrame, sep: String): DataFrame =
     lines
       .join(broadcast(boiler), Seq("__norm"), "left_anti")

@@ -760,19 +760,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), p.take(800))
   }
 
-  test("dedup_lines: boilerplate strip is a BROADCAST anti-join — the line table never shuffles on the line key") {
-    val p = plan("dedup_lines")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      "the statistic-sized boiler set must broadcast onto the lines:\n" + p.take(1200))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "a shuffled anti-join would move the FULL line table on __norm:\n" + p.take(1200))
-    // exchanges: the >=minDocs statistic build groups on __norm (two
-    // exchanges — countDistinct is a two-phase (__norm, doc) then
-    // (__norm) aggregate; the bench variant reads the statistic
-    // persisted and pays neither) and the reassembly groups on the
-    // doc key — nothing else may shuffle
-    val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).length
-    assert(hashEx <= 3,
-      s"expected <=3 hash exchanges (2-phase statistic + doc-key reassembly), got $hashEx:\n" + p.take(1500))
+  test("dedup_lines: strip is ONE map-side pass — boiler rides as a plan literal, the corpus never shuffles") {
+    // the >=minDocs statistic runs as its own bounded action (the
+    // quantilesOf discipline); the RETURNED plan is scan → strip
+    // expression → filter → output sort, with no join, no explode,
+    // and no hash exchange at all
+    val df = SparkEntry.queries("dedup_lines")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // join OPERATORS, not the string "join" (array_join appears in the
+    // fixture expression text)
+    for (op <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "CartesianProduct", "BroadcastNestedLoop"))
+      assert(!p.contains(op), s"unexpected $op:\n" + p.take(1200))
+    // exactly ONE Generate: the 1-element barrier explode that keeps
+    // the isNotNull filter from re-inlining the strip below the
+    // projection — NOT a per-line corpus explode
+    assert("Generate".r.findAllIn(p).length == 1,
+      "expected only the barrier Generate:\n" + p.take(1200))
+    assert(!p.toLowerCase.contains("hashpartitioning"),
+      "nothing about the corpus may shuffle (only the output range sort):\n" + p.take(1500))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_strip_lines"),
+      p.take(1200))
   }
 }
