@@ -915,6 +915,57 @@ object Dedup {
       .drop("__isl")
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea at word
+    * granularity): a word ENDS a chunk when its 32-bit content hash
+    * is 0 mod `mask` — boundaries depend only on LOCAL content, so a
+    * shared passage chunks identically in every document regardless
+    * of surrounding edits, which is exactly what fixed-width
+    * substring windows lose under insertion shift. Expected chunk
+    * length = `mask` words.
+    *
+    * Distributed shape: word hashing + boundary flags are map-side;
+    * the chunk-group id is a per-DOC prefix sum (window partitioned
+    * by doc — never global); chunk assembly reuses the doc
+    * partitioning. Word hash = first 8 md5 hex digits as an integer —
+    * deliberately md5, not xxhash, so the oracle replays the exact
+    * boundary rule.
+    *
+    * Output: (id, grp, h) — one row per chunk, h = md5 of the
+    * space-joined chunk text. */
+  def cdcChunks(docs: DataFrame, id: String, text: String,
+      mask: Int): DataFrame = {
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col(id), posexplode(split(col(text), " ")))
+      .toDF(id, "pos", "word")
+      .withColumn("b",
+        when(conv(substring(md5(col("word")), 1, 8), 16, 10)
+          .cast("long") % mask === 0, 1L).otherwise(0L))
+    tok
+      .withColumn("grp", coalesce(
+        sum("b").over(W.partitionBy(id).orderBy("pos")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col(id), col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("__wl"))
+      .select(col(id), col("grp"),
+        md5(concat_ws(" ", transform(col("__wl"), x => x.getField("word"))))
+          .as("h"))
+  }
+
+  /** Chunk-level dedup report over content-defined chunks: chunks
+    * appearing in >= minDocs DISTINCT documents, with occurrence
+    * count and the keeper (minimum id). The chunk-hash groupBy is the
+    * only corpus-wide shuffle — 16-byte keys, never chunk text. */
+  def cdcDupChunks(docs: DataFrame, id: String, text: String,
+      mask: Int, minDocs: Long): DataFrame =
+    cdcChunks(docs, id, text, mask)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(id)).as("n_docs"),
+        min(col(id)).as("keep_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Substring-level scrub — the REMOVAL stage on top of
     * `substringSpans` (the public exact-substring dedup recipe:
     * find duplicated spans, then delete all but one copy). Rule,

@@ -340,6 +340,37 @@ object CorpusQueries {
     // each rewritten doc rides through the gate instead of the full
     // text. Oracle replays shingle → keeper → coverage → anti-join →
     // ordered reassembly in SQL. ---
+    // --- content-defined chunk dedup (FastCDC/rsync boundaries at
+    // word granularity): a word ends a chunk when its md5-derived
+    // 32-bit hash is 0 mod 16 — a shared passage chunks identically
+    // in every doc regardless of surrounding edits (what fixed-width
+    // windows lose under insertion shift). Report: chunks in >= 2
+    // distinct docs with occurrence count + keeper. Boundary rule,
+    // prefix-sum group ids, chunk assembly and the dup stats all
+    // replay exactly in SQL (md5-substring hash, integer mod). ---
+    "dedup_cdc" -> QueryDef.sql(
+      (s, d) => Dedup.cdcDupChunks(Tables.documents(s, d),
+          "doc_id", "text", mask = 16, minDocs = 2L)
+        .orderBy("h"),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+        |        i -> struct_pack(i := i, word := ws[i],
+        |               b := CASE WHEN ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT
+        |                           % 16 = 0 THEN 1 ELSE 0 END))) AS u
+        |      FROM t),
+        |tok AS (SELECT doc_id, u.i AS i, u.word AS word, u.b AS b FROM u),
+        |g AS (SELECT doc_id, i, word,
+        |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+        |      FROM tok),
+        |ch AS (SELECT doc_id, grp, md5(string_agg(word, ' ' ORDER BY i)) AS h
+        |       FROM g GROUP BY doc_id, grp)
+        |SELECT h, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY h""".stripMargin),
+
     "substring_scrub" -> QueryDef.sql(
       (s, d) => Dedup.substringScrub(Tables.documents(s, d),
         "doc_id", "text", k = 8)
