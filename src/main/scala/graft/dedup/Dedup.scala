@@ -966,6 +966,56 @@ object Dedup {
         min(col(id)).as("keep_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Chunk-level scrub — the REMOVAL stage on top of [[cdcChunks]]
+    * (all but one copy of each cross-doc-duplicated chunk deleted;
+    * the earliest doc keeps its copy). Rule: a chunk survives iff its
+    * owner is the MINIMUM doc id over the chunk hash — resolved with
+    * a window over the hash key on the (id, grp, h) table (16-byte
+    * keys; chunk TEXT never rides the hash shuffle), then a semi-join
+    * back to the doc-partitioned chunk-text table. Output per doc:
+    * original/kept chunk counts and md5 of the space-joined kept
+    * text (docs losing every chunk keep a row with n_kept=0 and the
+    * empty-string md5 — the scrub REWRITES the corpus, it does not
+    * drop docs). */
+  def cdcScrub(docs: DataFrame, id: String, text: String,
+      mask: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col(id), posexplode(split(col(text), " ")))
+      .toDF(id, "pos", "word")
+      .withColumn("b",
+        when(conv(substring(md5(col("word")), 1, 8), 16, 10)
+          .cast("long") % mask === 0, 1L).otherwise(0L))
+      .withColumn("grp", coalesce(
+        sum("b").over(W.partitionBy(id).orderBy("pos")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val chunks = graft.CacheScope.track(tok
+      .groupBy(col(id), col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("__wl"))
+      .select(col(id), col("grp"),
+        concat_ws(" ", transform(col("__wl"), x => x.getField("word")))
+          .as("__ct"))
+      .withColumn("h", md5(col("__ct"))))
+    val kept = chunks.select(col(id), col("grp"),
+        (min(col(id)).over(W.partitionBy("h")) === col(id)).as("__keep"))
+      .filter(col("__keep")).select(id, "grp")
+    chunks
+      .join(kept, Seq(id, "grp"), "left_semi")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("grp"), col("__ct")))).as("__cl"))
+      .select(col(id), col("n_kept"),
+        md5(concat_ws(" ", transform(col("__cl"), x => x.getField("__ct"))))
+          .as("kept_md5"))
+      .join(chunks.groupBy(col(id)).agg(count(lit(1)).as("n_chunks")),
+        Seq(id), "right")
+      .select(col(id), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), lit(md5Empty)).as("kept_md5"))
+  }
+
+  private val md5Empty: String = "d41d8cd98f00b204e9800998ecf8427e"
+
   /** Substring-level scrub — the REMOVAL stage on top of
     * `substringSpans` (the public exact-substring dedup recipe:
     * find duplicated spans, then delete all but one copy). Rule,

@@ -371,6 +371,39 @@ object CorpusQueries {
         |FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY h""".stripMargin),
 
+    // --- the REMOVAL stage on top of dedup_cdc: all but one copy of
+    // each cross-doc-duplicated content-defined chunk deleted (the
+    // earliest doc keeps its copy); per-doc original/kept chunk counts
+    // + md5 of the kept text. The hash-keyed keeper window moves only
+    // (id, grp, h) — chunk text stays on the doc partitioning. ---
+    "cdc_scrub" -> QueryDef.sql(
+      (s, d) => Dedup.cdcScrub(Tables.documents(s, d),
+          "doc_id", "text", mask = 16)
+        .orderBy("doc_id"),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+        |        i -> struct_pack(i := i, word := ws[i],
+        |               b := CASE WHEN ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT
+        |                           % 16 = 0 THEN 1 ELSE 0 END))) AS u
+        |      FROM t),
+        |tok AS (SELECT doc_id, u.i AS i, u.word AS word, u.b AS b FROM u),
+        |g AS (SELECT doc_id, i, word,
+        |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+        |      FROM tok),
+        |ch AS (SELECT doc_id, grp, string_agg(word, ' ' ORDER BY i) AS ct,
+        |         md5(string_agg(word, ' ' ORDER BY i)) AS h
+        |       FROM g GROUP BY doc_id, grp),
+        |k AS (SELECT doc_id, grp, ct,
+        |        min(doc_id) OVER (PARTITION BY h) = doc_id AS keep
+        |      FROM ch)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(md5(string_agg(CASE WHEN keep THEN ct END, ' '
+        |    ORDER BY grp)), md5('')) AS kept_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     "substring_scrub" -> QueryDef.sql(
       (s, d) => Dedup.substringScrub(Tables.documents(s, d),
         "doc_id", "text", k = 8)
