@@ -662,6 +662,51 @@ object TextQueries {
     // --- content fingerprints: byte-exact md5 + canonical bag md5 ---
     // (winnowing rolling-hash fingerprint: TextOps.winnowingFingerprint,
     // spec-tested; not oracle-checked since DuckDB lacks xxhash64)
+    // --- character-entropy quality signal: H = Σ c·ln(n/c)/n nats per
+    // doc — low entropy flags repetitive gibberish/boilerplate, high
+    // flags random noise (a standard corpus-quality feature beside
+    // length/punct ratios). Scale shape: per-(doc, char) counts are
+    // one map-side-combined aggregation; the per-doc total rides a
+    // doc-partitioned window over the TINY count frame (<= alphabet
+    // rows per doc, never raw chars). ln is micro-nat-quantized on
+    // both engines (floor(ln·1e6+0.5) — the ngram_lm_score protocol),
+    // then the finish is exact integer arithmetic + one double
+    // division. ---
+    "text_entropy" -> QueryDef.sql(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val cnt = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        cnt
+          .withColumn("n", sum("c").over(W))
+          .withColumn("t",
+            floor(log(col("n").cast("double") / col("c").cast("double"))
+              * 1000000 + 0.5).cast("long") * col("c"))
+          .groupBy("doc_id")
+          .agg(max("n").as("n_chars"),
+            roundAt(sum(col("t")).cast("double")
+              / (max(col("n")) * lit(1000000L)).cast("double"), 6)
+              .as("entropy_nats"))
+          .orderBy("doc_id")
+      },
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+        |), wn AS (
+        |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt
+        |), t AS (
+        |  SELECT doc_id, n,
+        |    CAST(floor(ln(n::DOUBLE / c::DOUBLE)*1000000 + 0.5) AS BIGINT) * c AS t
+        |  FROM wn
+        |)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |  floor((CAST(sum(t) AS DOUBLE)
+        |    / CAST(max(n) * 1000000 AS DOUBLE))*1000000 + 0.5)/1000000
+        |    AS entropy_nats
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     "text_fingerprint" -> QueryDef.sql(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
