@@ -933,24 +933,20 @@ object Dedup {
     * Output: (id, grp, h) — one row per chunk, h = md5 of the
     * space-joined chunk text. */
   def cdcChunks(docs: DataFrame, id: String, text: String,
+      mask: Int): DataFrame =
+    cdcChunkText(docs, id, text, mask).select(col(id), col("grp"),
+      md5(col("__ct")).as("h"))
+
+  /** (id, grp, __ct): chunk texts in order, chunked MAP-SIDE by the
+    * one-pass graft_cdc_chunks expression — the window formulation
+    * this replaces paid a word-level explode + per-doc window shuffle
+    * + (doc, grp) regroup for a per-row computation. */
+  private def cdcChunkText(docs: DataFrame, id: String, text: String,
       mask: Int): DataFrame = {
     require(mask >= 2, s"mask must be >= 2, got $mask")
-    val W = org.apache.spark.sql.expressions.Window
-    val tok = docs
-      .select(col(id), posexplode(split(col(text), " ")))
-      .toDF(id, "pos", "word")
-      .withColumn("b",
-        when(conv(substring(md5(col("word")), 1, 8), 16, 10)
-          .cast("long") % mask === 0, 1L).otherwise(0L))
-    tok
-      .withColumn("grp", coalesce(
-        sum("b").over(W.partitionBy(id).orderBy("pos")
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .groupBy(col(id), col("grp"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("__wl"))
-      .select(col(id), col("grp"),
-        md5(concat_ws(" ", transform(col("__wl"), x => x.getField("word"))))
-          .as("h"))
+    docs.select(col(id), posexplode(
+        graft.functions.expressions.CdcChunkArray.of(col(text), mask)))
+      .toDF(id, "grp", "__ct")
   }
 
   /** Chunk-level dedup report over content-defined chunks: chunks
@@ -980,41 +976,27 @@ object Dedup {
   def cdcScrub(docs: DataFrame, id: String, text: String,
       mask: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val tok = docs
-      .select(col(id), posexplode(split(col(text), " ")))
-      .toDF(id, "pos", "word")
-      .withColumn("b",
-        when(conv(substring(md5(col("word")), 1, 8), 16, 10)
-          .cast("long") % mask === 0, 1L).otherwise(0L))
-      .withColumn("grp", coalesce(
-        sum("b").over(W.partitionBy(id).orderBy("pos")
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-    val chunks = graft.CacheScope.track(tok
-      .groupBy(col(id), col("grp"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("__wl"))
-      .select(col(id), col("grp"),
-        concat_ws(" ", transform(col("__wl"), x => x.getField("word")))
-          .as("__ct"))
-      .withColumn("h", md5(col("__ct"))))
-    val kept = chunks.select(col(id), col("grp"),
-        (min(col(id)).over(W.partitionBy("h")) === col(id)).as("__keep"))
-      .filter(col("__keep")).select(id, "grp")
+    val chunks = graft.CacheScope.track(
+      cdcChunkText(docs, id, text, mask).withColumn("h", md5(col("__ct"))))
+    // keep flags resolved on the key-only projection (the h-shuffle
+    // never carries chunk text), then ONE (id, grp) join back and ONE
+    // per-doc aggregation: counts + conditional ordered reassembly
+    // (collect_list skips the nulls of dropped chunks; concat_ws over
+    // an empty array is "", so an all-dropped doc yields md5("")
+    // without a special case)
+    val flags = chunks.select(col(id), col("grp"),
+      (min(col(id)).over(W.partitionBy("h")) === col(id)).as("__keep"))
     chunks
-      .join(kept, Seq(id, "grp"), "left_semi")
+      .join(flags, Seq(id, "grp"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_kept"),
-        array_sort(collect_list(struct(col("grp"), col("__ct")))).as("__cl"))
-      .select(col(id), col("n_kept"),
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("grp"), col("__ct"))))).as("__cl"))
+      .select(col(id), col("n_chunks"), col("n_kept"),
         md5(concat_ws(" ", transform(col("__cl"), x => x.getField("__ct"))))
           .as("kept_md5"))
-      .join(chunks.groupBy(col(id)).agg(count(lit(1)).as("n_chunks")),
-        Seq(id), "right")
-      .select(col(id), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_md5"), lit(md5Empty)).as("kept_md5"))
   }
-
-  private val md5Empty: String = "d41d8cd98f00b204e9800998ecf8427e"
 
   /** Substring-level scrub — the REMOVAL stage on top of
     * `substringSpans` (the public exact-substring dedup recipe:
