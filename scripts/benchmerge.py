@@ -10,9 +10,13 @@ when ambient neighbor load keeps any single pass's probes above the
 the same minima treatment the DuckDB column gets from baseline.py's
 interleaved passes). Probe arrays are CONCATENATED so the per-segment
 contamination rule stays evaluable against every merged pass;
-probe_sec is the min. --prior folds the graft column of a previous
-BASELINE.md in (only for queries present in the new passes — a query
-whose implementation changed still rides its new minima if faster).
+probe_sec is the min.
+
+--prior folds the graft column of a previous BASELINE.md in.
+IMPORTANT: a prior minimum recorded against an implementation that
+has since CHANGED would mask a regression forever (min() keeps the
+dead code's time) — list such queries in --exclude q1,q2 so their
+rows carry only fresh measurements.
 """
 import json, re, sys
 
@@ -30,14 +34,20 @@ def load_pass(path):
 def main():
     args = sys.argv[1:]
     prior = None
+    exclude = set()
     if "--prior" in args:
         i = args.index("--prior")
         prior = args[i + 1]
+        del args[i:i + 2]
+    if "--exclude" in args:
+        i = args.index("--exclude")
+        exclude = set(args[i + 1].split(","))
         del args[i:i + 2]
     out, paths = args[0], args[1:]
     merged = None
     for p in paths:
         d = load_pass(p)
+        d.setdefault("probes", [])
         if merged is None:
             merged = d
             merged["passes"] = 1
@@ -47,7 +57,7 @@ def main():
                     merged["queries"][k] = min(merged["queries"][k], v)
                 else:
                     merged["queries"][k] = v
-            merged["probes"] += d.get("probes", [])
+            merged["probes"] += d["probes"]
             merged["probe_sec"] = min(merged.get("probe_sec", 9e9),
                                       d.get("probe_sec", 9e9))
             merged["runs"] = max(merged.get("runs", 2), d.get("runs", 2))
@@ -57,19 +67,22 @@ def main():
         for line in open(prior):
             m = re.match(r"\| (\S+?)(?: †)? \| (?:[0-9.]+|\(gate\)) "
                          r"\| ([0-9.]+) \|", line)
-            if m and m.group(1) in merged["queries"]:
+            if m and m.group(1) in merged["queries"] \
+                    and m.group(1) not in exclude:
                 prev = float(m.group(2))
                 if prev < merged["queries"][m.group(1)]:
                     merged["queries"][m.group(1)] = prev
                     folded += 1
     merged["value"] = round(sum(merged["queries"].values()), 4)
     json.dump(merged, open(out, "w"))
+    pr = merged["probes"]
+    prange = f"{max(pr)/min(pr):.2f}" if pr and min(pr) > 0 else "n/a"
     print(f"merged {len(paths)} passes ({merged['passes']} total), "
-          f"folded {folded} prior minima, "
+          f"folded {folded} prior minima "
+          f"({len(exclude)} excluded as changed), "
           f"total {merged['value']:.2f} s over {len(merged['queries'])} queries, "
-          f"probe_sec {merged['probe_sec']:.4f}, "
-          f"probes n={len(merged['probes'])} "
-          f"max/min {max(merged['probes'])/min(merged['probes']):.2f}")
+          f"probe_sec {merged.get('probe_sec', float('nan')):.4f}, "
+          f"probes n={len(pr)} max/min {prange}")
 
 
 if __name__ == "__main__":

@@ -17,8 +17,11 @@ def main():
     qa = {d for d in os.listdir(a) if os.path.isdir(os.path.join(a, d))}
     qb = {d for d in os.listdir(b) if os.path.isdir(os.path.join(b, d))}
     both = sorted(qa & qb)
-    if qa ^ qb:
-        print(f"note: {sorted(qa ^ qb)} present in only one dump")
+    asym = sorted(qa ^ qb)
+    if asym:
+        # a query missing from one side IS a determinism failure (one
+        # run crashed or didn't write) — it must not silently drop out
+        print(f"FAIL asymmetric dumps — present in only one side: {asym}")
     con = duckdb.connect()
     bad = 0
     for q in both:
@@ -39,8 +42,9 @@ def main():
             bad += 1
         else:
             print(f"ok   {q}")
-    print(f"== {len(both) - bad} identical, {bad} differ ==")
-    sys.exit(1 if bad else 0)
+    print(f"== {len(both) - bad} identical, {bad} differ, "
+          f"{len(asym)} asymmetric ==")
+    sys.exit(1 if bad or asym else 0)
 
 
 if __name__ == "__main__":

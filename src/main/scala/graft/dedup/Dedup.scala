@@ -600,9 +600,16 @@ object Dedup {
     * set is too large to ride the plan. */
   def stripLines(docs: DataFrame, id: String, text: String,
       boiler: DataFrame, sep: String = "\n"): DataFrame = {
+    // NOTE: the limit-probe is an EAGER action at builder time (the
+    // statistic is a bounded table property, the quantilesOf
+    // discipline) — composing stripLines twice runs it twice; callers
+    // in a steady-state loop should collect the set once and call
+    // stripLinesLiteral. Column resolved BY NAME: the fallback path
+    // joins on __norm, the literal path must read the same column.
     val probe = boiler.limit(MaxLiteralBoiler + 1).collect()
     if (probe.length <= MaxLiteralBoiler)
-      stripLinesLiteral(docs, id, text, probe.map(_.getString(0)).toSet, sep)
+      stripLinesLiteral(docs, id, text,
+        probe.map(_.getAs[String]("__norm")).toSet, sep)
     else
       stripLineTable(explodeLines(docs, id, text, sep), id, text, boiler, sep)
   }

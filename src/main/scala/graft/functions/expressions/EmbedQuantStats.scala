@@ -59,7 +59,11 @@ case class EmbedQuantStats(first: Expression, second: Expression,
       val mx = ha.getDouble(i)
       var code = 0L
       var err = 0.0
-      if (mx != mn) {
+      // degenerate-dimension test mirrors Spark SQL double equality
+      // (NaN = NaN is TRUE in SQL; Java != would diverge on a NaN
+      // min/max pair and leak NaN into recon_mse)
+      val degenerate = mx == mn || (mx.isNaN && mn.isNaN)
+      if (!degenerate) {
         val step = (mx - mn) / 254.0
         code = math.floor((x - mn) / step + 0.5).toLong
         err = x - (mn + code.toDouble * step)

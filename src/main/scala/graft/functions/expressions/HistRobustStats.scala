@@ -30,6 +30,11 @@ case class HistRobustStats(child: Expression)
 
   override def prettyName: String = "graft_hist_robust_stats"
 
+  // an EMPTY histogram array yields null (there is no median of
+  // nothing) even when the child itself is non-nullable — e.g. a
+  // collect_list whose every element was filtered out
+  override def nullable: Boolean = true
+
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
     StructField("med", LongType, nullable = false),

@@ -68,10 +68,6 @@ object CorpusQueries {
         .as("aug"))
   }
 
-  private def dedupLinesResult(docs: org.apache.spark.sql.DataFrame,
-      boiler: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    dedupLinesSelect(Dedup.stripLines(docs, "doc_id", "aug", boiler))
-
   private def dedupLinesSelect(stripped: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     // tracked: the map-side strip plan has NO exchange below the
@@ -260,9 +256,9 @@ object CorpusQueries {
     // whose every line is boilerplate drops out entirely (C4
     // semantics: empty docs are discarded). ---
     "dedup_lines" -> QueryDef.sqlBench(
-      // gated build: stripBoilerplateLines shares ONE tracked line
-      // table between the statistic and the strip (the two-frame form
-      // re-lined and re-exploded the corpus twice)
+      // gated build: the statistic derives inline (one bounded probe
+      // action), then the strip is the map-side graft_strip_lines
+      // pass — see Dedup.stripBoilerplateLines/stripLines
       (s, d) => dedupLinesSelect(Dedup.stripBoilerplateLines(
         linedDocs(s, d), "doc_id", "aug", minDocs = 3L)),
       """WITH series AS (

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps.roundAt
 import graft.operators.{AsOfJoin, RangeJoin, Sessionize}

@@ -65,6 +65,22 @@ class EmbedQuantStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("NaN stats dimension matches the fold form (SQL NaN = NaN is TRUE)") {
+    // a NaN in any vector makes that dimension's min/max both NaN;
+    // the SQL fold's mxs[i] = mns[i] test is TRUE for a NaN pair
+    // (Spark NaN equality), so it takes the degenerate branch — the
+    // expression must too, not leak NaN into recon_mse via Java !=
+    val rows = Seq(
+      (1L, Seq(Float.NaN, 1f, 2f, 3f, 4f, 5f, 6f, 7f)),
+      (2L, Seq(0.5f, 1f, 2f, 3f, 4f, 5f, 6f, 7f)))
+    val mns = Double.NaN +: Seq.fill(n - 1)(-10.0)
+    val mxs = Double.NaN +: Seq.fill(n - 1)(10.0)
+    val a = viaExpr(rows, mns, mxs)
+    val b = viaFolds(rows, mns, mxs)
+    assert(a == b)
+    assert(!a.exists(_._4.isNaN), "recon_mse must not be NaN")
+  }
+
   test("double-element vectors work too") {
     val rows = Seq((1L, Seq(0.5f, 1.5f, -2f, 3f, 0f, 1f, 2f, -1f)))
     val mns = Seq.fill(n)(-5.0); val mxs = Seq.fill(n)(5.0)
