@@ -95,6 +95,27 @@ object CorpusQueries {
       s.read.parquet(p).collect().map(_.getString(0)).toSet
     })
 
+  // split_by_cluster's persisted full-corpus label table (the dedup
+  // store's primary artifact — the ccBaseFor discipline), built once
+  // per (JVM, dataset); the oracle replays split assignment and
+  // leakage from the SAME labels
+  private val ccFullPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_ccfull_default")
+  private val ccFullMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ccFullFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ccFullMemo.computeIfAbsent(d, _ => {
+      val p = Fixtures.tmpPath("graft_ccfull", d)
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, sigLen = 64, bands = 16, minJ = 0.8).select("doc_a", "doc_b")
+      Dedup.connectedComponents(docs.select("doc_id"), pairs)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   private def mixCaseSql: String =
     mixRates.map { case (l, r) =>
       f"WHEN '$l' THEN '${math.floor(r * 256).toInt}%02x'"
@@ -467,6 +488,65 @@ object CorpusQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source, split
         |ORDER BY source, split""".stripMargin),
+
+    // --- leakage-safe train/val/test assignment: a near-dup CLUSTER
+    // must land whole on one side of the split, or eval leaks
+    // training data — so the fate hash keys on the CLUSTER label
+    // (every member follows its cluster), not the doc. Also reports
+    // how many clusters the naive doc-keyed rule would have straddled
+    // (the leak the cluster rule prevents). Labels come from the
+    // persisted dedup-store artifact; both engines replay assignment
+    // + leakage from the SAME table, all md5/count arithmetic. ---
+    "split_by_cluster" -> QueryDef.sql(
+      (s, d) => {
+        val p = ccFullFor(s, d)
+        ccFullPathRef.set(p)
+        val labels = s.read.parquet(p).select(col("doc_id"), col("cluster"))
+        def fate(c: org.apache.spark.sql.Column) = {
+          val pfx = substring(md5(c.cast("string")), 1, 2)
+          when(pfx < "d0", "train").when(pfx < "e8", "val").otherwise("test")
+        }
+        val a = labels.select(col("doc_id"), col("cluster"),
+          fate(col("doc_id")).as("naive_split"),
+          fate(col("cluster")).as("split"))
+        val leaked = a.groupBy("cluster")
+          .agg(countDistinct("naive_split").as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("leaked"))
+        a.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("cluster").as("n_clusters"))
+          .crossJoin(broadcast(leaked))
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            col("leaked").as("naive_leaked_clusters"))
+          .orderBy("split")
+      },
+      s"""WITH l AS (
+        |  SELECT doc_id, cluster
+        |  FROM read_parquet('${ccFullPathRef.get}/*.parquet')
+        |), a AS (
+        |  SELECT doc_id, cluster,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'd0'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e8'
+        |           THEN 'val'
+        |         ELSE 'test' END AS naive_split,
+        |    CASE WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < 'd0'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < 'e8'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM l
+        |), lk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS leaked FROM (
+        |    SELECT cluster FROM a GROUP BY cluster
+        |    HAVING count(DISTINCT naive_split) > 1)
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |  lk.leaked AS naive_leaked_clusters
+        |FROM a CROSS JOIN lk GROUP BY split, lk.leaked
+        |ORDER BY split""".stripMargin),
 
     "sample_mix" -> QueryDef.sql(
       (s, d) => Sampling.stratifiedSample(
