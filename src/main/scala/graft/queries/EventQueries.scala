@@ -107,6 +107,47 @@ object EventQueries {
     // Times in epoch MICROS on both sides: DuckDB truncates the
     // nanosecond parquet timestamps to its microsecond TIMESTAMP, so
     // the oracle can't see nanos — `ts_ns div 1000` matches exactly.
+    // --- adjacent-duplicate event suppression (the ingest-hygiene
+    // twin of streaming dedup: double-fired beacons / client retries
+    // land within seconds of the original): an event is a dup when
+    // the previous event of the SAME (user, type) is < 5 s before it.
+    // One partitioned window over the (user, type) key — exactly the
+    // shuffle the downstream sessionize/funnel pass needs anyway —
+    // then a per-type rollup. Deterministic total order (ts_ns,
+    // event_id), all-integer nanosecond arithmetic. ---
+    "window_dedup" -> QueryDef.sql(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev", lag("ts_ns", 1).over(w))
+          .withColumn("dup", col("prev").isNotNull &&
+            col("ts_ns") - col("prev") < lit(5000000000L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("dup"), 0L).otherwise(1L)).as("n_kept"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type, ts_ns,
+        |    lag(ts_ns) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_ns, event_id) AS prev
+        |  FROM e
+        |), f AS (
+        |  SELECT event_type,
+        |    (prev IS NOT NULL AND ts_ns - prev < 5000000000) AS dup
+        |  FROM l
+        |)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT) AS n_dup,
+        |  CAST(count(CASE WHEN NOT dup THEN 1 END) AS BIGINT) AS n_kept
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     "sessionize" -> QueryDef.sql(
       // ONE range exchange feeds the whole pipeline: both session
       // windows AND the per-session rollup cluster on user_id, which
