@@ -348,6 +348,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** The dedup store's standard near-dup parameters — ONE definition
+    * site for every maintainer of the persisted label/band artifacts
+    * (ccBaseFor/ccFullFor and friends), so a retune cannot
+    * desynchronize the "same artifact" claims across modules. */
+  val StdShingleK = 3
+  val StdSigLen = 64
+  val StdBands = 16
+  val StdMinJ = 0.8
+
+  /** Full-corpus near-dup component labels at the standard parameters
+    * — the label table a dedup store persists as its primary
+    * artifact (cluster = component-minimum id). */
+  def corpusLabels(docs: DataFrame, id: String, text: String): DataFrame =
+    connectedComponents(docs.select(id),
+      minhashLshPairs(docs, id, text, StdShingleK, StdSigLen, StdBands,
+        StdMinJ).select("doc_a", "doc_b"))
+
   def minhashIncrementalKeep(base: DataFrame, batch: DataFrame, id: String,
       text: String, k: Int, sigLen: Int, bands: Int, minJ: Double): DataFrame = {
     val dropped = minhashIncrementalPairs(base, batch, id, text,

@@ -108,13 +108,30 @@ object CorpusQueries {
       d: String): String =
     ccFullMemo.computeIfAbsent(d, _ => {
       val p = Fixtures.tmpPath("graft_ccfull", d)
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        k = 3, sigLen = 64, bands = 16, minJ = 0.8).select("doc_a", "doc_b")
-      Dedup.connectedComponents(docs.select("doc_id"), pairs)
+      Dedup.corpusLabels(Tables.documents(s, d), "doc_id", "text")
         .write.mode("overwrite").parquet(p)
       p
     })
+
+  // ONE definition of the md5-prefix split fate (train:val:test =
+  // 208:24:24 / 256) — split_assign and split_by_cluster derive both
+  // the Column expression and the SQL CASE from these thresholds
+  // (the mixRates/mixCaseSql discipline), so split_by_cluster's
+  // naive-leak report can never compare against a desynchronized rule
+  private val splitTrainLt = "d0"
+  private val splitValLt = "e8"
+  private def splitFate(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val pfx = substring(md5(c.cast("string")), 1, 2)
+    when(pfx < splitTrainLt, "train")
+      .when(pfx < splitValLt, "val").otherwise("test")
+  }
+  private def splitFateSql(e: String): String =
+    s"""CASE WHEN substr(md5(CAST($e AS VARCHAR)),1,2) < '$splitTrainLt'
+       |       THEN 'train'
+       |     WHEN substr(md5(CAST($e AS VARCHAR)),1,2) < '$splitValLt'
+       |       THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 
   private def mixCaseSql: String =
     mixRates.map { case (l, r) =>
@@ -470,21 +487,13 @@ object CorpusQueries {
     // split is visible. Map-side assignment + one low-cardinality
     // groupBy at scan speed. ---
     "split_assign" -> QueryDef.sql(
-      (s, d) => {
-        val pfx = substring(md5(col("doc_id").cast("string")), 1, 2)
-        Tables.documents(s, d)
-          .withColumn("split",
-            when(pfx < "d0", "train").when(pfx < "e8", "val").otherwise("test"))
-          .groupBy("source", "split")
-          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-          .orderBy("source", "split")
-      },
-      """SELECT source,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0'
-        |         THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8'
-        |         THEN 'val'
-        |       ELSE 'test' END AS split,
+      (s, d) => Tables.documents(s, d)
+        .withColumn("split", splitFate(col("doc_id")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source", "split"),
+      s"""SELECT source,
+        |  ${splitFateSql("doc_id")} AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source, split
         |ORDER BY source, split""".stripMargin),
@@ -502,13 +511,9 @@ object CorpusQueries {
         val p = ccFullFor(s, d)
         ccFullPathRef.set(p)
         val labels = s.read.parquet(p).select(col("doc_id"), col("cluster"))
-        def fate(c: org.apache.spark.sql.Column) = {
-          val pfx = substring(md5(c.cast("string")), 1, 2)
-          when(pfx < "d0", "train").when(pfx < "e8", "val").otherwise("test")
-        }
         val a = labels.select(col("doc_id"), col("cluster"),
-          fate(col("doc_id")).as("naive_split"),
-          fate(col("cluster")).as("split"))
+          splitFate(col("doc_id")).as("naive_split"),
+          splitFate(col("cluster")).as("split"))
         val leaked = a.groupBy("cluster")
           .agg(countDistinct("naive_split").as("ns"))
           .filter(col("ns") > 1)
@@ -526,16 +531,8 @@ object CorpusQueries {
         |  FROM read_parquet('${ccFullPathRef.get}/*.parquet')
         |), a AS (
         |  SELECT doc_id, cluster,
-        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'd0'
-        |           THEN 'train'
-        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e8'
-        |           THEN 'val'
-        |         ELSE 'test' END AS naive_split,
-        |    CASE WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < 'd0'
-        |           THEN 'train'
-        |         WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < 'e8'
-        |           THEN 'val'
-        |         ELSE 'test' END AS split
+        |    ${splitFateSql("doc_id")} AS naive_split,
+        |    ${splitFateSql("cluster")} AS split
         |  FROM l
         |), lk AS (
         |  SELECT CAST(count(*) AS BIGINT) AS leaked FROM (

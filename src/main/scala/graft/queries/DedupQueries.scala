@@ -142,11 +142,8 @@ object DedupQueries {
   private def ccBaseFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     ccBaseMemo.computeIfAbsent(d, _ => {
       val p = Fixtures.tmpPath("graft_ccbase", d)
-      val base = Tables.documents(s, d)
-        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val pairs = Dedup.minhashLshPairs(base, "doc_id", "text",
-        k = 3, sigLen = 64, bands = 16, minJ = 0.8).select("doc_a", "doc_b")
-      Dedup.connectedComponents(base.select("doc_id"), pairs)
+      Dedup.corpusLabels(Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text")
         .write.mode("overwrite").parquet(p)
       p
     })

@@ -103,27 +103,29 @@ object EventQueries {
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin),
 
-    // --- gap-based sessionization (lag + cumulative session index) ---
-    // Times in epoch MICROS on both sides: DuckDB truncates the
-    // nanosecond parquet timestamps to its microsecond TIMESTAMP, so
-    // the oracle can't see nanos — `ts_ns div 1000` matches exactly.
-    // --- adjacent-duplicate event suppression (the ingest-hygiene
-    // twin of streaming dedup: double-fired beacons / client retries
-    // land within seconds of the original): an event is a dup when
-    // the previous event of the SAME (user, type) is < 5 s before it.
-    // One partitioned window over the (user, type) key — exactly the
-    // shuffle the downstream sessionize/funnel pass needs anyway —
-    // then a per-type rollup. Deterministic total order (ts_ns,
-    // event_id), all-integer nanosecond arithmetic. ---
+    // --- burst collapsing (the ingest-hygiene twin of streaming
+    // dedup: double-fired beacons / client retries land within
+    // seconds of the original): a RUN of events of the same (user,
+    // type), each < 5 s after the previous, collapses to its first
+    // event — followers are dups. (Lag-vs-previous-RAW semantics by
+    // design: a steady sub-5 s cadence IS one burst; debouncing
+    // against the last KEPT event would be a stateful chain, the
+    // streaming gate's job.) One partitioned window over the (user,
+    // type) key — exactly the shuffle the downstream sessionize /
+    // funnel pass needs anyway — then a per-type rollup. Times in
+    // epoch MICROS on both sides (the sessionize rule: DuckDB
+    // truncates nanosecond timestamps to its microsecond TIMESTAMP,
+    // so nanos must never reach a compared value); deterministic
+    // total order (ts_us, event_id). ---
     "window_dedup" -> QueryDef.sql(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id", "event_type")
-          .orderBy(col("ts_ns"), col("event_id"))
+          .orderBy(col("ts_us"), col("event_id"))
         Tables.events(s, d)
-          .withColumn("prev", lag("ts_ns", 1).over(w))
+          .withColumn("prev", lag("ts_us", 1).over(w))
           .withColumn("dup", col("prev").isNotNull &&
-            col("ts_ns") - col("prev") < lit(5000000000L))
+            col("ts_us") - col("prev") < lit(5000000L))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_total"),
             sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
@@ -131,16 +133,16 @@ object EventQueries {
           .orderBy("event_type")
       },
       """WITH e AS (
-        |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
         |  FROM events
         |), l AS (
-        |  SELECT event_type, ts_ns,
-        |    lag(ts_ns) OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts_ns, event_id) AS prev
+        |  SELECT event_type, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) AS prev
         |  FROM e
         |), f AS (
         |  SELECT event_type,
-        |    (prev IS NOT NULL AND ts_ns - prev < 5000000000) AS dup
+        |    (prev IS NOT NULL AND ts_us - prev < 5000000) AS dup
         |  FROM l
         |)
         |SELECT event_type, count(*) AS n_total,
@@ -148,6 +150,10 @@ object EventQueries {
         |  CAST(count(CASE WHEN NOT dup THEN 1 END) AS BIGINT) AS n_kept
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // --- gap-based sessionization (lag + cumulative session index) ---
+    // Times in epoch MICROS on both sides: DuckDB truncates the
+    // nanosecond parquet timestamps to its microsecond TIMESTAMP, so
+    // the oracle can't see nanos — `ts_ns div 1000` matches exactly.
     "sessionize" -> QueryDef.sql(
       // ONE range exchange feeds the whole pipeline: both session
       // windows AND the per-session rollup cluster on user_id, which
