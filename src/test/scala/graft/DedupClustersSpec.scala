@@ -149,4 +149,25 @@ class DedupClustersSpec extends SparkSpec {
     assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
       6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L))
   }
+
+  test("corpusLabels: label contract (cluster = component-minimum) and idempotence") {
+    // duplicated texts must share a label equal to the minimum id of
+    // the group; unique texts label themselves — the contract
+    // split_by_cluster/dedup_clusters_incremental's persisted
+    // artifacts rely on (cluster IS the component minimum, so merges
+    // can project onto labels without a separate min lookup)
+    val docs = Seq(
+      (3L, "the exact same text body repeated verbatim here ok"),
+      (1L, "the exact same text body repeated verbatim here ok"),
+      (7L, "a completely different document with its own words"),
+      (9L, "the exact same text body repeated verbatim here ok"))
+      .toDF("doc_id", "text")
+    val labels = Dedup.corpusLabels(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 3L -> 1L, 9L -> 1L, 7L -> 7L))
+    // idempotence: labeling an already-labeled corpus changes nothing
+    val again = Dedup.corpusLabels(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(again == labels)
+  }
 }
