@@ -665,23 +665,30 @@ object RelationalQueries {
         val fwd = li.select((col("l_orderkey") % 2000).as("src"),
           (col("l_partkey") % 2000).as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
-        val edges = graft.CacheScope.track(
-          fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+        val edges =
+          fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
         val sources = Seq(0L, 7L)
         import s.implicits._
-        var dist = sources.toDF("node").withColumn("dist", lit(0L))
-        for (round <- 1 to 2) {
-          // the frontier is small at bounded depth — broadcast it so
-          // the (cached) edge set is never re-shuffled per round; a
-          // wide-frontier BFS drops the hint and lets the equi-join
-          // key-partition both sides
-          val next = dist.hint("broadcast")
-            .join(edges, dist("node") === edges("src"))
-            .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-          dist = dist.union(next)
-            .groupBy("node").agg(min("dist").as("dist"))
-        }
-        dist.orderBy("node", "dist")
+        // Round 1's frontier is the LITERAL source set, so it is a
+        // pushed-down filter on the edge scan (reaches the parquet
+        // reader below the distinct), not a join — only the round-2
+        // frontier is data-dependent and broadcasts. This keeps the
+        // query at ONE serial broadcast wave (hop1) + the main job;
+        // the generic K-round loop (broadcast frontier ⋈ edges +
+        // min-agg, localCheckpoint per round so lineage stays flat)
+        // takes over for deeper/wider BFS where the frontier is no
+        // longer literal or broadcast-able.
+        val d1 = edges.filter(col("src").isin(sources: _*))
+          .select(col("dst").as("node"), lit(1L).as("dist"))
+        val hop1 = d1.select("node").distinct()
+        val d2 = edges.join(broadcast(hop1), edges("src") === hop1("node"))
+          .select(col("dst").as("node"), lit(2L).as("dist"))
+        sources.toDF("node").withColumn("dist", lit(0L))
+          .union(d1).union(d2)
+          .groupBy("node").agg(min("dist").as("dist"))
+          // ≤ |V| = 2000 result rows: local sort in one task, not a
+          // range exchange (whose sampling job is another serial wave)
+          .coalesce(1).sortWithinPartitions("node", "dist")
       },
       """WITH RECURSIVE fwd AS (
         |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
