@@ -665,31 +665,21 @@ object TextQueries {
     // --- character-entropy quality signal: H = Σ c·ln(n/c)/n nats per
     // doc — low entropy flags repetitive gibberish/boilerplate, high
     // flags random noise (a standard corpus-quality feature beside
-    // length/punct ratios). Scale shape: per-(doc, char) counts are
-    // one map-side-combined aggregation; the per-doc total rides a
-    // doc-partitioned window over the TINY count frame (<= alphabet
-    // rows per doc, never raw chars). ln is micro-nat-quantized on
-    // both engines (floor(ln·1e6+0.5) — the ngram_lm_score protocol),
-    // then the finish is exact integer arithmetic + one double
-    // division. ---
+    // length/punct ratios). Scale shape: entropy is a PER-DOCUMENT
+    // statistic, so the whole query is ONE map-only projection — the
+    // native graft_char_entropy expression folds the per-char counts
+    // and the micro-nat sum in a single byte-bounded loop per doc
+    // (bit-identical to the explode + window + integer-sum form it
+    // replaced; ln is micro-nat-quantized on both engines,
+    // floor(ln·1e6+0.5) — the ngram_lm_score protocol). No exchange
+    // at any scale; order rides the at-rest doc_id sort. ---
     "text_entropy" -> QueryDef.sql(
-      (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        val cnt = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-        cnt
-          .withColumn("n", sum("c").over(W))
-          .withColumn("t",
-            floor(log(col("n").cast("double") / col("c").cast("double"))
-              * 1000000 + 0.5).cast("long") * col("c"))
-          .groupBy("doc_id")
-          .agg(max("n").as("n_chars"),
-            roundAt(sum(col("t")).cast("double")
-              / (max(col("n")) * lit(1000000L)).cast("double"), 6)
-              .as("entropy_nats"))
-          .orderBy("doc_id")
-      },
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.expressions.CharEntropy.of(col("text")).as("h"))
+        .select(col("doc_id"), col("h.n_chars").as("n_chars"),
+          col("h.entropy_nats").as("entropy_nats"))
+        .sortWithinPartitions("doc_id"),
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
         |), cnt AS (
