@@ -50,26 +50,49 @@ object AsOfJoin {
 
   /** Nearest as-of: the right row closest in time in EITHER direction
     * (pandas merge_asof direction='nearest'); ties go backward.
-    * Composes the backward and forward passes — each one window over
-    * the same key — then a per-row codegen'd pick; no extra join. */
+    *
+    * ONE exchange: a single tagged union of both sides is partitioned
+    * by key once; the backward carry is `last(ignoreNulls)` over
+    * (time asc, side, payload) and the forward carry is the SAME
+    * `last(ignoreNulls)` over the REVERSED time order — both windows
+    * share the one ClusteredDistribution(key), so Catalyst plans one
+    * exchange feeding two local sorts (no second shuffle, no join).
+    * At equal times the right row sorts before the left row in BOTH
+    * directions (side 0 < 1 under a secondary ASC sort), so both
+    * carries are inclusive, and the equal-time tie among multiple
+    * right rows resolves to the largest payload string in both
+    * directions — bit-identical to the two-pass composition this
+    * replaces. */
   def asofNearest(left: DataFrame, right: DataFrame, key: String,
       time: String, payload: Seq[String],
       rangeBuckets: Int = 0): DataFrame = {
-    val bSuf = "__b"; val fSuf = "__f"
-    val bt = "__bt"; val ft = "__ft"
-    val rB = right.select((col(key) +: col(time) +:
-      payload.map(p => col(p).as(p + bSuf))): _*).withColumn(bt, col(time))
-    val rF = right.select((col(key) +: col(time) +:
-      payload.map(p => col(p).as(p + fSuf))): _*).withColumn(ft, col(time))
-    val back = asof(left, rB, key, time, payload.map(_ + bSuf) :+ bt, rangeBuckets)
-    val both = asofForward(back, rF, key, time, payload.map(_ + fSuf) :+ ft,
-      rangeBuckets)
-    val pickBack = col(ft).isNull ||
-      (col(bt).isNotNull && (col(time) - col(bt)) <= (col(ft) - col(time)))
-    val out = payload.foldLeft(both) { (df, p) =>
-      df.withColumn(p, when(pickBack, col(p + bSuf)).otherwise(col(p + fSuf)))
-    }
-    out.drop((payload.map(_ + bSuf) ++ payload.map(_ + fSuf) :+ bt :+ ft): _*)
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+    // __rt rides inside the payload struct: the picker needs the
+    // matched row's own time for the |dt| comparison on both sides
+    val r = right.select(col(key), col(time),
+        struct((payload.map(col) :+ col(time).as("__rt")): _*).as("__p"))
+      .withColumn("__side", lit(0))
+    val unioned0 = l.withColumn("__p", lit(null).cast(r.schema("__p").dataType))
+      .select((leftCols.map(col) :+ col("__side") :+ col("__p")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val unioned = if (rangeBuckets > 0)
+      unioned0.repartitionByRange(rangeBuckets, col(key)) else unioned0
+    val wB = Window.partitionBy(key)
+      .orderBy(col(time), col("__side"), col("__p").cast("string"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key)
+      .orderBy(col(time).desc, col("__side"), col("__p").cast("string"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(wF))
+    val bt = col("__b.__rt"); val ft = col("__f.__rt")
+    val pickBack = ft.isNull ||
+      (bt.isNotNull && (col(time) - bt) <= (ft - col(time)))
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p =>
+        when(pickBack, col(s"__b.$p")).otherwise(col(s"__f.$p")).as(p)): _*)
   }
 
   /** @param left  rows to enrich; must contain `key` and `time`

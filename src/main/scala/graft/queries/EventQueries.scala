@@ -286,8 +286,11 @@ object EventQueries {
         val views = e.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts_us"), col("value").as("view_value"),
             col("ts_us").as("view_ts"))
+        // rangeBuckets = 0: the two window directions share ONE hash
+        // exchange on user_id (no RangePartitioner sampling job); the
+        // display sort below is local either way
         AsOfJoin.asofNearest(clicks, views, "user_id", "ts_us",
-            Seq("view_value", "view_ts"), rangeBuckets = 32)
+            Seq("view_value", "view_ts"))
           .filter(col("view_value").isNotNull)
           .select(col("event_id"), col("user_id"),
             roundAt(col("view_value"), 2).as("view_value"),
