@@ -41,6 +41,17 @@ object Tables {
     })
   }
 
+  /** Cached read of a derived-artifact parquet path (rank tables,
+    * persisted indexes): same per-session catalog rationale — the
+    * listing/footer job runs once, consumers share the plan. Callers
+    * must key artifact paths per dataset (Fixtures.tmpPath does). */
+  def parquetCached(spark: SparkSession, path: String): DataFrame = {
+    val k = (spark, path, "__artifact__")
+    val hit = catalog.get(k)
+    if (hit != null) return hit
+    catalog.computeIfAbsent(k, _ => spark.read.parquet(path))
+  }
+
   /** events.parquet's `ts` arrives in one of two physical layouts
     * depending on the generator: TIMESTAMP(NANOS) read as an
     * epoch-nano long (GraftSession nanosAsLong), or a plain
