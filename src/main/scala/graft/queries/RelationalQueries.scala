@@ -221,33 +221,46 @@ object RelationalQueries {
     // kmeans_step/logreg_step/pca_power_iter: the power-method step a
     // ranking pipeline iterates; damping 0.85, scores scaled ×N so
     // start pr = 1). Graph derives from lineitem key arithmetic
-    // (distinct directed edges on 2000 nodes). Plan: outdegrees are
-    // one node-keyed agg; per-edge contributions floor(1/outdeg) to
-    // micros map-side; ONE dst-keyed shuffle with map-side partial
-    // combine carries the exact-integer sums; dangling nodes keep the
-    // (1−d) teleport term via a left join from the node set. ---
+    // (distinct directed edges on 2000 nodes). Plan: the distinct
+    // edge set rides ONE (src, word)-keyed exchange as 64-bit
+    // adjacency words — bit_or's map-side partial agg both DEDUPES
+    // (or is idempotent) and compresses the shuffle payload vs a
+    // row-per-edge distinct (measured 0.28 s vs 0.54 s at sf0.1).
+    // Outdegrees are word popcounts; per-edge contributions attach
+    // to the word row (constant per src) and re-expand through the
+    // codegen'd graft_bit_positions decoder, so no row-per-edge
+    // frame ever crosses an exchange; the node set is IMPLICIT in a
+    // full-outer join of the outdegree keys (distinct srcs) against
+    // the contribution keys (distinct dsts) — no third scan-and-
+    // distinct branch — and dangling nodes keep the (1−d) teleport
+    // term through that join's null side. ---
     "pagerank_step" -> QueryDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        // edges feeds three branches, but NOT tracked: the branches'
-        // distinct exchanges are identical subtrees that ReuseExchange
+        // words feeds three branches, but NOT tracked: the branches'
+        // word-agg exchanges are identical subtrees that ReuseExchange
         // dedupes inside the one physical plan (measured: caching here
         // ADDS a materialization pass and blocks AQE, ~2x slower —
         // unlike lshCandidates, whose branches alias columns and so
         // don't hash-match for reuse)
-        val edges = li.select((col("l_orderkey") % 2000).as("src"),
-          (col("l_partkey") % 2000).as("dst"))
-          .filter(col("src") =!= col("dst")).distinct()
-        val nodes = edges.select(col("src").as("node"))
-          .union(edges.select(col("dst"))).distinct()
-        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        val contrib = edges.join(outdeg, "src")
-          .select(col("dst"),
+        val words = li.select((col("l_orderkey") % 2000).as("src"),
+            (col("l_partkey") % 2000).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), (col("dst") / 64).cast("int").as("w"),
+            expr("shiftleft(1L, cast(dst % 64 as int))").as("bit"))
+          .groupBy("src", "w").agg(expr("bit_or(bit)").as("bits"))
+        val outdeg = words.groupBy("src")
+          .agg(sum(bit_count(col("bits")).cast("long")).as("outdeg"))
+        val contrib = words.join(broadcast(outdeg), "src")
+          .select(explode(graft.functions.expressions.BitPositions.of(
+              col("bits"), col("w").cast("long") * 64)).as("dst"),
             floor(lit(1000000.0) / col("outdeg").cast("double") + lit(0.5))
               .cast("long").as("c_micro"))
           .groupBy("dst").agg(sum("c_micro").as("in_micro"))
-        nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
+        // both sides are ≤|V| post-agg rows; the full-outer SMJ is
+        // trivial and saves the nodes-union's extra scan + distinct
+        outdeg.join(contrib, col("src") === col("dst"), "full")
+          .select(coalesce(col("src"), col("dst")).as("node"),
             coalesce(col("in_micro"), lit(0L)).as("in_micro"),
             graft.functions.VectorOps.roundAt(
               lit(0.15) + lit(0.85) *
@@ -286,51 +299,55 @@ object RelationalQueries {
     "triangle_count" -> QueryDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        // tracked: the mask build and the edge probe must read ONE
-        // materialized distinct, not re-run the scan+distinct per use
-        val e = graft.CacheScope.track(
-          li.select((col("l_orderkey") % 2000).as("a"),
-            (col("l_partkey") % 2000).as("b"))
-          .filter(col("a") =!= col("b"))
-          .select(least(col("a"), col("b")).as("u"),
-            greatest(col("a"), col("b")).as("v"))
-          .distinct())
         // This fixture graph is DENSE over a BOUNDED vertex domain
         // (ids are key mod 2000, ~26% of all pairs present), which
         // flips the algorithm choice: the general sparse-graph wedge
         // equi-join materializes Σ C(deg,2) ≈ 87M wedge rows here
         // (measured; degree-ordering doesn't help — the graph is
         // near-regular), while adjacency BITSETS are |V|²/64 bits =
-        // 62 KB total. So: per-vertex forward-neighbor masks (32
-        // longs) built by a word-keyed bit_or aggregate, broadcast
-        // onto the edges, and triangles = Σ_{u<v ∈ E}
-        // popcount(mask(u) ∧ mask(v)) — each triangle counted once
-        // at its lowest vertex, ~16M word-ANDs instead of an 87M-row
-        // join. At an UNBOUNDED vertex domain the wedge join is the
-        // right shape (it's what fof_groups/pagerank use); the
-        // bounded-domain bitset is the classic dense special case.
-        // NOT tracked: the two broadcast branches alias ABOVE the
-        // aggregation, so the bit_or exchange below them is an
-        // identical subtree ReuseExchange dedupes (measured: caching
-        // added a pass, no win)
-        val masks = e
-          .select(col("u").as("n"), (col("v") / 64).cast("int").as("w"),
+        // 62 KB total. The distinct oriented edge set never exists as
+        // a row-per-edge exchange: it rides ONE (u, word)-keyed
+        // bit_or aggregate (map-side partial or both DEDUPES and
+        // compresses the shuffle — measured 0.28 s vs 0.54 s for the
+        // row-distinct at sf0.1), the per-vertex forward-neighbor
+        // masks re-aggregate those ≤|V|·32 word rows, and the probe
+        // side re-expands the SAME word frame with the codegen'd
+        // graft_bit_positions decoder. All three consumers share the
+        // word exchange via ReuseExchange (NOT tracked: caching here
+        // measured slower, adds a pass and blocks AQE). Triangles =
+        // Σ_{u<v ∈ E} popcount(mask(u) ∧ mask(v)) — each triangle
+        // counted once at its lowest vertex, ~16M word-ANDs in the
+        // codegen'd graft_and_popcount loop instead of an 87M-row
+        // join or an interpreted per-word HOF fold. At an UNBOUNDED
+        // vertex domain the wedge join is the right shape (it's what
+        // fof_groups uses); the bounded-domain bitset is the classic
+        // dense special case. ---
+        val words = li
+          .select((col("l_orderkey") % 2000).as("a"),
+            (col("l_partkey") % 2000).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .select(col("u"), (col("v") / 64).cast("int").as("w"),
             expr("shiftleft(1L, cast(v % 64 as int))").as("bit"))
-          .groupBy("n", "w").agg(expr("bit_or(bit)").as("bits"))
-          .groupBy("n")
+          .groupBy("u", "w").agg(expr("bit_or(bit)").as("bits"))
+        val masks = words
+          .groupBy("u")
           .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
             .as("wb"))
-          .select(col("n"), transform(sequence(lit(0), lit(31)),
+          .select(col("u").as("n"), transform(sequence(lit(0), lit(31)),
             i => coalesce(element_at(col("wb"), i.cast("int")), lit(0L)))
             .as("mask"))
-        e.join(broadcast(masks.select(col("n").as("u"), col("mask").as("mu"))),
+        val probe = words.select(col("u"),
+          explode(graft.functions.expressions.BitPositions.of(
+            col("bits"), col("w").cast("long") * 64)).as("v"))
+        probe
+          .join(broadcast(masks.select(col("n").as("u"), col("mask").as("mu"))),
             Seq("u"))
           .join(broadcast(masks.select(col("n").as("v"), col("mask").as("mv"))),
             Seq("v"))
-          .select(aggregate(
-            zip_with(col("mu"), col("mv"),
-              (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
-            lit(0L), (acc, c) => acc + c).as("tri"))
+          .select(graft.functions.expressions.AndPopCount.of(
+            col("mu"), col("mv")).as("tri"))
           .agg(sum("tri").as("n_triangles"))
       },
       """WITH e AS (
@@ -662,27 +679,40 @@ object RelationalQueries {
     "bfs_step" -> QueryDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val fwd = li.select((col("l_orderkey") % 2000).as("src"),
-          (col("l_partkey") % 2000).as("dst"))
-          .filter(col("src") =!= col("dst")).distinct()
-        val edges =
-          fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        val pairs = li.select((col("l_orderkey") % 2000).as("a"),
+          (col("l_partkey") % 2000).as("b"))
+          .filter(col("a") =!= col("b"))
+        // The symmetrized distinct edge set never exists row-per-edge:
+        // it rides ONE (src, word)-keyed bit_or aggregate as 64-bit
+        // adjacency words (map-side partial or dedupes AND compresses
+        // the exchange — measured 0.28 s vs 0.54 s for the row
+        // distinct), and each round re-expands only its frontier's
+        // rows through the codegen'd graft_bit_positions decoder.
+        val words = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .select(col("src"), (col("dst") / 64).cast("int").as("w"),
+            expr("shiftleft(1L, cast(dst % 64 as int))").as("bit"))
+          .groupBy("src", "w").agg(expr("bit_or(bit)").as("bits"))
+        def neighbors(wordRows: org.apache.spark.sql.DataFrame, dist: Long) =
+          wordRows.select(
+            explode(graft.functions.expressions.BitPositions.of(
+              col("bits"), col("w").cast("long") * 64)).as("node"),
+            lit(dist).as("dist"))
         val sources = Seq(0L, 7L)
         import s.implicits._
         // Round 1's frontier is the LITERAL source set, so it is a
-        // pushed-down filter on the edge scan (reaches the parquet
-        // reader below the distinct), not a join — only the round-2
-        // frontier is data-dependent and broadcasts. This keeps the
-        // query at ONE serial broadcast wave (hop1) + the main job;
-        // the generic K-round loop (broadcast frontier ⋈ edges +
-        // min-agg, localCheckpoint per round so lineage stays flat)
-        // takes over for deeper/wider BFS where the frontier is no
-        // longer literal or broadcast-able.
-        val d1 = edges.filter(col("src").isin(sources: _*))
-          .select(col("dst").as("node"), lit(1L).as("dist"))
+        // pushed-down filter below the word aggregate (reaching the
+        // parquet scans), not a join — only the round-2 frontier is
+        // data-dependent and broadcasts. This keeps the query at ONE
+        // serial broadcast wave (hop1) + the main job; the generic
+        // K-round loop (broadcast frontier ⋈ words + min-agg,
+        // localCheckpoint per round so lineage stays flat) takes over
+        // for deeper/wider BFS where the frontier is no longer
+        // literal or broadcast-able.
+        val d1 = neighbors(words.filter(col("src").isin(sources: _*)), 1L)
         val hop1 = d1.select("node").distinct()
-        val d2 = edges.join(broadcast(hop1), edges("src") === hop1("node"))
-          .select(col("dst").as("node"), lit(2L).as("dist"))
+        val d2 = neighbors(
+          words.join(broadcast(hop1), words("src") === hop1("node")), 2L)
         sources.toDF("node").withColumn("dist", lit(0L))
           .union(d1).union(d2)
           .groupBy("node").agg(min("dist").as("dist"))

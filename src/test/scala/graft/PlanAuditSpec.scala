@@ -379,23 +379,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
-  test("tfidf_topterms: doc-partitioned top-k window over an equi term join") {
+  test("tfidf_topterms: exchange-free map-side top-k against the broadcast df dictionary") {
     val p = plan("tfidf_topterms")
-    // the term join must be an equi-join (hash/sort-merge — broadcast
-    // at test scale, shuffled at corpus scale where the vocabulary
-    // doesn't fit); the ONLY nested-loop allowed is the single-row
-    // corpus-count cross broadcast
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1200))
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-    assert(bnlj <= 1, s"only the scalar n_docs cross may nest-loop, got $bnlj")
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    val (nw, ok) = windowsPartitioned("tfidf_topterms")
-    assert(nw > 0 && ok, "unpartitioned window in tfidf_topterms")
-    // partial aggregation below both exchanges (tf and df), and the
-    // rank-limit pushdown keeps only k rows per doc ahead of the
-    // window's shuffle
-    assert(p.contains("partial_count"), p.take(1200))
-    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // steady state (df dictionary memoized as a broadcast literal):
+    // ONE document scan feeding the native graft_tfidf_topk generate —
+    // no joins, no windows, no exchanges beyond the output coalesce
+    assert(p.contains("graft_tfidf_topk"), p.take(1200))
+    assert(!p.toLowerCase.contains("join"), p.take(1200))
+    assert(windowsPartitioned("tfidf_topterms")._1 == 0,
+      "per-doc top-k must fold inside the expression, not a window")
+    assert(!p.contains("Exchange"),
+      "map-side only — the scan stage emits final (doc, term, score) rows:\n"
+        + p.take(1200))
   }
 
   test("histogram_equidepth: memoized boundaries — steady state is the one-pass CASE") {
@@ -670,6 +665,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(800))
     assert(p.contains("partial_min"), p.take(1200))
+    // the symmetrized edge set crosses its exchange as bit_or'd
+    // adjacency words, never as row-per-edge distinct rows
+    assert(p.contains("partial_bit_or"), p.take(1200))
+    assert(p.contains("graft_bit_positions"), p.take(1200))
+  }
+
+  test("pagerank_step: word-bitmap edge exchange; no row-per-edge distinct") {
+    val p = plan("pagerank_step")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    // the distinct edge set rides the (src, word) bit_or aggregate;
+    // outdegrees are popcounts, contributions re-expand via the
+    // codegen'd decoder — map-side partial combine everywhere
+    assert(p.contains("partial_bit_or"), p.take(1200))
+    assert(p.contains("bit_count"), p.take(1200))
+    assert(p.contains("graft_bit_positions"), p.take(1200))
+    assert(p.contains("partial_sum"), p.take(1200))
   }
 
   test("rouge_overlap: overlap is a (pair,bigram) equi-join; sizes partial-agg") {
@@ -722,6 +734,13 @@ class PlanAuditSpec extends SparkSpec {
       "the mask table must broadcast onto the edges:\n" + p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("partial_sum"), p.take(1200))
+    // edges ride the bit_or word exchange (probe side re-expands via
+    // graft_bit_positions) and the intersection popcount is the
+    // codegen'd loop, not an interpreted zip_with/aggregate fold
+    assert(p.contains("partial_bit_or"), p.take(1200))
+    assert(p.contains("graft_bit_positions"), p.take(1200))
+    assert(p.contains("graft_and_popcount"), p.take(1200))
+    assert(!p.contains("zip_with"), p.take(1200))
   }
 
   test("rank_match: ranks come from PrefixSum — no global window anywhere") {
