@@ -939,6 +939,77 @@ object Dedup {
       .drop("__isl")
   }
 
+  /** Variable-length MAXIMAL duplicated spans — the longest-match
+    * semantics of exact-substring training-data dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better": their ExactSubstr reports maximal verbatim-repeated
+    * token spans via a suffix array; reference counterpart of
+    * `substringSpans`' fixed-k islands). Distributed reformulation
+    * without a global suffix array, via suffix-ordered shingle
+    * CHAINS: every occurrence of a duplicated k-shingle is ALIGNED
+    * against the corpus-first occurrence of the same content (the
+    * partner: min (doc, pos) over the hash group; the first
+    * occurrence itself aligns against the second), and consecutive
+    * positions whose alignments advance in lockstep — same partner
+    * doc, same diagonal (partnerPos − pos) — chain into one span.
+    * Every k-window of a chained span equals the partner's window
+    * pairwise, so the WHOLE span is verbatim duplicated at the
+    * partner offset: spans are exact (no false positives, unlike the
+    * every-window-duplicated-somewhere relaxation), variable-length,
+    * and maximal relative to the first-occurrence partner choice —
+    * a window whose content first occurs in some third location
+    * splits the chain (the conservative direction). Within-doc
+    * repeats count (Lee et al. semantics), unlike substringSpans'
+    * cross-doc-only rule.
+    *
+    * Scale shape: positional shingles map-side (native expression);
+    * ONE hash-keyed exchange feeds the (first-occurrence, count)
+    * aggregate, the join-back, and the second-minimum aggregate (the
+    * groupBy after the co-partitioned join reuses the h
+    * partitioning); chaining is a per-(doc, partnerDoc, diagonal)
+    * window — partitions bounded by doc length, never global.
+    * Skew-safe where it matters: partner stats are bounded aggregates
+    * (two structs + a count per hash), so a million-occurrence
+    * boilerplate shingle costs O(1) aggregate state, not a
+    * per-occurrence window.
+    *
+    * Output: (id, span_start, span_end, span_words, src_doc,
+    * src_start) — word indices, end inclusive, spans of >= minWords
+    * words; src_* locate the partner copy. */
+  def maximalSpans(docs: DataFrame, id: String, text: String,
+      k: Int, minWords: Int): DataFrame = {
+    require(k >= 2, s"seed shingle length must be >= 2 words, got $k")
+    require(minWords >= k, s"minWords ($minWords) must be >= k ($k)")
+    val occ = docs.select(col(id),
+        posexplode(call_function("graft_pos_shingles", col(text), lit(k)))
+          .as(Seq("pos", "h")))
+      .withColumn("s", struct(col(id).as("d"), col("pos").as("p")))
+    val firsts = occ.groupBy("h")
+      .agg(min("s").as("m1"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val j1 = occ.join(firsts, "h")
+    // n >= 2 and s unique per occurrence guarantee m2 exists per h
+    val seconds = j1.filter(col("s") =!= col("m1"))
+      .groupBy("h").agg(min("s").as("m2"))
+    val aligned = j1.join(seconds, "h")
+      .select(col(id), col("pos"),
+        when(col("s") === col("m1"), col("m2")).otherwise(col("m1")).as("pt"))
+      .select(col(id), col("pos"), col("pt.d").as("src"),
+        (col("pt.p") - col("pos")).as("diag"))
+    val byChain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id), col("src"), col("diag")).orderBy("pos")
+    aligned
+      .withColumn("__isl", col("pos") - row_number().over(byChain))
+      .groupBy(col(id), col("src"), col("diag"), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k) - 1).as("span_end"),
+        (max("pos") - min("pos") + lit(k)).as("span_words"))
+      .filter(col("span_words") >= minWords)
+      .select(col(id), col("span_start"), col("span_end"),
+        col("span_words"), col("src").as("src_doc"),
+        (col("span_start") + col("diag")).as("src_start"))
+  }
+
   /** Content-defined chunking (the FastCDC/rsync idea at word
     * granularity): a word ENDS a chunk when its 32-bit content hash
     * is 0 mod `mask` — boundaries depend only on LOCAL content, so a

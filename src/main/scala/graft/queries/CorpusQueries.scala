@@ -102,6 +102,12 @@ object CorpusQueries {
   private val ccFullPathRef =
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_ccfull_default")
+  // pack_sequences_bpe's oracle reads the shared BPE vocab artifact
+  // (TextQueries.bpeVocabFor); set at build time, read at oracle-dump
+  // time (QueryDef's by-name thunk contract)
+  private val bpePackVocabRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_bpe_vocab_default")
   private val ccFullMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ccFullFor(s: org.apache.spark.sql.SparkSession,
@@ -366,6 +372,52 @@ object CorpusQueries {
         |  CAST(max(pos) - min(pos) + 8 AS INT) AS span_words
         |FROM i GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin),
+
+    // --- variable-length MAXIMAL exact-substring dedup (Lee et al.
+    // longest-match semantics; extends dedup_substring's fixed-k
+    // islands): each duplicated k-shingle occurrence aligns against
+    // the corpus-FIRST occurrence of its content, and runs advancing
+    // in lockstep (same partner doc, same diagonal) chain into one
+    // span — every reported span is verbatim duplicated at the
+    // reported partner offset, spans of >= 16 words, within-doc
+    // repeats included. See Dedup.maximalSpans for the scale
+    // argument (bounded per-hash aggregate state; the chain window
+    // partitions by (doc, partner, diagonal), never globally).
+    // Oracle replays partner choice, diagonals and islands in SQL
+    // with md5 shingles (only collision-free equality matters). ---
+    "dedup_substring_maximal" -> QueryDef.sql(
+      (s, d) => Dedup.maximalSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 8, minWords = 16)
+        .orderBy("doc_id", "span_start", "src_doc", "src_start"),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(ws)-8+2, 1)),
+        |        i -> struct_pack(pos := i-1,
+        |               h := md5(array_to_string(ws[i:i+8-1], ' '))))) AS u
+        |      FROM t),
+        |o AS (SELECT doc_id, u.pos AS pos, u.h AS h,
+        |        struct_pack(d := doc_id, p := u.pos) AS st FROM s),
+        |f AS (SELECT h, min(st) AS m1, count(*) AS n FROM o GROUP BY h),
+        |j AS (SELECT o.doc_id, o.pos, o.h, o.st, f.m1
+        |      FROM o JOIN f ON f.h = o.h WHERE f.n >= 2),
+        |m2 AS (SELECT h, min(st) AS m2 FROM j WHERE st <> m1 GROUP BY h),
+        |a AS (SELECT j.doc_id, j.pos,
+        |        CASE WHEN j.st = j.m1 THEN m2.m2 ELSE j.m1 END AS pt
+        |      FROM j JOIN m2 ON m2.h = j.h),
+        |dg AS (SELECT doc_id, pos, pt.d AS src, pt.p - pos AS diag FROM a),
+        |i AS (SELECT doc_id, pos, src, diag,
+        |        pos - row_number() OVER (
+        |          PARTITION BY doc_id, src, diag ORDER BY pos) AS isl
+        |      FROM dg)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) + 8 - 1 AS INT) AS span_end,
+        |  CAST(max(pos) - min(pos) + 8 AS INT) AS span_words,
+        |  src AS src_doc,
+        |  CAST(min(pos) + diag AS INT) AS src_start
+        |FROM i GROUP BY doc_id, src, diag, isl
+        |HAVING max(pos) - min(pos) + 8 >= 16
+        |ORDER BY doc_id, span_start, src_doc, src_start""".stripMargin),
 
     // --- substring-level SCRUB: the removal stage on top of span
     // finding (public exact-substring dedup removes all but one copy
@@ -661,6 +713,56 @@ object CorpusQueries {
          |  SELECT doc_id,
          |    CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS BIGINT) AS n_tokens
          |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, start_tok,
+         |  start_tok // 512 AS seq_id,
+         |  start_tok % 512 AS seq_off,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 END AS n_splits
+         |FROM cum ORDER BY doc_id""".stripMargin),
+
+    // --- TOKENIZER-AWARE sequence packing: pack_sequences' concat-
+    // and-chop over REAL learned-BPE token counts instead of the
+    // regex stand-in — batch assembly as the training job actually
+    // sees it (composes bpe_tokens' trained tokenizer with
+    // pack_sequences' PrefixSum layout; window boundaries shift
+    // wherever BPE and the regex disagree on a doc's length, which is
+    // exactly what the composition is for). The tokenizer rides as a
+    // broadcast handle inside the codegen'd count expression — the
+    // counting pass is scan-speed; the only exchange is PrefixSum's
+    // bucketed two-phase scan. Oracle: per-word counts from the
+    // persisted vocab artifact (bpe_tokens' protocol) summed per doc,
+    // then the same integer window arithmetic. ---
+    "pack_sequences_bpe" -> QueryDef.sql(
+      (s, d) => {
+        val ctx = 512
+        val tok = TextQueries.bpeTokenizerFor(s, d)
+        bpePackVocabRef.set(TextQueries.bpeVocabFor(s, d))
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.BpeColumns.tokenCount(col("text"), tok)
+            .cast("long").as("n_tokens"))
+        graft.operators.PrefixSum.exclusive(toks, "doc_id", col("n_tokens"),
+            buckets = 32, outCol = "start_tok")
+          .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+            expr(s"start_tok div $ctx").as("seq_id"),
+            (col("start_tok") % ctx).as("seq_off"),
+            when(col("n_tokens") === 0, lit(0L)).otherwise(
+              expr(s"(start_tok + n_tokens - 1) div $ctx - start_tok div $ctx"))
+              .as("n_splits"))
+          .sortWithinPartitions("doc_id")
+      },
+      s"""WITH ws AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |v AS (
+         |  SELECT word, n_tokens
+         |  FROM read_parquet('${bpePackVocabRef.get}/*.parquet')),
+         |toks AS (
+         |  SELECT w.doc_id, CAST(sum(v.n_tokens) AS BIGINT) AS n_tokens
+         |  FROM ws w JOIN v USING (word) GROUP BY w.doc_id),
          |cum AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id

@@ -15,7 +15,8 @@ class BenchEquivalenceSpec extends SparkSpec {
     df.collect().map(_.toString).sorted.toSeq
 
   for (q <- Seq("lsh_bucket_stats", "text_compress_ratio",
-      "dedup_clusters_incremental", "bpe_tokens", "dedup_lines")) {
+      "dedup_clusters_incremental", "bpe_tokens", "dedup_lines",
+      "logreg_predict")) {
     test(s"$q: steady-state bench output == gated build output") {
       // build FIRST: it persists the artifacts the bench variant reads
       val built = rows(SparkEntry.queries(q)(spark, sf))

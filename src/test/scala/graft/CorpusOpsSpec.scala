@@ -173,6 +173,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(spans == Seq((10L, 2, 8, 7), (20L, 0, 6, 7)))
   }
 
+  test("maximalSpans: variable-length spans against the first occurrence; within-doc repeats count") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val passage = words("p", 9) // 9 shared words, k=3 minWords=5
+    val docs = Seq(
+      (1L, s"${words("a", 4)} $passage ${words("b", 3)}"), // first copy at 4..12
+      (2L, s"$passage ${words("d", 6)}"),                  // later copy at 0..8
+      (3L, s"q0 q1 q2 q3 q4 z0 q0 q1 q2 q3 q4"),           // within-doc repeat, 5 words
+      (4L, words("g", 12)))                                // nothing shared
+      .toDF("doc_id", "text")
+    val spans = Dedup.maximalSpans(docs, "doc_id", "text", k = 3, minWords = 5)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Int, Long, Int)].collect().toSeq
+    // doc 1's copy IS the first occurrence: it aligns against doc 2's
+    // (the second); doc 2 aligns against doc 1. Doc 3's later
+    // within-doc copy aligns against its own first occurrence, and
+    // the first against the later one — both reported.
+    assert(spans == Seq(
+      (1L, 4, 12, 9, 2L, 0), (2L, 0, 8, 9, 1L, 4),
+      (3L, 0, 4, 5, 3L, 6), (3L, 6, 10, 5, 3L, 0)))
+  }
+
+  test("maximalSpans: a window whose content first occurs elsewhere splits the chain conservatively") {
+    // docs 1 and 2 share a 10-word passage, but the middle 3-gram of
+    // doc 2's copy ALSO occurs (as the corpus-first occurrence) in
+    // doc 0 — doc 2's chain against doc 1 breaks there and the two
+    // fragments surface separately (spans stay verbatim-exact; they
+    // are maximal w.r.t. the first-occurrence partner, NOT globally)
+    val passage = "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9"
+    val docs = Seq(
+      (0L, "x0 x1 m4 m5 m6 x2 x3"), // corpus-first owner of the middle 3-gram
+      (1L, s"$passage y0 y1"),
+      (2L, s"z0 z1 $passage"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.maximalSpans(docs, "doc_id", "text", k = 3, minWords = 3)
+      .as[(Long, Int, Int, Int, Long, Int)].collect().toSeq
+    // every reported span must be verbatim-equal to its src slice
+    val txt = docs.as[(Long, String)].collect().toMap
+      .view.mapValues(_.split(" ")).toMap
+    spans.foreach { case (d, s0, s1, w, sd, ss) =>
+      assert(w == s1 - s0 + 1)
+      assert(txt(d).slice(s0, s1 + 1).toSeq ==
+        txt(sd).slice(ss, ss + w).toSeq, s"span $d[$s0..$s1] vs $sd[$ss]")
+    }
+    // doc 2 reports >= 2 fragments of its 10-word passage (split at
+    // the doc-0-owned middle), and nothing longer than the passage
+    val frag2 = spans.filter(x => x._1 == 2L && x._2 >= 2)
+    assert(frag2.size >= 2 && frag2.map(_._4).max < 10)
+  }
+
   test("substringScrub keeps the earliest copy and rewrites later ones") {
     val passage = "p0 p1 p2 p3 p4 p5 p6" // 7 words, duplicated 1 -> 2
     val docs = Seq(
