@@ -63,6 +63,7 @@ def main():
             merged["runs"] = max(merged.get("runs", 2), d.get("runs", 2))
             merged["passes"] += 1
     folded = 0
+    suspicious = []
     if prior:
         for line in open(prior):
             m = re.match(r"\| (\S+?)(?: †)? \| (?:[0-9.]+|\(gate\)) "
@@ -70,7 +71,15 @@ def main():
             if m and m.group(1) in merged["queries"] \
                     and m.group(1) not in exclude:
                 prev = float(m.group(2))
-                if prev < merged["queries"][m.group(1)]:
+                fresh = merged["queries"][m.group(1)]
+                if prev < fresh:
+                    # a prior minimum displacing a MUCH slower fresh
+                    # measurement is either ambient load or a stale
+                    # minimum from a since-rewritten implementation
+                    # missing from --exclude — surface it either way
+                    if fresh > 1.3 * prev and fresh >= 0.2:
+                        suspicious.append(
+                            (m.group(1), prev, fresh, fresh / prev))
                     merged["queries"][m.group(1)] = prev
                     folded += 1
     merged["value"] = round(sum(merged["queries"].values()), 4)
@@ -83,6 +92,10 @@ def main():
           f"total {merged['value']:.2f} s over {len(merged['queries'])} queries, "
           f"probe_sec {merged.get('probe_sec', float('nan')):.4f}, "
           f"probes n={len(pr)} max/min {prange}")
+    for name, prev, fresh, ratio in sorted(suspicious, key=lambda t: -t[3]):
+        print(f"  WARN prior minimum kept for {name}: prior {prev:.3f} s vs "
+              f"fresh {fresh:.3f} s ({ratio:.2f}x) — confirm the "
+              f"implementation is unchanged (else add to --exclude)")
 
 
 if __name__ == "__main__":

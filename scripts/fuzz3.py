@@ -123,6 +123,13 @@ def canon(rows, cols):
 def main():
     seed0 = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     nds = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    # oracle_sql.json from a FRESH graft.Verify dump (the bench-record
+    # protocol): a stale dump replays stale interpolated artifact
+    # paths (e.g. split_by_cluster's label table) or fails outright
+    oracle_path = sys.argv[3] if len(sys.argv) > 3 else None
+    if oracle_path is None or not os.path.exists(oracle_path):
+        sys.exit("usage: fuzz3.py [seed] [n_datasets] <oracle_sql.json "
+                 "from a fresh Verify dump>")
     shutil.rmtree(ROOT, ignore_errors=True)
     os.makedirs(ROOT)
     dirs = []
@@ -143,7 +150,7 @@ def main():
         print(r.stdout[-4000:])
         print(r.stderr[-2000:])
         sys.exit(1)
-    oracle = json.load(open("/tmp/v10b/oracle_sql.json"))
+    oracle = json.load(open(oracle_path))
     bad = 0
     for d in dirs:
         ds = os.path.basename(d)

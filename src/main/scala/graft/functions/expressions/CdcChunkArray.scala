@@ -3,8 +3,8 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,18 +21,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * Bit-compatible with the declarative form: the same
   * Pattern.quote(" ") split with limit -1 (empty words kept), the
   * same md5 (MessageDigest) the engines' md5() computes, big-endian
-  * first 4 bytes as the 32-bit word hash.
+  * first 4 bytes as the 32-bit word hash. Codegen'd (one static call
+  * inside whole-stage fusion) so the scan stage it sits in fuses like
+  * its sibling native expressions; the md5-per-word cost dominates
+  * either way.
   */
 case class CdcChunkArray(child: Expression, mask: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(mask >= 2, s"mask must be >= 2, got $mask")
 
   override def prettyName: String = "graft_cdc_chunks"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunkArray.compute(input.asInstanceOf[UTF8String], mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CdcChunkArray.compute($c, $mask)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunkArray {
+
+  def compute(input: UTF8String, mask: Int): ArrayData = {
+    val words = input.toString.split(" ", -1)
     val md = java.security.MessageDigest.getInstance("MD5")
     val chunks = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val cur = new StringBuilder
@@ -56,11 +72,6 @@ case class CdcChunkArray(child: Expression, mask: Int)
     new GenericArrayData(chunks.toArray[Any])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object CdcChunkArray {
   def of(text: Column, mask: Int): Column =
     GraftColumnBridge.column(
       CdcChunkArray(GraftColumnBridge.expression(text), mask))

@@ -95,19 +95,16 @@ object CorpusQueries {
       s.read.parquet(p).collect().map(_.getString(0)).toSet
     })
 
-  // split_by_cluster's persisted full-corpus label table (the dedup
-  // store's primary artifact — the ccBaseFor discipline), built once
-  // per (JVM, dataset); the oracle replays split assignment and
-  // leakage from the SAME labels
-  private val ccFullPathRef =
-    new java.util.concurrent.atomic.AtomicReference[String](
-      "/tmp/graft_ccfull_default")
   // pack_sequences_bpe's oracle reads the shared BPE vocab artifact
   // (TextQueries.bpeVocabFor); set at build time, read at oracle-dump
   // time (QueryDef's by-name thunk contract)
   private val bpePackVocabRef =
     new java.util.concurrent.atomic.AtomicReference[String](
       "/tmp/graft_bpe_vocab_default")
+  // split_by_cluster's persisted full-corpus label table (the dedup
+  // store's primary artifact — the ccBaseFor discipline), built once
+  // per (JVM, dataset); the oracle replays split assignment and
+  // leakage from the SAME labels
   private val ccFullMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ccFullFor(s: org.apache.spark.sql.SparkSession,
@@ -118,6 +115,21 @@ object CorpusQueries {
         .write.mode("overwrite").parquet(p)
       p
     })
+  // The oracle thunk resolves the label-table path through the memo
+  // keyed by the LAST-BUILT dataset — it can only ever name a path
+  // whose artifact was actually written, and reading it before any
+  // build fails loudly instead of replaying a stale default path.
+  // (Verify's contract is one dataset per JVM, build-then-dump;
+  // interleaving datasets before a dump would still read the later
+  // dataset's labels.)
+  private val ccLastDataset =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def ccFullPathForOracle(): String = {
+    val d = ccLastDataset.get
+    require(d != null,
+      "split_by_cluster oracle read before its build ran in this JVM")
+    ccFullMemo.get(d)
+  }
 
   // ONE definition of the md5-prefix split fate (train:val:test =
   // 208:24:24 / 256) — split_assign and split_by_cluster derive both
@@ -561,7 +573,7 @@ object CorpusQueries {
     "split_by_cluster" -> QueryDef.sql(
       (s, d) => {
         val p = ccFullFor(s, d)
-        ccFullPathRef.set(p)
+        ccLastDataset.set(d)
         val labels = s.read.parquet(p).select(col("doc_id"), col("cluster"))
         val a = labels.select(col("doc_id"), col("cluster"),
           splitFate(col("doc_id")).as("naive_split"),
@@ -580,7 +592,7 @@ object CorpusQueries {
       },
       s"""WITH l AS (
         |  SELECT doc_id, cluster
-        |  FROM read_parquet('${ccFullPathRef.get}/*.parquet')
+        |  FROM read_parquet('${ccFullPathForOracle()}/*.parquet')
         |), a AS (
         |  SELECT doc_id, cluster,
         |    ${splitFateSql("doc_id")} AS naive_split,

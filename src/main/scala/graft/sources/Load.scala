@@ -301,7 +301,14 @@ object Load {
 
   /** THE dataset matching a name or property set — scida
     * `get_dataset` (convenience.py:490): errors when the match is
-    * ambiguous or empty (reference error messages preserved). */
+    * ambiguous or empty, with the reference's error strings.
+    * DELIBERATE divergence on the name path: the reference's
+    * `get_dataset_candidates(name=...)` wraps an unresolved name as
+    * `[None]` — a length-1 list that slips past its empty check, so
+    * `get_dataset(name="unknown")` returns None instead of raising.
+    * That is an accident of the wrapping (the props path raises as
+    * documented); here an unknown name raises the same
+    * "No dataset candidate found." the reference documents. */
   def datasetName(name: Option[String] = None,
       props: Option[Map[String, Any]] = None,
       configPath: String = defaultConfigPath): String = {
