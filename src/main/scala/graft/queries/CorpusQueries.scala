@@ -116,20 +116,19 @@ object CorpusQueries {
       p
     })
   // The oracle thunk resolves the label-table path through the memo
-  // keyed by the LAST-BUILT dataset — it can only ever name a path
-  // whose artifact was actually written, and reading it before any
-  // build fails loudly instead of replaying a stale default path.
-  // (Verify's contract is one dataset per JVM, build-then-dump;
-  // interleaving datasets before a dump would still read the later
-  // dataset's labels.)
+  // keyed by the LAST-BUILT dataset — once a build has run it can
+  // only ever name a path whose artifact was actually written; before
+  // any build it names a sentinel no build ever writes, so a replay
+  // fails loudly in DuckDB ("No files found") instead of silently
+  // reading another dataset's labels. (Verify's contract is one
+  // dataset per JVM, build-then-dump; consumers that only LIST oracle
+  // keys may resolve the thunk pre-build, hence a sentinel rather
+  // than a throw.)
   private val ccLastDataset =
     new java.util.concurrent.atomic.AtomicReference[String](null)
-  private def ccFullPathForOracle(): String = {
-    val d = ccLastDataset.get
-    require(d != null,
-      "split_by_cluster oracle read before its build ran in this JVM")
-    ccFullMemo.get(d)
-  }
+  private def ccFullPathForOracle(): String =
+    Option(ccLastDataset.get).map(ccFullMemo.get)
+      .getOrElse("/tmp/graft_ccfull_unbuilt")
 
   // ONE definition of the md5-prefix split fate (train:val:test =
   // 208:24:24 / 256) — split_assign and split_by_cluster derive both

@@ -671,6 +671,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_bit_positions"), p.take(1200))
   }
 
+  test("logreg_predict: weights broadcast onto the feature frame; margins partial-agg") {
+    val p = plan("logreg_predict")
+    // the 32-row model must broadcast (training's gradient path also
+    // carries broadcasts, so assert the count stays small and no
+    // cartesian/nested-loop leaks in beyond the scalar n_docs cross)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the scalar n_docs cross may nest-loop:\n" + p.take(1200))
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(windowsPartitioned("logreg_predict")._1 == 0)
+  }
+
+  test("pack_sequences_bpe: PrefixSum shape — no global window, counts map-side") {
+    val p = plan("pack_sequences_bpe")
+    assert(windowsPartitioned("pack_sequences_bpe")._1 == 0,
+      "a global running-sum window would serialize the corpus into one task")
+    assert(p.contains("graft_bpe_count"),
+      "token counting must be the codegen'd broadcast-handle expression:\n"
+        + p.take(1200))
+    assert(!p.toLowerCase.contains("join"),
+      "the tokenizer rides as a plan literal, never a vocab join:\n"
+        + p.take(800))
+  }
+
+  test("dedup_substring_maximal: bounded per-hash aggregates; chain windows partitioned") {
+    val p = plan("dedup_substring_maximal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    // partner stats are aggregates (skew-safe O(1) state per hash),
+    // never per-occurrence windows over the hash partitioning
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      p.take(1200))
+    val (nw, allPart) = windowsPartitioned("dedup_substring_maximal")
+    assert(nw == 1 && allPart,
+      "exactly the per-(doc, partner, diagonal) chain window, partitioned")
+  }
+
   test("pagerank_step: word-bitmap edge exchange; no row-per-edge distinct") {
     val p = plan("pagerank_step")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
