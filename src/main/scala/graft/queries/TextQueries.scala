@@ -74,6 +74,94 @@ object TextQueries {
       p
     })
 
+  /** Per-doc bigram-LM score frame (doc_id, lang, score_micro) —
+    * ngram_lm_score's add-one-smoothed corpus LM, reduced to ONE
+    * integer micro-nat mean log-prob per doc (a single floored
+    * double division — engine-exact). The CCNet score table. */
+  private def lmScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("w"))
+    // positional bigrams with multiplicity (ngram_lm_score's build,
+    // lang carried through for the per-language bucket cut)
+    val bigrams = graft.CacheScope.track(
+      QueryDef.spread(words.filter(size(col("w")) >= 2))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, concat(w[i], ' ', w[i+1]) AS bg))")).as("t"))
+        .select(col("doc_id"), col("lang"),
+          col("t.w1").as("w1"), col("t.bg").as("bg")))
+    val c2 = bigrams.groupBy("bg", "w1").agg(count(lit(1)).as("c2"))
+    val c1 = words.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val lp = c2.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("bg"), floor(
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          * 1000000 + 0.5).cast("long").as("lp_micro"))
+    bigrams.join(lp, "bg")
+      .groupBy("doc_id", "lang")
+      .agg(floor(sum(col("lp_micro")).cast("double")
+        / count(lit(1)).cast("double") + 0.5).cast("long").as("score_micro"))
+  }
+
+  // the persisted score-table artifact (perplexity_bucket's
+  // steady-state bench input), written once per (JVM, dataset)
+  private val lmScoredMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lmScoredPathFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    lmScoredMemo.computeIfAbsent(d, _ => {
+      val p = Fixtures.tmpPath("graft_lm_scored", d)
+      lmScored(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** CCNet tercile cut over a per-doc score frame: per-LANGUAGE
+    * head/middle/tail at exact interpolated terciles, computed
+    * in-plan from the (lang, score) HISTOGRAM (windows only over the
+    * aggregate-sized histogram — DiscreteStats' discipline), then a
+    * low-cardinality (lang × bucket) finish. */
+  private def perplexityBucketize(scoredIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q1 = 1.0 / 3; val q2 = 2.0 / 3
+    // scored feeds the histogram AND the join-back — materialize once
+    val scored = graft.CacheScope.track(scoredIn)
+    val hist = scored.groupBy("lang", "score_micro").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("score_micro")
+    val cum = hist
+      .withColumn("cum_lt", coalesce(sum("c").over(
+        wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    // rank-select the two neighbor VALUES per tercile (the
+    // ExactQuantiles rule, replayed in-plan per language)
+    def pick(q: Double, edge: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      max(when(edge((col("n") - 1).cast("double") * lit(q)).cast("long")
+        .between(col("cum_lt"), col("cum_lt") + col("c") - 1),
+        col("score_micro").cast("double")))
+    val picked = cum.groupBy("lang").agg(
+      max("n").as("n"),
+      pick(q1, x => floor(x)).as("lo1"), pick(q1, x => ceil(x)).as("hi1"),
+      pick(q2, x => floor(x)).as("lo2"), pick(q2, x => ceil(x)).as("hi2"))
+    def interp(lo: String, hi: String, q: Double) = {
+      val t = (col("n") - 1).cast("double") * lit(q)
+      col(lo) + (col(hi) - col(lo)) * (t - floor(t))
+    }
+    val thr = picked.select(col("lang"),
+      interp("lo1", "hi1", q1).as("t33"),
+      interp("lo2", "hi2", q2).as("t67"))
+    scored.join(broadcast(thr), "lang")
+      .withColumn("bucket",
+        when(col("score_micro").cast("double") <= col("t33"), lit("tail"))
+          .when(col("score_micro").cast("double") <= col("t67"), lit("middle"))
+          .otherwise(lit("head")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        roundAt(sum(col("score_micro")).cast("double")
+          / (count(lit(1)) * lit(1000000L)).cast("double"), 6).as("mean_logp"))
+      .orderBy("lang", "bucket")
+  }
+
   // Hashed bag-of-words feature frame shared by the logreg family
   // (one definition site: training, inference and the steady-state
   // bench all hash identically).
@@ -955,6 +1043,95 @@ object TextQueries {
         |    / CAST(count(*) * 1000000 AS DOUBLE))*1000000 + 0.5)/1000000 AS avg_logp
         |FROM bgx b JOIN lp l ON l.bg = b.bg
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
+
+    // --- CCNet-style perplexity bucketing (head/middle/tail): the
+    // step CCNet runs AFTER LM scoring — docs are cut at per-LANGUAGE
+    // perplexity terciles, so the LM's training-language bias cannot
+    // starve other languages (the reason CCNet buckets per language,
+    // not globally). Composition of two already-proven protocols:
+    // ngram_lm_score's integer micro-nat per-doc score (the only ln
+    // is per DISTINCT bigram, floored once) and ExactQuantiles'
+    // rank-selection + interpolation rule — here computed IN-PLAN per
+    // language from the (lang, score) HISTOGRAM (DiscreteStats'
+    // discipline: windows only over the aggregate-sized histogram,
+    // never raw docs), because scores are micro-quantized integers.
+    // Scale shape: LM counts are vocab-sized shuffles; per-doc scores
+    // re-join on the bg key; the histogram is one map-side-combined
+    // agg; terciles broadcast back; the finish is a low-cardinality
+    // (lang × bucket) agg. Engine-exact: integer counts, stored
+    // doubles rank-selected (never re-derived), one interpolation
+    // with identical operand order, integer mean finish. ---
+    "perplexity_bucket" -> QueryDef.sqlBench(
+      (s, d) => perplexityBucketize(lmScored(s, d)),
+      {
+        val q1 = 1.0 / 3; val q2 = 2.0 / 3
+        s"""WITH ws AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), bgx AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+        |  FROM ws WHERE len(w) >= 2
+        |), uni AS (
+        |  SELECT unnest(w) AS w1 FROM ws
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM uni GROUP BY w1
+        |), v AS (
+        |  SELECT count(*) AS v FROM c1
+        |), c2 AS (
+        |  SELECT bg, count(*) AS c2 FROM bgx GROUP BY bg
+        |), lp AS (
+        |  SELECT c2.bg,
+        |    CAST(floor(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE)
+        |      *1000000 + 0.5) AS BIGINT) AS lp_micro
+        |  FROM c2 JOIN c1 ON c1.w1 = string_split(c2.bg, ' ')[1] CROSS JOIN v
+        |), sc AS (
+        |  SELECT b.doc_id, b.lang,
+        |    CAST(floor(CAST(sum(l.lp_micro) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS score_micro
+        |  FROM bgx b JOIN lp l ON l.bg = b.bg GROUP BY b.doc_id, b.lang
+        |), h AS (
+        |  SELECT lang, score_micro, count(*) AS c FROM sc GROUP BY lang, score_micro
+        |), cum AS (
+        |  SELECT lang, score_micro, c,
+        |    coalesce(sum(c) OVER (PARTITION BY lang ORDER BY score_micro
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h
+        |), picked AS (
+        |  SELECT lang, max(n) AS n,
+        |    max(CASE WHEN CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(${q1} AS DOUBLE)) AS BIGINT)
+        |      BETWEEN cum_lt AND cum_lt + c - 1 THEN CAST(score_micro AS DOUBLE) END) AS lo1,
+        |    max(CASE WHEN CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST(${q1} AS DOUBLE)) AS BIGINT)
+        |      BETWEEN cum_lt AND cum_lt + c - 1 THEN CAST(score_micro AS DOUBLE) END) AS hi1,
+        |    max(CASE WHEN CAST(floor(CAST(n - 1 AS DOUBLE) * CAST(${q2} AS DOUBLE)) AS BIGINT)
+        |      BETWEEN cum_lt AND cum_lt + c - 1 THEN CAST(score_micro AS DOUBLE) END) AS lo2,
+        |    max(CASE WHEN CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST(${q2} AS DOUBLE)) AS BIGINT)
+        |      BETWEEN cum_lt AND cum_lt + c - 1 THEN CAST(score_micro AS DOUBLE) END) AS hi2
+        |  FROM cum GROUP BY lang
+        |), thr AS (
+        |  SELECT lang,
+        |    lo1 + (hi1 - lo1) * ((CAST(n - 1 AS DOUBLE) * CAST(${q1} AS DOUBLE))
+        |      - floor(CAST(n - 1 AS DOUBLE) * CAST(${q1} AS DOUBLE))) AS t33,
+        |    lo2 + (hi2 - lo2) * ((CAST(n - 1 AS DOUBLE) * CAST(${q2} AS DOUBLE))
+        |      - floor(CAST(n - 1 AS DOUBLE) * CAST(${q2} AS DOUBLE))) AS t67
+        |  FROM picked
+        |)
+        |SELECT sc.lang,
+        |  CASE WHEN CAST(score_micro AS DOUBLE) <= t33 THEN 'tail'
+        |       WHEN CAST(score_micro AS DOUBLE) <= t67 THEN 'middle'
+        |       ELSE 'head' END AS bucket,
+        |  count(*) AS n_docs,
+        |  floor((CAST(sum(score_micro) AS DOUBLE)
+        |    / CAST(count(*) * 1000000 AS DOUBLE))*1000000 + 0.5)/1000000 AS mean_logp
+        |FROM sc JOIN thr ON sc.lang = thr.lang
+        |GROUP BY 1, 2 ORDER BY sc.lang, bucket""".stripMargin
+      },
+      // bench: bucket the PERSISTED per-doc score table (the CCNet
+      // production shape — scores are computed once at ingest, the
+      // tercile cut is the steady-state op); pinned equal to the
+      // gated build by BenchEquivalenceSpec
+      (s, d) => perplexityBucketize(
+        s.read.parquet(lmScoredPathFor(s, d)))),
 
     // --- per-document TF-IDF top-3 terms, exchange-free. TF-IDF is a
     // PER-DOCUMENT statistic once df is known, and df is a

@@ -839,4 +839,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.toString.contains("graft_strip_lines"),
       p.take(1200))
   }
+
+  test("perplexity_bucket: tercile thresholds broadcast back; windows partitioned by lang") {
+    val p = plan("perplexity_bucket")
+    // the 5-row threshold table must broadcast onto the scored frame,
+    // and the LM's V scalar may nest-loop — nothing else
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the scalar V cross is the only nest-loop; it prints once per
+    // InMemoryRelation branch (the cached scored frame feeds both the
+    // histogram and the join-back), hence <= 2 occurrences
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      "only the scalar V cross may nest-loop:\n" + p.take(1200))
+    // both cumulative windows run over the aggregate-sized histogram,
+    // partitioned by lang — never over raw docs
+    val (nw, allPart) = windowsPartitioned("perplexity_bucket")
+    assert(nw == 2 && allPart,
+      s"expected the two per-lang histogram windows, got $nw (partitioned=$allPart)")
+  }
 }
