@@ -235,6 +235,94 @@ object AnnQueries {
         |WHERE e.vec_id != 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
 
+    // --- metadata-FILTERED exact vector search (pre-filter ANN — the
+    // "vector search with a WHERE clause" every retrieval stack
+    // needs): the label predicate pushes to the parquet SCAN before
+    // any cosine is computed (plan-audited PushedFilters), so scan
+    // cost is proportional to the filtered slice, not the corpus; at
+    // scale it composes with the IVF cell layout (partition pruning ×
+    // row-group predicate pushdown). Pre-filtering (filter THEN rank)
+    // rather than post-filtering keeps k results whenever the slice
+    // has k — the semantics post-filtered ANN silently loses. ---
+    "ann_filtered" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_vec"))
+        Ann.bruteForceTopK(
+          e.filter(col("vec_id") =!= 0 && col("label") === 1)
+            .crossJoin(broadcast(q)),
+          "vec_id", "embedding", col("q_vec"), k = 10)
+      },
+      s"""SELECT e.vec_id,
+        |  ${QueryDef.cosSql("e.embedding", "q.embedding")} AS cos
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id != 0 AND e.label = 1
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
+
+    // --- hybrid retrieval fusion (reciprocal rank fusion, Cormack &
+    // Clarke SIGIR'09): the BM25 lexical top-20 (bm25_topk's scoring,
+    // shared definition site) and the exact cosine top-20 fuse by
+    // RRF(id) = Σ_branches 1/(60 + rank) — the standard
+    // score-scale-free way to combine lexical and semantic retrieval.
+    // Engine-exact: per-branch contributions floored to integer
+    // micros, fused by integer addition; ranks come from the two
+    // TOP-K frames (≤ 20 rows each — the windows are bounded-result
+    // windows, not corpus windows), absent branches contribute 0 via
+    // the full-outer join. Scale shape: each branch ends in a
+    // TakeOrdered top-k; fusion touches 2k rows. ---
+    "rrf_fusion" -> QueryDef.sql(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+        val lex = TextQueries.bm25Top(s, d, 20)
+          .withColumn("r_lex", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("doc_id").as("id"), col("r_lex"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_vec"))
+        val sem = Ann.bruteForceTopK(
+            e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv)),
+            "vec_id", "embedding", col("q_vec"), k = 20)
+          .withColumn("r_sem", row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id").as("id"), col("r_sem"))
+        def contrib(r: org.apache.spark.sql.Column) =
+          coalesce(floor(lit(1000000.0) / (lit(60.0) + r.cast("double")) + 0.5)
+            .cast("long"), lit(0L))
+        lex.join(sem, Seq("id"), "full_outer")
+          .select(col("id"), col("r_lex"), col("r_sem"),
+            (contrib(col("r_lex")) + contrib(col("r_sem"))).as("rrf_micro"))
+          .orderBy(col("rrf_micro").desc, col("id"))
+          .limit(10)
+      },
+      TextQueries.bm25Cte(20) + s"""
+        |, lex AS (
+        |  SELECT doc_id AS id, CAST(row_number() OVER (
+        |    ORDER BY score_micro DESC, doc_id) AS INT) AS r_lex
+        |  FROM bm
+        |), sem0 AS (
+        |  SELECT e.vec_id AS id,
+        |    ${QueryDef.cosSql("e.embedding", "q.embedding")} AS cos
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id != 0
+        |  ORDER BY cos DESC, e.vec_id LIMIT 20
+        |), sem AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INT)
+        |    AS r_sem
+        |  FROM sem0
+        |)
+        |SELECT coalesce(lex.id, sem.id) AS id, lex.r_lex AS r_lex,
+        |  sem.r_sem AS r_sem,
+        |  coalesce(CAST(floor(1000000.0 / (60.0 + CAST(lex.r_lex AS DOUBLE))
+        |      + 0.5) AS BIGINT), 0)
+        |  + coalesce(CAST(floor(1000000.0 / (60.0 + CAST(sem.r_sem AS DOUBLE))
+        |      + 0.5) AS BIGINT), 0) AS rrf_micro
+        |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+        |ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin),
+
     // --- radius (range) similarity search: every vector with cosine
     // >= 0.2 to the query — the recall-oriented complement of top-k
     // (near-copy candidate pull). Map-side cosine + filter, no

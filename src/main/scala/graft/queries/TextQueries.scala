@@ -162,6 +162,83 @@ object TextQueries {
       .orderBy("lang", "bucket")
   }
 
+  /** BM25 top-`k` for the fixed demo query terms — the lexical
+    * retrieval branch (bm25_topk's build, shared with rrf_fusion's
+    * hybrid fusion). Integer micro-scores: one ln per term floored
+    * once, per-(doc,term) saturation a deterministic IEEE chain, doc
+    * totals exact integer sums. Scale shape: term filter map-side on
+    * the scan, tf/df vocabulary-sized aggs, idf broadcast back,
+    * TakeOrdered top-k — no global sort. */
+  private[queries] def bm25Top(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val qTerms = Seq("table", "key", "row", "data", "value")
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("n_words"))
+    val tf = QueryDef.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isInCollection(qTerms))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("term"), floor(log(
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        * 1000000 + 0.5).cast("long").as("idf_micro"))
+    val k1 = 1.2; val b = 0.75
+    val avdl = col("n_words").cast("double") / col("n_docs").cast("double")
+    val sat = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / avdl))
+    tf.join(broadcast(idf), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        floor(col("idf_micro").cast("double") / 1000000.0 * sat
+          * 1000000.0 + 0.5).cast("long").as("s_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("s_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The BM25 scoring CTE chain (matches bm25Top term-for-term),
+    * ending in a `bm A S (SELECT doc_id, n_terms, score_micro ...)`
+    * relation ordered/limited to `k` — callers append their own
+    * final SELECT. */
+  private[queries] def bm25Cte(k: Int): String =
+    s"""WITH n AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl, term,
+      |    count(*) AS tf
+      |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('table', 'key', 'row', 'data', 'value')
+      |  GROUP BY doc_id, dl, term
+      |), df AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+      |), idf AS (
+      |  SELECT term, CAST(floor(ln(
+      |      (n.n_docs - df.df + 0.5) / (df.df + 0.5))*1000000 + 0.5)
+      |    AS BIGINT) AS idf_micro
+      |  FROM df CROSS JOIN n
+      |), sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(CAST(idf.idf_micro AS DOUBLE) / 1000000.0
+      |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+      |         / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+      |            + 0.75 * CAST(tf.dl AS DOUBLE)
+      |              / (CAST(n.n_words AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+      |  FROM tf JOIN idf ON idf.term = tf.term CROSS JOIN n
+      |), bm AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    CAST(sum(s_micro) AS BIGINT) AS score_micro
+      |  FROM sc GROUP BY doc_id
+      |  ORDER BY score_micro DESC, doc_id LIMIT $k
+      |)""".stripMargin
+
   // Hashed bag-of-words feature frame shared by the logreg family
   // (one definition site: training, inference and the steady-state
   // bench all hash identically).
@@ -1196,67 +1273,10 @@ object TextQueries {
     // identical IEEE on both engines; ranking ties break on doc_id
     // over exact integer scores. ---
     "bm25_topk" -> QueryDef.sql(
-      (s, d) => {
-        val qTerms = Seq("table", "key", "row", "data", "value")
-        val docs = Tables.documents(s, d)
-        val n = docs.agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " "))).as("n_words"))
-        val tf = QueryDef.spread(docs.select(col("doc_id"), col("text")))
-          .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
-            explode(split(col("text"), " ")).as("term"))
-          .filter(col("term").isInCollection(qTerms))
-          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-        val idf = df.crossJoin(broadcast(n))
-          .select(col("term"), floor(log(
-            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-            * 1000000 + 0.5).cast("long").as("idf_micro"))
-        val k1 = 1.2; val b = 0.75
-        val avdl = col("n_words").cast("double") / col("n_docs").cast("double")
-        val sat = col("tf").cast("double") * lit(k1 + 1.0) /
-          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl").cast("double") / avdl))
-        tf.join(broadcast(idf), "term").crossJoin(broadcast(n))
-          .select(col("doc_id"),
-            floor(col("idf_micro").cast("double") / 1000000.0 * sat
-              * 1000000.0 + 0.5).cast("long").as("s_micro"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"), sum("s_micro").as("score_micro"))
-          .orderBy(col("score_micro").desc, col("doc_id"))
-          .limit(20)
-      },
-      """WITH n AS (
-        |  SELECT count(*) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, len(string_split(text, ' ')) AS dl, term,
-        |    count(*) AS tf
-        |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS term
-        |        FROM documents)
-        |  WHERE term IN ('table', 'key', 'row', 'data', 'value')
-        |  GROUP BY doc_id, dl, term
-        |), df AS (
-        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
-        |), idf AS (
-        |  SELECT term, CAST(floor(ln(
-        |      (n.n_docs - df.df + 0.5) / (df.df + 0.5))*1000000 + 0.5)
-        |    AS BIGINT) AS idf_micro
-        |  FROM df CROSS JOIN n
-        |), sc AS (
-        |  SELECT tf.doc_id,
-        |    CAST(floor(CAST(idf.idf_micro AS DOUBLE) / 1000000.0
-        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
-        |         / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-        |            + 0.75 * CAST(tf.dl AS DOUBLE)
-        |              / (CAST(n.n_words AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS s_micro
-        |  FROM tf JOIN idf ON idf.term = tf.term CROSS JOIN n
-        |)
-        |SELECT doc_id, count(*) AS n_terms,
-        |  CAST(sum(s_micro) AS BIGINT) AS score_micro
-        |FROM sc GROUP BY doc_id
-        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin),
+      (s, d) => bm25Top(s, d, 20),
+      bm25Cte(20) +
+        "\nSELECT doc_id, n_terms, score_micro FROM bm" +
+        "\nORDER BY score_micro DESC, doc_id"),
 
     // --- DSIR-style importance weighting (Xie et al.,
     // arXiv:2302.03169 "Data Selection for Language Models via

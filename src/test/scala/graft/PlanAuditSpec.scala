@@ -840,6 +840,27 @@ class PlanAuditSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("ann_filtered: the metadata predicate reaches the parquet scan") {
+    val p = plan("ann_filtered")
+    // pre-filter semantics require the label predicate BEFORE the
+    // cosine — pushed into the scan, not applied post-ranking
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,1)"),
+      "label predicate must push to the scan:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("rrf_fusion: both branches end in top-k; fusion never sorts a corpus") {
+    val p = plan("rrf_fusion")
+    // lexical (BM25) and semantic (cosine) branches both reduce to
+    // TakeOrdered top-k before fusion — the only windows are the two
+    // rank windows over those <= 20-row frames
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      "both retrieval branches must end in TakeOrdered:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(windowsPartitioned("rrf_fusion")._1 == 2,
+      "exactly the two bounded rank windows")
+  }
+
   test("perplexity_bucket: tercile thresholds broadcast back; windows partitioned by lang") {
     val p = plan("perplexity_bucket")
     // the 5-row threshold table must broadcast onto the scored frame,
