@@ -146,6 +146,28 @@ object AnnQueries {
       (p, centers, radii, q)
     })
 
+  // ann_delta_search's bench-path artifacts: the cell-partitioned
+  // BASE corpus (vectors indexed at rest) + quantizer + radii — the
+  // main-index half of the index+delta layout; the delta segment is
+  // never part of the artifact (that is the point)
+  private val ivfDeltaBenchMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]], Map[Int, Double], Seq[Double])]()
+  private def ivfDeltaBenchFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Array[Array[Double]], Map[Int, Double], Seq[Double]) =
+    ivfDeltaBenchMemo.computeIfAbsent(d, _ => {
+      val e = Tables.embeddings(s, d)
+      val (q, sample) = headSample(e, 65536)
+      val base = e.filter(col("vec_id") =!= 0 &&
+        pmod(col("vec_id"), lit(5)) =!= 4)
+      val (indexed, centers) = Ivf.buildFromSample(base, "embedding",
+        nCells = batchIvfCells(sample.length), sample)
+      val idx = graft.CacheScope.track(indexed)
+      val radii = Ivf.cellRadii(idx, centers, "embedding")
+      val p = Fixtures.tmpPath("graft_ivfdelta_bench", d)
+      idx.write.mode("overwrite").partitionBy("cell").parquet(p)
+      (p, centers, radii, q)
+    })
+
   // ann_ivfpq's bench-path index, built ONCE per (JVM, dataset) and
   // persisted cell-partitioned (the at-rest IVFADC layout): production
   // maintains codebooks + code table as index artifacts beside the
@@ -426,6 +448,54 @@ object AnnQueries {
           s.read.parquet(p)
             .filter(col("cell").isin(probes.map(Integer.valueOf): _*)),
           "vec_id", "embedding", typedLit(q), minCos = 0.2)
+      }),
+
+    // --- index + DELTA-SEGMENT search (the LSM shape every vector
+    // store runs: a cell-partitioned main index plus an un-indexed
+    // fresh batch searched brute-force and unioned — new vectors are
+    // searchable IMMEDIATELY, re-indexing happens on compaction, not
+    // on ingest). Here as exact radius search so the gate is an
+    // EQUALITY: base rides ann_radius_ivf's lossless angular pruning,
+    // the delta (vec_id ≡ 4 mod 5 — "arrived after the index was
+    // built") is one map-side cosine pass, and base ∪ delta must
+    // equal ann_radius's full-corpus replay row-for-row. Scale shape:
+    // the pruned base scan is partition-pruned file groups; the delta
+    // scan is proportional to the delta, which compaction keeps
+    // small. ---
+    "ann_delta_search" -> QueryDef.sqlBench(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (q, sample) = headSample(e, 65536)
+        val base = e.filter(col("vec_id") =!= 0 &&
+          pmod(col("vec_id"), lit(5)) =!= 4)
+        val delta = e.filter(col("vec_id") =!= 0 &&
+          pmod(col("vec_id"), lit(5)) === 4)
+        // quantizer geometry is free for exactness (pruning is
+        // lossless for ANY centers) — share headSample's one job
+        val (indexed, centers) = Ivf.buildFromSample(base, "embedding",
+          nCells = batchIvfCells(sample.length), sample)
+        val idx = graft.CacheScope.track(indexed)
+        val radii = Ivf.cellRadii(idx, centers, "embedding")
+        Ivf.radiusSearch(idx, centers, radii, "vec_id", "embedding", q,
+            minCos = 0.2)
+          .unionByName(Ann.radiusSearch(delta, "vec_id", "embedding",
+            typedLit(q), minCos = 0.2))
+          .orderBy("vec_id")
+      },
+      radiusOracleSql,
+      // bench: probe the PERSISTED cell-partitioned base + brute-scan
+      // the delta — the steady-state index+delta query
+      (s, d) => {
+        val (p, centers, radii, q) = ivfDeltaBenchFor(s, d)
+        val probes = Ivf.radiusProbeCells(centers, radii, q, minCos = 0.2)
+        val delta = Tables.embeddings(s, d).filter(col("vec_id") =!= 0 &&
+          pmod(col("vec_id"), lit(5)) === 4)
+        Ann.radiusSearch(
+            s.read.parquet(p)
+              .filter(col("cell").isin(probes.map(Integer.valueOf): _*)),
+            "vec_id", "embedding", typedLit(q), minCos = 0.2)
+          .unionByName(Ann.radiusSearch(delta, "vec_id", "embedding",
+            typedLit(q), minCos = 0.2))
       }),
 
     // --- IVF ANN: k-means coarse quantizer (fixed seed), probe the 4

@@ -506,6 +506,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("ann_delta_search: bench = pruned base partitions + map-side delta scan") {
+    val p = SparkEntry.benchQueries("ann_delta_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the persisted base must partition-prune on cell; the delta
+    // branch is a plain filtered scan — no join, no shuffle anywhere
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      "base probe must prune cell partitions:\n" + p.take(1200))
+    assert(!p.toLowerCase.contains("exchange"),
+      "index+delta search is scan+union — nothing shuffles:\n" + p.take(1200))
+    assert(p.contains("Union"), p.take(600))
+  }
+
   test("embedding_quantize: stats broadcast, quantization a pure map pass — no data shuffle") {
     val p = plan("embedding_quantize")
     // per-dim min/max combine map-side into ONE row (the 128-expr agg
