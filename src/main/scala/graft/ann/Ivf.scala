@@ -161,6 +161,43 @@ object Ivf {
       id, vec, typedLit(q), minCos, digits)
   }
 
+  /** Compact a delta segment into the cell-partitioned at-rest index
+    * (the LSM merge behind ann_delta_search: fresh vectors serve from
+    * a brute-scanned delta until compaction folds them into the
+    * pruned layout). Assignment uses the EXISTING quantizer — the
+    * one-pass codegen'd argmin, no retraining — and the append writes
+    * only the delta's cells (dynamic partition overwrite is not
+    * needed: parquet append adds files under the touched cell
+    * directories, untouched cells' files are not rewritten). Returns
+    * the delta cell assignment frame for statistic maintenance. */
+  def compact(delta: DataFrame, centers: Array[Array[Double]],
+      vec: String, path: String): DataFrame = {
+    val centLit = typedLit(centers.map(_.toSeq).toSeq)
+    val assigned = delta.withColumn("cell",
+      call_function("graft_nearest_centroid", col(vec), centLit))
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    assigned
+  }
+
+  /** Maintain the per-cell angular radius statistic across a
+    * compaction: θmax'(c) = max(θmax(c), max angle of c's NEW
+    * members) — computed from the DELTA alone (one O(delta) pass +
+    * O(cells) merge), never by rescanning the base. Keeps
+    * [[radiusSearch]]'s pruning lossless over the compacted layout. */
+  def cellRadiiMerge(deltaAssigned: DataFrame,
+      centers: Array[Array[Double]], vec: String,
+      oldRadii: Map[Int, Double]): Map[Int, Double] = {
+    val deltaRadii = cellRadii(deltaAssigned, centers, vec)
+    (oldRadii.keySet ++ deltaRadii.keySet).map { c =>
+      val o = oldRadii.getOrElse(c, Double.NaN)
+      val n = deltaRadii.getOrElse(c, Double.NaN)
+      // NaN radius = "all members zero-norm, cell never probed"; a
+      // real radius from either side must win over NaN
+      val merged = if (o.isNaN) n else if (n.isNaN) o else math.max(o, n)
+      c -> merged
+    }.toMap
+  }
+
   private def sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var j = 0
