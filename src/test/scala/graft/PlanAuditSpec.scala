@@ -879,11 +879,18 @@ class PlanAuditSpec extends SparkSpec {
     // and the LM's V scalar may nest-loop — nothing else
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(800))
-    // the scalar V cross is the only nest-loop; it prints once per
-    // InMemoryRelation branch (the cached scored frame feeds both the
-    // histogram and the join-back), hence <= 2 occurrences
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
-      "only the scalar V cross may nest-loop:\n" + p.take(1200))
+    // the scalar V cross is the only conditionless join, and it lives
+    // INSIDE the cached score subtree — the visible logical plan must
+    // carry none (string-counting BNLJ is brittle: InMemoryRelation
+    // reprints its cached child once per referencing branch, and the
+    // reprint count depends on suite-order cache state)
+    val condless = SparkEntry.queries("perplexity_bucket")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+      }
+    assert(condless.isEmpty,
+      s"no conditionless join outside the cached score subtree: $condless")
     // both cumulative windows run over the aggregate-sized histogram,
     // partitioned by lang — never over raw docs
     val (nw, allPart) = windowsPartitioned("perplexity_bucket")
