@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 ROOT = "/tmp/fuzz3"
 QUERIES = ["winsorize", "ngram_novelty", "interval_union", "percentiles",
-           "histogram_equidepth"]
+           "histogram_equidepth", "perplexity_bucket"]
 WORDS = ["a", "b", "c", "aa", "bb", "the", "x"]
 
 
@@ -41,7 +41,7 @@ def gen_documents(rng, path):
     tbl = pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
         "text": pa.array(texts, pa.string()),
-        "lang": pa.array(["en"] * n),
+        "lang": pa.array([rng.choice(["en", "de", "zh"]) for _ in range(n)]),
         "source": pa.array(["s%d" % (i % 3) for i in range(n)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
