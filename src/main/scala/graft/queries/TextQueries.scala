@@ -898,6 +898,119 @@ object TextQueries {
     // shuffle is the dedup group-by, and the keep-list comes back as
     // a semi join. Threshold compares the ROUNDED ratio (parity
     // protocol: both engines threshold the same rounded value). ---
+    // --- pipeline FUNNEL report (curation observability: how many
+    // docs each stage removes — the number a pipeline owner watches
+    // before anything ships): conjunction-prefix survivor counts
+    // through the standard chain raw → language → quality →
+    // exact-dedup → decontamination, each stage the ALREADY-ORACLED
+    // rule (pipeline_clean's langid + stopword threshold, dedup_exact's
+    // min-doc keeper among quality survivors, decontaminate's
+    // 3-shingle eval overlap). Scale shape: stage flags are map-side
+    // expressions over one cached pass; the keeper list and the
+    // contaminated set are the same bounded joins their parent
+    // queries run; the finish is ONE global aggregate row unpivoted
+    // to 5 stage rows (stack — no shuffle beyond the parents'). ---
+    "pipeline_funnel" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = graft.CacheScope.track(docs
+          .select(col("doc_id"), col("text"))
+          .withColumn("s1", TextOps.langId(col("text")) === "en")
+          .withColumn("s2", col("s1") &&
+            roundAt(TextOps.stopwordRatio(col("text")), 6) >= 0.05))
+        val keep = base.filter(col("s2"))
+          .groupBy(TextOps.exactHash(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select(col("doc_id"), lit(true).as("isk"))
+        val survivors = graft.dedup.Dedup.decontaminate(docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text")),
+            "text", k = 3)
+          .select(col("doc_id"), lit(true).as("clean"))
+        base
+          .join(keep, Seq("doc_id"), "left")
+          .join(survivors, Seq("doc_id"), "left")
+          .withColumn("s3", col("s2") && coalesce(col("isk"), lit(false)))
+          .withColumn("s4", col("s3") && coalesce(col("clean"), lit(false)))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("s1"), 1L).otherwise(0L)).as("n_lang"),
+            sum(when(col("s2"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("s3"), 1L).otherwise(0L)).as("n_dedup"),
+            sum(when(col("s4"), 1L).otherwise(0L)).as("n_clean"))
+          .selectExpr("""stack(5,
+              1, 'raw', n_raw,
+              2, 'lang', n_lang,
+              3, 'quality', n_quality,
+              4, 'dedup', n_dedup,
+              5, 'decontaminate', n_clean) AS (stage_id, stage, n_out)""")
+          .orderBy("stage_id")
+      },
+      {
+        val scores = TextOps.langDicts.map { case (lang, dict) =>
+          s"${dictHitsSql(dict)} AS s_$lang"
+        }.mkString(",\n    ")
+        val langs = TextOps.langDicts.map(_._1)
+        val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'")
+          .mkString("\n    ")
+        val stopHits = TextOps.enStopwords
+          .map(w => s"len(list_filter(ws, x -> x = '$w'))").mkString(" + ")
+        s"""WITH t AS (
+          |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+          |  FROM documents
+          |), sc AS (
+          |  SELECT doc_id, text, ws,
+          |    $scores
+          |  FROM t
+          |), b AS (
+          |  SELECT *, $best AS best FROM sc
+          |), fl AS (
+          |  SELECT doc_id, text,
+          |    (CASE
+          |    $pick
+          |    ELSE 'und' END = 'en') AS s1,
+          |    (CASE
+          |    $pick
+          |    ELSE 'und' END = 'en'
+          |     AND floor((($stopHits)::DOUBLE / len(ws))*1000000 + 0.5)/1000000
+          |       >= 0.05) AS s2
+          |  FROM b
+          |), keep AS (
+          |  SELECT min(doc_id) AS kid FROM fl WHERE s2 GROUP BY md5(text)
+          |), wsr AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+          |), shg AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    CASE WHEN len(w) >= 3 THEN
+          |      list_transform(range(1, len(w) - 1),
+          |        i -> array_to_string(w[i:i+2], ' '))
+          |    ELSE [text] END)) AS shingle
+          |  FROM wsr
+          |), ev AS (
+          |  SELECT DISTINCT shingle FROM shg WHERE doc_id < 10
+          |), cont AS (
+          |  SELECT DISTINCT s.doc_id FROM shg s JOIN ev USING (shingle)
+          |), f2 AS (
+          |  SELECT fl.s1, fl.s2,
+          |    (fl.s2 AND fl.doc_id IN (SELECT kid FROM keep)) AS s3,
+          |    (fl.s2 AND fl.doc_id IN (SELECT kid FROM keep)
+          |     AND fl.doc_id NOT IN (SELECT doc_id FROM cont)) AS s4
+          |  FROM fl
+          |), agg AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_raw,
+          |    CAST(coalesce(sum(CASE WHEN s1 THEN 1 END), 0) AS BIGINT) AS n_lang,
+          |    CAST(coalesce(sum(CASE WHEN s2 THEN 1 END), 0) AS BIGINT) AS n_quality,
+          |    CAST(coalesce(sum(CASE WHEN s3 THEN 1 END), 0) AS BIGINT) AS n_dedup,
+          |    CAST(coalesce(sum(CASE WHEN s4 THEN 1 END), 0) AS BIGINT) AS n_clean
+          |  FROM f2
+          |)
+          |SELECT 1 AS stage_id, 'raw' AS stage, n_raw AS n_out FROM agg
+          |UNION ALL SELECT 2, 'lang', n_lang FROM agg
+          |UNION ALL SELECT 3, 'quality', n_quality FROM agg
+          |UNION ALL SELECT 4, 'dedup', n_dedup FROM agg
+          |UNION ALL SELECT 5, 'decontaminate', n_clean FROM agg
+          |ORDER BY stage_id""".stripMargin
+      }),
+
     "pipeline_clean" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)

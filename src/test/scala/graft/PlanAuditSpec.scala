@@ -873,6 +873,15 @@ class PlanAuditSpec extends SparkSpec {
       "exactly the two bounded rank windows")
   }
 
+  test("pipeline_funnel: one aggregate row unpivoted — no windows, no cartesian") {
+    val p = plan("pipeline_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(windowsPartitioned("pipeline_funnel")._1 == 0,
+      "funnel counts are aggregates, never windows")
+    // the finish is ONE global aggregate row fanned out by stack
+    assert(p.contains("Generate") || p.contains("stack"), p.take(1200))
+  }
+
   test("perplexity_bucket: tercile thresholds broadcast back; windows partitioned by lang") {
     val p = plan("perplexity_bucket")
     // the 5-row threshold table must broadcast onto the scored frame,
