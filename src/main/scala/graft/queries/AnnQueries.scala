@@ -119,6 +119,13 @@ object AnnQueries {
       "/tmp/graft_cluster_cents_default")
   private def clusterCentPath(d: String): String =
     Fixtures.tmpPath("graft_cluster_cents", d)
+  // sample_diverse's persisted-quantizer handshake (cluster_assign's
+  // protocol, own artifact so the query is self-contained)
+  private val diverseCentPathRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_diverse_cents_default")
+  private def diverseCentPath(d: String): String =
+    Fixtures.tmpPath("graft_diverse_cents", d)
   private val clusterBenchMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Double]]]()
   private def clusterBenchCenters(s: org.apache.spark.sql.SparkSession,
@@ -411,6 +418,77 @@ object AnnQueries {
             call_function("graft_nearest_centroid",
               col("embedding"), centLit).as("cluster"))
           .orderBy("vec_id")
+      }),
+
+    // --- cluster-balanced DIVERSITY sampling (semantic subset
+    // selection: k docs per embedding cluster, so the sample spans
+    // the corpus's semantic modes instead of echoing its frequency
+    // skew — the cluster-balanced selection step of SemDeDup-style
+    // curation). Membership is deterministic: md5(vec_id) ranks
+    // within each cluster (sample_mix's fate discipline — stable
+    // under re-runs, partitioning, corpus growth), top-3 per cluster
+    // via GroupTopK's two-phase reduction (no per-cluster one-task
+    // window). The build persists the trained quantizer; the oracle
+    // REPLAYS assignment (exact argmin from the persisted centroids,
+    // cluster_assign's protocol) + the same fate ranking. Scale:
+    // assignment is one codegen'd map pass, fate map-side, output
+    // bounded at cells × k. ---
+    "sample_diverse" -> QueryDef.sqlBench(
+      (s, d) => {
+        val pc = diverseCentPath(d)
+        diverseCentPathRef.set(pc)
+        val e = Tables.embeddings(s, d)
+        val (_, sample) = headSample(e, 65536)
+        val (indexed, centers) = Ivf.buildFromSample(e, "embedding",
+          nCells = 8, sample)
+        import s.implicits._
+        centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(pc)
+        val fated = indexed.select(col("vec_id"), col("cell"),
+          md5(col("vec_id").cast("string")).as("fate"))
+        graft.operators.GroupTopK.topK(fated, Seq("cell"),
+            Seq(col("fate"), col("vec_id")), 3)
+          .select(col("vec_id"), col("cell").as("cluster"), col("rk"))
+          .orderBy("cluster", "rk")
+      },
+      s"""WITH cents AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('${diverseCentPathRef.get}/*.parquet')
+        |), d AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS d2
+        |  FROM embeddings e CROSS JOIN cents c
+        |), r AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        |  FROM d
+        |), asg AS (
+        |  SELECT vec_id, CAST(cell AS INTEGER) AS cluster,
+        |    md5(CAST(vec_id AS VARCHAR)) AS fate
+        |  FROM r WHERE rk = 1
+        |), t AS (
+        |  SELECT vec_id, cluster, CAST(row_number() OVER (
+        |    PARTITION BY cluster ORDER BY fate, vec_id) AS INT) AS rk
+        |  FROM asg
+        |)
+        |SELECT vec_id, cluster, rk FROM t WHERE rk <= 3
+        |ORDER BY cluster, rk""".stripMargin,
+      // bench: the steady-state pass with the memoized quantizer —
+      // one codegen'd assignment + fate + two-phase top-k
+      (s, d) => {
+        val centers = clusterBenchCenters(s, d)
+        val centLit = typedLit(centers.map(_.toSeq).toSeq)
+        val fated = Tables.embeddings(s, d).select(col("vec_id"),
+          call_function("graft_nearest_centroid",
+            col("embedding"), centLit).as("cell"),
+          md5(col("vec_id").cast("string")).as("fate"))
+        graft.operators.GroupTopK.topK(fated, Seq("cell"),
+            Seq(col("fate"), col("vec_id")), 3)
+          .select(col("vec_id"), col("cell").as("cluster"), col("rk"))
+          .orderBy("cluster", "rk")
       }),
 
     // --- EXACT radius search through LOSSLESS IVF pruning: per-cell

@@ -16,7 +16,8 @@ class BenchEquivalenceSpec extends SparkSpec {
 
   for (q <- Seq("lsh_bucket_stats", "text_compress_ratio",
       "dedup_clusters_incremental", "bpe_tokens", "dedup_lines",
-      "logreg_predict", "perplexity_bucket", "ann_delta_search")) {
+      "logreg_predict", "perplexity_bucket", "ann_delta_search",
+      "sample_diverse")) {
     test(s"$q: steady-state bench output == gated build output") {
       // build FIRST: it persists the artifacts the bench variant reads
       val built = rows(SparkEntry.queries(q)(spark, sf))

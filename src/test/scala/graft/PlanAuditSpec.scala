@@ -873,6 +873,16 @@ class PlanAuditSpec extends SparkSpec {
       "exactly the two bounded rank windows")
   }
 
+  test("sample_diverse: assignment map-side, top-k two-phase — one bounded window") {
+    val p = plan("sample_diverse")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // GroupTopK: per-partition first-k stream filter, then ONE window
+    // over the <= partitions x cells x k survivors — partitioned
+    val (nw, allPart) = windowsPartitioned("sample_diverse")
+    assert(nw == 1 && allPart,
+      s"expected GroupTopK's single partitioned survivor window, got $nw")
+  }
+
   test("pipeline_funnel: one aggregate row unpivoted — no windows, no cartesian") {
     val p = plan("pipeline_funnel")
     assert(!p.contains("CartesianProduct"), p.take(800))
