@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 ROOT = "/tmp/fuzz3"
 QUERIES = ["winsorize", "ngram_novelty", "interval_union", "percentiles",
-           "histogram_equidepth", "perplexity_bucket"]
+           "histogram_equidepth", "perplexity_bucket", "pipeline_funnel"]
 WORDS = ["a", "b", "c", "aa", "bb", "the", "x"]
 
 
