@@ -17,8 +17,17 @@ IMPORTANT: a prior minimum recorded against an implementation that
 has since CHANGED would mask a regression forever (min() keeps the
 dead code's time) — list such queries in --exclude q1,q2 so their
 rows carry only fresh measurements.
+
+--since <rev> derives that exclude set MECHANICALLY from the git
+diff: every hunk touching src/main/scala/graft/queries/*.scala is
+attributed to its enclosing `"name" -> QueryDef` anchor and those
+queries are auto-added to the exclude set (no author memory in the
+loop). Hunks above the first anchor (shared per-file helpers) and
+changed non-queries source files (operators, expressions, dedup/ann
+internals) can affect queries this attribution can't see — they are
+printed as loud warnings so the author widens --exclude by hand.
 """
-import json, re, sys
+import json, os, re, subprocess, sys
 
 
 def load_pass(path):
@@ -29,6 +38,56 @@ def load_pass(path):
         if '"queries"' in line and line.startswith("{"):
             return json.loads(line)
     raise SystemExit(f"no bench queries line in {path}")
+
+
+ANCHOR = re.compile(r'"([a-z0-9_]+)"\s*->\s*QueryDef')
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def queries_changed_since(rev):
+    """Attribute every diff hunk in queries/*.scala to its enclosing
+    `"name" -> QueryDef` anchor; return (changed_queries, warnings)."""
+    files = subprocess.run(
+        ["git", "diff", "--name-only", rev, "--",
+         "src/main/scala/graft"],
+        cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout.split()
+    changed, warns = set(), []
+    for f in files:
+        if "/queries/" not in f or not f.endswith(".scala"):
+            warns.append(f"non-queries source changed: {f} — queries "
+                         "built on it are NOT auto-excluded")
+            continue
+        path = os.path.join(REPO, f)
+        if not os.path.exists(path):
+            warns.append(f"deleted file in diff: {f}")
+            continue
+        anchors = []  # (line_no, query_name), ascending
+        for i, line in enumerate(open(path), start=1):
+            m = ANCHOR.search(line)
+            if m:
+                anchors.append((i, m.group(1)))
+        diff = subprocess.run(
+            ["git", "diff", "-U0", rev, "--", f],
+            cwd=REPO, capture_output=True, text=True, check=True).stdout
+        for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
+                             diff, re.M):
+            start = int(m.group(1))
+            n = int(m.group(2)) if m.group(2) is not None else 1
+            end = start + max(n, 1) - 1
+            # a hunk belongs to the last anchor at or above its start;
+            # it can also spill into later anchors it overlaps
+            hit = [name for (ln, name) in anchors if ln <= end]
+            owner = hit[-1] if hit else None
+            spill = [name for (ln, name) in anchors if start <= ln <= end]
+            if owner is None:
+                warns.append(f"{f}: hunk at +{start} precedes the first "
+                             "query anchor (file-level helpers) — ALL of "
+                             "this file's queries may be affected")
+            else:
+                changed.add(owner)
+                changed.update(spill)
+    return changed, warns
 
 
 def main():
@@ -43,6 +102,17 @@ def main():
         i = args.index("--exclude")
         exclude = set(args[i + 1].split(","))
         del args[i:i + 2]
+    if "--since" in args:
+        i = args.index("--since")
+        derived, warns = queries_changed_since(args[i + 1])
+        del args[i:i + 2]
+        for w in warns:
+            print(f"  WARN --since: {w}")
+        extra = derived - exclude
+        if extra:
+            print(f"  --since derived {len(extra)} changed queries not in "
+                  f"--exclude (auto-added): {','.join(sorted(extra))}")
+        exclude |= derived
     out, paths = args[0], args[1:]
     merged = None
     for p in paths:

@@ -175,7 +175,28 @@ object Ivf {
     val centLit = typedLit(centers.map(_.toSeq).toSeq)
     val assigned = delta.withColumn("cell",
       call_function("graft_nearest_centroid", col(vec), centLit))
-    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    // Column contract: the delta must carry EXACTLY the at-rest
+    // layout's columns (same names, same types) — a narrower or wider
+    // delta would silently fork the parquet schema under one
+    // directory, making metadata columns read as null or vanish
+    // depending on which file Spark infers the schema from. Fail fast
+    // instead, and write in the layout's column order.
+    val spark = delta.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aligned = if (fs.exists(hPath)) {
+      val layout = spark.read.parquet(path).schema
+      val layoutSig = layout.map(f => (f.name, f.dataType.sql)).sortBy(_._1)
+      val deltaSig = assigned.schema
+        .map(f => (f.name, f.dataType.sql)).sortBy(_._1)
+      require(layoutSig == deltaSig,
+        s"delta schema ${deltaSig.mkString(", ")} does not match the " +
+          s"at-rest layout ${layoutSig.mkString(", ")} under $path — " +
+          "align the delta's columns (names AND element types) before " +
+          "compaction")
+      assigned.select(layout.map(f => col(f.name)): _*)
+    } else assigned
+    aligned.write.mode("append").partitionBy("cell").parquet(path)
     assigned
   }
 

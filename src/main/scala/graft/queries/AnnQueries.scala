@@ -135,6 +135,30 @@ object AnnQueries {
       val (_, sample) = headSample(e, 65536)
       graft.ann.Ivf.buildFromSample(e, "embedding", nCells = 8, sample)._2
     })
+  // sample_diverse's bench codebook: read the query's OWN persisted
+  // quantizer (the diverseCentPath artifact the gated build writes)
+  // rather than borrowing cluster_assign's memo — the two geometries
+  // are incidentally identical today, and a future change to
+  // cluster_assign must not silently diverge this bench from the
+  // gated build. Falls back to training the same quantizer when the
+  // artifact hasn't been written in this JVM (bench-only runs).
+  private val diverseBenchMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+  private def diverseBenchCenters(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Array[Double]] =
+    diverseBenchMemo.computeIfAbsent(d, _ => {
+      val p = diverseCentPath(d)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) {
+        s.read.parquet(p).select("cell", "centroid").orderBy("cell")
+          .collect().map(_.getSeq[Double](1).toArray)
+      } else {
+        val e = Tables.embeddings(s, d)
+        val (_, sample) = headSample(e, 65536)
+        graft.ann.Ivf.buildFromSample(e, "embedding", nCells = 8, sample)._2
+      }
+    })
 
   private val ivfRadiusBenchMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[Array[Double]], Map[Int, Double], Seq[Double])]()
@@ -476,10 +500,11 @@ object AnnQueries {
         |)
         |SELECT vec_id, cluster, rk FROM t WHERE rk <= 3
         |ORDER BY cluster, rk""".stripMargin,
-      // bench: the steady-state pass with the memoized quantizer —
+      // bench: the steady-state pass with sample_diverse's OWN
+      // memoized quantizer (the persisted diverseCentPath artifact) —
       // one codegen'd assignment + fate + two-phase top-k
       (s, d) => {
-        val centers = clusterBenchCenters(s, d)
+        val centers = diverseBenchCenters(s, d)
         val centLit = typedLit(centers.map(_.toSeq).toSeq)
         val fated = Tables.embeddings(s, d).select(col("vec_id"),
           call_function("graft_nearest_centroid",

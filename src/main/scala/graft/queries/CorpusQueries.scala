@@ -115,19 +115,20 @@ object CorpusQueries {
         .write.mode("overwrite").parquet(p)
       p
     })
-  // The oracle thunk resolves the label-table path through the memo
-  // keyed by the LAST-BUILT dataset — once a build has run it can
-  // only ever name a path whose artifact was actually written; before
-  // any build it names a sentinel no build ever writes, so a replay
-  // fails loudly in DuckDB ("No files found") instead of silently
-  // reading another dataset's labels. (Verify's contract is one
-  // dataset per JVM, build-then-dump; consumers that only LIST oracle
-  // keys may resolve the thunk pre-build, hence a sentinel rather
-  // than a throw.)
+  // The oracle thunk resolves the label-table path PER DATASET: the
+  // consumer's declared dataset (OracleDataset, set by Verify/fuzz
+  // before dumping oracles) wins; the last-built dataset is the
+  // fallback for one-dataset JVMs. Either way the path comes out of
+  // the per-dataset memo, so it can only ever name an artifact that
+  // build actually wrote; an unbuilt (or never-declared) dataset
+  // resolves to a sentinel no build writes, and the replay fails
+  // loudly in DuckDB ("No files found") instead of silently reading
+  // another dataset's labels.
   private val ccLastDataset =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private def ccFullPathForOracle(): String =
-    Option(ccLastDataset.get).map(ccFullMemo.get)
+    OracleDataset.current.orElse(Option(ccLastDataset.get))
+      .flatMap(d => Option(ccFullMemo.get(d)))
       .getOrElse("/tmp/graft_ccfull_unbuilt")
 
   // ONE definition of the md5-prefix split fate (train:val:test =

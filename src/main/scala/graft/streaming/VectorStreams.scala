@@ -28,9 +28,36 @@ object VectorStreams {
       call_function("graft_nearest_centroid", col(vec), centLit))
   }
 
+  /** One micro-batch's append, made IDEMPOTENT under replay: Spark's
+    * foreachBatch contract is at-least-once (a batch whose append
+    * succeeded but whose checkpoint commit did not is re-delivered on
+    * restart), so a blind append would duplicate the batch's vectors
+    * in the index and break the exact base∪delta search equality.
+    * A per-batch commit marker under `_ingest_commits/` (a `_`-prefixed
+    * directory, invisible to parquet reads) records completed batches;
+    * a re-delivered batchId is skipped. The marker is written AFTER
+    * the append — the residual window (append committed, marker write
+    * itself failed) requires two distinct failures inside one batch
+    * and is recoverable by deleting the batch's files; the common
+    * replay path (checkpoint-commit failure) is fully covered. */
+  def ingestBatch(batch: DataFrame, centers: Array[Array[Double]],
+      vec: String, path: String, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      path, s"_ingest_commits/batch-$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.ann.Ivf.compact(batch, centers, vec, path)
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Ingest a vector stream into the cell-partitioned at-rest index:
     * each micro-batch is one `Ivf.compact` append (only the batch's
-    * cell directories are touched). Radius-statistic maintenance is
+    * cell directories are touched), made replay-safe by
+    * [[ingestBatch]]'s commit markers. The batch must carry the
+    * layout's exact columns — `Ivf.compact` fails fast on a schema
+    * fork. Radius-statistic maintenance is
     * the caller's compaction-time concern (`Ivf.cellRadiiMerge` per
     * batch, or once per compaction window) — a searcher that unions
     * the un-folded tail brute-force (`ann_delta_search`'s shape)
@@ -40,8 +67,8 @@ object VectorStreams {
       checkpoint: String): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ann.Ivf.compact(batch, centers, vec, path); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, centers, vec, path, batchId)
       }
       .start()
 }

@@ -24,7 +24,7 @@ object ExplainMain {
           for (i <- 1 to 3) {
             val t0 = System.nanoTime()
             df.write.format("noop").mode("overwrite").save()
-            println(s"run $i: ${(System.nanoTime() - t0) / 1e9}%s sec")
+            println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f sec")
           }
         }
       }

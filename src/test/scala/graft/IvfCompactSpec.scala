@@ -57,5 +57,14 @@ class IvfCompactSpec extends SparkSpec {
     assert(radii.keySet.subsetOf(merged.keySet))
     assert(radii.forall { case (c, r) =>
       r.isNaN || merged(c) >= r - 1e-12 })
+
+    // column contract: a delta NARROWER than the at-rest layout
+    // (missing the label metadata column) must fail fast, not fork
+    // the parquet schema under the directory
+    val narrow = delta.select(col("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.compact(narrow, centers, "embedding", path)
+    }
+    assert(e.getMessage.contains("at-rest layout"))
   }
 }

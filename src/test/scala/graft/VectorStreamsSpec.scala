@@ -33,14 +33,16 @@ class VectorStreamsSpec extends SparkSpec {
     idx.unpersist()
 
     // stream the delta in TWO micro-batches (order-of-arrival must
-    // not matter: assignment is stateless). Keep the layout's FLOAT
-    // element type — appending a double-typed batch would fork the
-    // parquet schema under the same directory.
-    val rows = delta.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().toSeq
+    // not matter: assignment is stateless). The batch carries the
+    // layout's FULL schema — FLOAT element type AND the label
+    // metadata column — because Ivf.compact fails fast on any
+    // schema fork (a narrower batch would make label read as null
+    // from the streamed files).
+    val rows = delta.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect().toSeq
     val (b1, b2) = rows.splitAt(rows.size / 2)
-    val in = MemoryStream[(Long, Seq[Float])]
-    val sdf = in.toDF().toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val sdf = in.toDF().toDF("vec_id", "embedding", "label")
     val q = VectorStreams.ingest(sdf, centers, path,
       checkpoint = tmp + "/ckpt")
     try {
@@ -48,8 +50,22 @@ class VectorStreamsSpec extends SparkSpec {
       in.addData(b2); q.processAllAvailable()
     } finally q.stop()
 
+    // a re-delivered micro-batch (foreachBatch is at-least-once:
+    // append committed, checkpoint commit lost) must be a no-op —
+    // the commit marker skips already-ingested batchIds
+    val replay = delta.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    VectorStreams.ingestBatch(replay, centers, "embedding", path,
+      batchId = 0L)
+    VectorStreams.ingestBatch(replay, centers, "embedding", path,
+      batchId = 1L)
+
     val compacted = spark.read.parquet(path)
-    assert(compacted.count() == embs.filter(col("vec_id") =!= 0).count())
+    assert(compacted.count() == embs.filter(col("vec_id") =!= 0).count(),
+      "replayed batches must not duplicate rows in the index")
+    // the layout's metadata column survives streamed files (no
+    // schema fork: compact would have failed fast on a narrower batch)
+    assert(compacted.filter(col("label").isNull).count() == 0)
     // per-cell membership identical to the stateless batch assignment
     val streamCells = compacted.select(col("vec_id"), col("cell"))
       .as[(Long, Int)].collect().toMap
