@@ -332,6 +332,14 @@ object TextQueries {
   // driver collect is bounded and the dictionary stays broadcastable
   // far beyond bench scale; an unbounded vocabulary (opaque IDs)
   // switches consumers to a term-partitioned df join instead.
+  // ENFORCED vocabulary bound (the DiscreteStats discipline): 2M
+  // distinct terms ≈ a few hundred MB of HashMap — the same budget a
+  // broadcast hash relation gets. Heaps' law keeps natural-language
+  // vocabularies under it far beyond bench scale, but at 100 TB of
+  // web text (or opaque IDs in the token stream) the raw vocabulary
+  // is NOT driver-sized — the limit-probe below turns that from an
+  // opaque driver OOM hours in into an immediate, actionable error.
+  private[graft] val MaxBroadcastVocab: Int = 1 << 21
   private val tfidfDfBcMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[
       java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
@@ -340,21 +348,68 @@ object TextQueries {
       : org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
           java.lang.Long]] =
-    tfidfDfBcMemo.computeIfAbsent(d, _ => {
-      val rows = Tables.documents(s, d)
-        .select(explode(graft.functions.expressions.TermCounts
+    tfidfDfBcMemo.computeIfAbsent(d, _ =>
+      tfidfDfBcGuarded(s, d, MaxBroadcastVocab))
+  // guard exposed for the spec: the collect is a LIMIT-PROBE (at most
+  // maxVocab+1 rows ever reach the driver, the stripLines probe
+  // discipline — never an unbounded collect), and overflow fails fast
+  // naming the fallback instead of OOMing the driver
+  private[graft] def tfidfDfBcGuarded(s: org.apache.spark.sql.SparkSession,
+      d: String, maxVocab: Int): org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]] = {
+    val rows = Tables.documents(s, d)
+      .select(explode(graft.functions.expressions.TermCounts
+        .of(lower(col("text")))).as("t"))
+      .groupBy(col("t.term").as("term")).agg(count(lit(1)).as("df"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"document-frequency vocabulary exceeds $maxVocab distinct terms" +
+        " — not driver/broadcast-sized for this corpus. Use the " +
+        "term-partitioned df join path (TextQueries.tfidfTopTermsJoined)" +
+        " instead of the broadcast dictionary, or raise the bound " +
+        "deliberately.")
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+      rows.length * 2)
+    rows.foreach { r =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(
+        r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
+    }
+    s.sparkContext.broadcast(m)
+  }
+
+  /** The UNBOUNDED-vocabulary tfidf_topterms path — identical rows to
+    * the broadcast-dictionary expression (hash-proven by
+    * TfidfVocabGuardSpec at two SFs), but the df dictionary never
+    * leaves the cluster: per-doc term counts map-side
+    * (graft_term_counts), df as a term-keyed aggregate, score in the
+    * SAME IEEE micro chain as TfidfTopTerms.compute, per-doc top-k
+    * via GroupTopK's two-phase reduction. Both the df aggregate and
+    * the tf⋈df join shuffle on the term key (co-partitioned), so the
+    * shape survives any vocabulary size; the tf subtree is evaluated
+    * once per branch (cheap map-side pass — at petabyte scale,
+    * checkpoint it). */
+  private[graft] def tfidfTopTermsJoined(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val n = docCountOf(s, d)
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.expressions.TermCounts
           .of(lower(col("text")))).as("t"))
-        .groupBy(col("t.term").as("term")).agg(count(lit(1)).as("df"))
-        .collect()
-      val m = new java.util.HashMap[
-        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
-        rows.length * 2)
-      rows.foreach { r =>
-        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(
-          r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
-      }
-      s.sparkContext.broadcast(m)
-    })
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfTab, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        floor((col("tf") * lit(n)).cast("double") / col("df").cast("double")
+          * lit(1000000L) + lit(0.5)).cast("long").as("micro"))
+    graft.operators.GroupTopK.topK(scored, Seq("doc_id"),
+        Seq(col("micro").desc, col("term")), k)
+      .select(col("doc_id"), col("rk"), col("term"),
+        (col("micro") / lit(1000000)).as("score"))
+      .orderBy("doc_id", "rk")
+  }
 
   private def dictHitsSql(dict: Seq[String]): String =
     dict.map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")
