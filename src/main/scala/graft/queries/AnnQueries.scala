@@ -199,6 +199,48 @@ object AnnQueries {
       (p, centers, radii, q)
     })
 
+  // ann_stream_search's artifacts: the LSM story driven END TO END by
+  // the REAL streaming runtime — base indexed at rest, the delta
+  // arriving as file-source micro-batches through
+  // VectorStreams.ingest (one Ivf.compact append per batch, commit
+  // markers making replay idempotent), radii merged from the delta
+  // alone. Built once per (JVM, dataset) — ingest is an artifact
+  // event, search is the steady-state query. No driver collect
+  // anywhere: the arrival simulation writes the delta as two parquet
+  // files and streams them with maxFilesPerTrigger=1.
+  private val streamSearchMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]], Map[Int, Double], Seq[Double])]()
+  private def streamSearchFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Array[Array[Double]], Map[Int, Double], Seq[Double]) =
+    streamSearchMemo.computeIfAbsent(d, _ => {
+      val e = Tables.embeddings(s, d)
+      val (q, sample) = headSample(e, 65536)
+      val base = e.filter(col("vec_id") =!= 0 &&
+        pmod(col("vec_id"), lit(5)) =!= 4)
+      val delta = e.filter(col("vec_id") =!= 0 &&
+        pmod(col("vec_id"), lit(5)) === 4)
+      val (indexed, centers) = Ivf.buildFromSample(base, "embedding",
+        nCells = batchIvfCells(sample.length), sample)
+      val idx = graft.CacheScope.track(indexed)
+      val radii = Ivf.cellRadii(idx, centers, "embedding")
+      val tmp = Fixtures.tmpPath("graft_streamsearch", d)
+      val path = tmp + "/idx"
+      idx.write.mode("overwrite").partitionBy("cell").parquet(path)
+      // arrival simulation: two files → two micro-batches
+      val arrivals = tmp + "/arrivals"
+      delta.repartition(2).write.mode("overwrite").parquet(arrivals)
+      val sdf = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(arrivals)
+      val sq = graft.streaming.VectorStreams.ingest(sdf, centers, path,
+        checkpoint = tmp + "/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      // statistic maintenance from the delta alone (O(delta) pass)
+      val merged = Ivf.cellRadiiMerge(
+        graft.streaming.VectorStreams.cellAssign(delta, centers),
+        centers, "embedding", radii)
+      (path, centers, merged, q)
+    })
+
   // ann_ivfpq's bench-path index, built ONCE per (JVM, dataset) and
   // persisted cell-partitioned (the at-rest IVFADC layout): production
   // maintains codebooks + code table as index artifacts beside the
@@ -600,6 +642,28 @@ object AnnQueries {
           .unionByName(Ann.radiusSearch(delta, "vec_id", "embedding",
             typedLit(q), minCos = 0.2))
       }),
+
+    // --- search AFTER STREAMED ingest (the freshness contract of the
+    // LSM vector store, driver-verified end to end): the delta
+    // arrives through the real Structured Streaming runtime — two
+    // file-source micro-batches, each an idempotent Ivf.compact
+    // append into the cell-partitioned base layout — radii merge from
+    // the delta alone, and the post-ingest pruned radius search over
+    // the compacted layout must equal the full-corpus brute replay
+    // row-for-row (an EQUALITY gate: a vector the stream dropped,
+    // duplicated, or mis-celled fails the hash). ann_delta_search
+    // proves the un-folded-tail shape; this row proves
+    // ingest-then-search. Ingest is a once-per-dataset artifact
+    // event (memoized); the measured query is the steady-state
+    // partition-pruned scan. ---
+    "ann_stream_search" -> QueryDef.sql(
+      (s, d) => {
+        val (p, centers, radii, q) = streamSearchFor(s, d)
+        Ivf.radiusSearch(s.read.parquet(p), centers, radii,
+            "vec_id", "embedding", q, minCos = 0.2)
+          .orderBy("vec_id")
+      },
+      radiusOracleSql),
 
     // --- IVF ANN: k-means coarse quantizer (fixed seed), probe the 4
     // nearest of 16 cells, exact re-rank — recall-verdict oracled
