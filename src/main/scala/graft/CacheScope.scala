@@ -2,6 +2,7 @@ package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
 /** Session-lifetime cache hygiene for operator-internal persists.
@@ -39,6 +40,35 @@ object CacheScope {
     c
   }
 
+  // Deferred cleanups for non-persist resources (localCheckpoint RDD
+  // blocks) — same scoping rules as `tracked`.
+  private val deferred = ThreadLocal.withInitial(
+    () => new ConcurrentLinkedQueue[() => Unit]())
+
+  /** Eagerly localCheckpoint `df` — materializing it NOW and replacing
+    * its logical plan with a LogicalRDD leaf — and register the
+    * checkpoint blocks for release at scope end.
+    *
+    * Use where a SMALL intermediate frame is referenced many times by
+    * the downstream plan: `persist` shares the *computation* but not
+    * the *lineage*, so a frame whose subtree is expensive to ANALYZE
+    * (a multi-stage candidate pipeline) still rides into every
+    * consumer's logical tree once per reference, and Catalyst
+    * re-analyzes the whole blown-up tree on every action
+    * (dedup_clusters_incremental's merge plan was 32k nodes /
+    * 3282 Exchange occurrences before checkpointing its O(batch) edge
+    * sliver — analysis alone dominated the query). The checkpoint
+    * truncates lineage at the cost of losing recompute-on-failure for
+    * those blocks, which is the right trade for bounded intermediates. */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    deferred.get().add(() => c.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    })
+    c
+  }
+
   /** Release every cache registered on this thread since the last
     * call. Safe to call when nothing is tracked; safe to call twice. */
   def releaseAll(): Unit = {
@@ -47,6 +77,12 @@ object CacheScope {
     while (d != null) {
       d.unpersist(blocking = false)
       d = q.poll()
+    }
+    val dq = deferred.get()
+    var f = dq.poll()
+    while (f != null) {
+      f()
+      f = dq.poll()
     }
   }
 

@@ -405,7 +405,14 @@ object Dedup {
       newPairs: DataFrame): DataFrame = {
     val idCol = batchIds.columns.head
     val lbl = baseLabels.toDF("id", "cluster")
-    val p = graft.CacheScope.track(newPairs.toDF("a", "b"))
+    // checkpoint, not persist: the edge sliver is O(batch) rows but
+    // its SUBTREE is the whole LSH candidate pipeline, and this frame
+    // is referenced (via ends/lmap/proj/nodes/merged/relabel) ~20x by
+    // the final union's logical plan — persist shares computation but
+    // not lineage, so the analyzed tree blew up to ~32k nodes and
+    // Catalyst re-analysis dominated the query (guide §7.3: large
+    // plans are driver-side, single-threaded cost)
+    val p = graft.CacheScope.trackCheckpoint(newPairs.toDF("a", "b"))
     // one scan of the base label table resolves every endpoint that
     // is a base doc (broadcast the small endpoint set)
     val ends = p.select(col("a").as("e"))
@@ -417,7 +424,10 @@ object Dedup {
     // themselves). O(batch) rows scanned by four downstream actions
     // (node set, CC probe+collect, relabel) — cache the projection,
     // not just the raw pairs, so the label joins run once.
-    val proj = graft.CacheScope.track(p
+    // same lineage-truncation rationale as `p`: proj is O(batch) rows
+    // but feeds four downstream consumers (node set ×2, CC probe,
+    // CC edges), each of which would re-embed the label-join subtree
+    val proj = graft.CacheScope.trackCheckpoint(p
       .join(broadcast(lmap).withColumnRenamed("e", "a")
         .withColumnRenamed("l", "la"), Seq("a"), "left")
       .join(broadcast(lmap.withColumnRenamed("e", "b")
@@ -428,7 +438,9 @@ object Dedup {
       .union(proj.select(col("pb").as("n"))).distinct()
     // merged labels of the touched super-nodes (projected graph is
     // O(batch) — the driver union-find fast path)
-    val merged = graft.CacheScope.track(
+    // O(touched super-nodes) rows, referenced by both the base
+    // relabel and the batch labeling — checkpoint for the same reason
+    val merged = graft.CacheScope.trackCheckpoint(
       connectedComponents(nodes, proj).toDF("n", "m"))
     // base relabels: only components whose merged minimum moved
     val relabel = merged.filter(col("n") =!= col("m"))
