@@ -175,12 +175,22 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val n = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " "))).as("n_words"))
-    val tf = QueryDef.spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isInCollection(qTerms))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    // tf feeds BOTH the df aggregate and the scoring join; without a
+    // cache each reference re-runs the full corpus explode+filter+agg
+    // (the plan showed two complete Scan→Generate→HashAggregate
+    // chains — Catalyst prunes `dl` differently per branch, so not
+    // even the exchange is reused). The cached frame is bounded at
+    // (matching docs × |qTerms|) rows — the retrieval index sliver,
+    // not the corpus.
+    val tf = graft.CacheScope.track(
+      QueryDef.spread(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isInCollection(qTerms))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    // tf rows are unique per (doc_id, term) — count(1) IS the distinct
+    // doc count, without countDistinct's extra expand/dedup phase
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(n))
       .select(col("term"), floor(log(
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
