@@ -253,20 +253,26 @@ object RelationalQueries {
           .agg(sum(bit_count(col("bits")).cast("long")).as("outdeg"))
         val contrib = words.join(broadcast(outdeg), "src")
           .select(explode(graft.functions.expressions.BitPositions.of(
-              col("bits"), col("w").cast("long") * 64)).as("dst"),
+              col("bits"), col("w").cast("long") * 64)).as("node"),
             floor(lit(1000000.0) / col("outdeg").cast("double") + lit(0.5))
               .cast("long").as("c_micro"))
-          .groupBy("dst").agg(sum("c_micro").as("in_micro"))
-        // both sides are ≤|V| post-agg rows; the full-outer SMJ is
-        // trivial and saves the nodes-union's extra scan + distinct
-        outdeg.join(contrib, col("src") === col("dst"), "full")
-          .select(coalesce(col("src"), col("dst")).as("node"),
-            coalesce(col("in_micro"), lit(0L)).as("in_micro"),
+        // node set + in-sums in ONE hash aggregate: every src appears
+        // as a zero-contribution row, so dangling nodes keep the
+        // teleport term without a join — the previous full-outer SMJ
+        // paid two sort exchanges plus a separate contrib aggregate
+        // for the same result (the map-side partial agg compresses the
+        // exploded contributions before the single exchange anyway)
+        contrib.unionByName(outdeg
+            .select(col("src").as("node"), lit(0L).as("c_micro")))
+          .groupBy("node").agg(sum("c_micro").as("in_micro"))
+          .select(col("node"), col("in_micro"),
             graft.functions.VectorOps.roundAt(
               lit(0.15) + lit(0.85) *
-                (coalesce(col("in_micro"), lit(0L)).cast("double")
-                  / lit(1000000.0)), 6).as("pr_new"))
-          .orderBy("node")
+                (col("in_micro").cast("double") / lit(1000000.0)), 6)
+              .as("pr_new"))
+          // ≤|V| = 2000 result rows: local sort in one task, not a
+          // range exchange (whose sampling job is another serial wave)
+          .coalesce(1).sortWithinPartitions("node")
       },
       """WITH edges AS (
         |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
