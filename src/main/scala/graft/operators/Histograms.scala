@@ -22,19 +22,21 @@ object Histograms {
   def hist1d(df: DataFrame, c: Column, width: Double): DataFrame =
     df.groupBy(binId(c, width).as("bin"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("bin")
+      // O(bins) result: single-task local sort, no range exchange /
+      // sampling wave — see graft.queries.QueryDef.sortSmall
+      .coalesce(1).sortWithinPartitions("bin")
 
   /** 2D fixed-width histogram: (bin_x, bin_y, n). */
   def hist2d(df: DataFrame, cx: Column, wx: Double, cy: Column, wy: Double): DataFrame =
     df.groupBy(binId(cx, wx).as("bin_x"), binId(cy, wy).as("bin_y"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("bin_x", "bin_y")
+      .coalesce(1).sortWithinPartitions("bin_x", "bin_y")
 
   /** Weighted 1D histogram (sum of a weight column per bin). */
   def hist1dWeighted(df: DataFrame, c: Column, width: Double, weight: Column): DataFrame =
     df.groupBy(binId(c, width).as("bin"))
       .agg(count(lit(1)).as("n"), sum(weight).as("wsum"))
-      .orderBy("bin")
+      .coalesce(1).sortWithinPartitions("bin")
 
   /** Weighted 2D histogram — the phase-space diagram (e.g. ρ–T binned
     * with mass weights, the scida-docs staple): per-cell count and
@@ -43,7 +45,7 @@ object Histograms {
       cy: Column, wy: Double, weight: Column): DataFrame =
     df.groupBy(binId(cx, wx).as("bin_x"), binId(cy, wy).as("bin_y"))
       .agg(count(lit(1)).as("n"), sum(weight).as("wsum"))
-      .orderBy("bin_x", "bin_y")
+      .coalesce(1).sortWithinPartitions("bin_x", "bin_y")
 
   /** N-dimensional fixed-width histogram — the dask `histogramdd`
     * surface behind scida's phase-space recipes (ρ–T–mass 3D binning
@@ -63,7 +65,8 @@ object Histograms {
       weight.map(w => sum(w).as("wsum")).toSeq
     df.groupBy(bins: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(dims.indices.map(i => col(s"bin_$i")): _*)
+      .coalesce(1)
+      .sortWithinPartitions(dims.indices.map(i => col(s"bin_$i")): _*)
   }
 
   /** Log-spaced 1D histogram — the astro staple (halo mass functions,
@@ -74,7 +77,7 @@ object Histograms {
     df.filter(c > 0)
       .groupBy(floor(log10(c) / lit(decadeWidth)).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("bin")
+      .coalesce(1).sortWithinPartitions("bin")
 
   /** Radial profile: mean (and count) of `quantity` in fixed-width
     * radial shells around a center — scida's docs' profile recipe
@@ -90,6 +93,6 @@ object Histograms {
     df.groupBy(floor(r / lit(shellWidth)).cast("long").as("shell"))
       .agg(count(lit(1)).as("n"), sum(quantity).as("qsum"))
       .withColumn("qmean", col("qsum") / col("n"))
-      .orderBy("shell")
+      .coalesce(1).sortWithinPartitions("shell")
   }
 }

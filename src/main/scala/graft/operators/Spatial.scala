@@ -215,7 +215,8 @@ object Spatial {
         graft.functions.VectorOps.roundAt(
           sum(col("__rn")).cast("double") / (count(lit(1)) * lit(scale.toLong))
             .cast("double"), 6).as("mean_r"))
-      .orderBy("bin")
+      // O(bins) result — single-task local sort (QueryDef.sortSmall)
+      .coalesce(1).sortWithinPartitions("bin")
   }
 
   /** Friends-of-friends group finder (THE classic halo finder —

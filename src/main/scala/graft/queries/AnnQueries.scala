@@ -109,7 +109,8 @@ object AnnQueries {
         graft.functions.VectorOps.roundAt(
           sum("mv").cast("double")
             / (count(lit(1)) * lit(1000000L)).cast("double"), 6).as("mean"))
-      .orderBy("cell", "dim")
+      // bounded result (cells x dims codebook stats) — QueryDef.sortSmall
+      .transform(QueryDef.sortSmall(_, col("cell"), col("dim")))
   }
 
   // cluster_assign's centroid handshake (oracle replays the argmin

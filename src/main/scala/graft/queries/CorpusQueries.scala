@@ -216,7 +216,8 @@ object CorpusQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("raw").contains("?"), 1L).otherwise(0L)).as("n_tracked"),
             sum(length(col("norm")).cast("bigint")).as("sum_len"))
-          .orderBy("domain")
+          // bounded result (one row per domain) — see QueryDef.sortSmall
+          .transform(QueryDef.sortSmall(_, col("domain")))
       },
       """WITH u AS (
         |  SELECT doc_id,
@@ -555,7 +556,7 @@ object CorpusQueries {
         .withColumn("split", splitFate(col("doc_id")))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-        .orderBy("source", "split"),
+        .transform(QueryDef.sortSmall(_, col("source"), col("split"))),
       s"""SELECT source,
         |  ${splitFateSql("doc_id")} AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -588,7 +589,7 @@ object CorpusQueries {
           .crossJoin(broadcast(leaked))
           .select(col("split"), col("n_docs"), col("n_clusters"),
             col("leaked").as("naive_leaked_clusters"))
-          .orderBy("split")
+          .transform(QueryDef.sortSmall(_, col("split")))
       },
       s"""WITH l AS (
         |  SELECT doc_id, cluster
@@ -811,7 +812,7 @@ object CorpusQueries {
           .select(col("n_tokens"), expr(s"start_tok div $budget").as("shard"))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
-          .orderBy("shard")
+          .transform(QueryDef.sortSmall(_, col("shard")))
       },
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -845,7 +846,7 @@ object CorpusQueries {
           graft.functions.VectorOps.roundAt(
             sum("n_chars").cast("double") / count(lit(1)).cast("double"), 6)
             .as("mean_chars"))
-        .orderBy("source"),
+        .transform(QueryDef.sortSmall(_, col("source"))),
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  count(DISTINCT lang) AS n_langs,
@@ -873,7 +874,7 @@ object CorpusQueries {
           .select(col("source"), posexplode(col("top")))
           .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
             col("col.id").as("doc_id"), col("col.h").as("h"))
-          .orderBy("source", "rk")
+          .transform(QueryDef.sortSmall(_, col("source"), col("rk")))
       },
       """SELECT source, rk, doc_id, h FROM (
         |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

@@ -53,7 +53,8 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_buckets"),
         max("sz").as("max_size"),
         sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
-      .orderBy("band")
+      // bounded result (one row per band) — see QueryDef.sortSmall
+      .transform(QueryDef.sortSmall(_, col("band")))
   private def simhashSigPath(d: String): String =
     Fixtures.tmpPath("graft_simhash_sigs", d)
 

@@ -36,7 +36,8 @@ object EventQueries {
       (s, d) => Tables.events(s, d)
         .groupBy(expr(s"ts_ns div $HourNs").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), roundAt(sum("value"), 2).as("sum_value"))
-        .orderBy("hour_bucket", "event_type"),
+        // bounded result (time buckets x types) — see QueryDef.sortSmall
+        .transform(QueryDef.sortSmall(_, col("hour_bucket"), col("event_type"))),
       s"""SELECT epoch_ns(ts)//$HourNs AS hour_bucket, event_type,
         |  count(*) AS n, floor(sum(value)*100 + 0.5)/100 AS sum_value
         |FROM events GROUP BY hour_bucket, event_type
@@ -130,7 +131,7 @@ object EventQueries {
           .agg(count(lit(1)).as("n_total"),
             sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
             sum(when(col("dup"), 0L).otherwise(1L)).as("n_kept"))
-          .orderBy("event_type")
+          .transform(QueryDef.sortSmall(_, col("event_type")))
       },
       """WITH e AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
@@ -397,7 +398,7 @@ object EventQueries {
           .select(col("event_type"), col("s.n").as("n"),
             col("s.med").as("med_c"), col("s.mad").as("mad_c"),
             col("s.outliers").as("n_outliers"))
-          .orderBy("event_type")
+          .transform(QueryDef.sortSmall(_, col("event_type")))
       },
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
@@ -566,7 +567,7 @@ object EventQueries {
             expr("(day - d0) div 7").as("offset_week"))
           .groupBy("cohort_week", "offset_week")
           .agg(countDistinct("user_id").as("n_users"))
-          .orderBy("cohort_week", "offset_week")
+          .transform(QueryDef.sortSmall(_, col("cohort_week"), col("offset_week")))
       },
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events
@@ -591,7 +592,7 @@ object EventQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
-        .orderBy("event_type"),
+        .transform(QueryDef.sortSmall(_, col("event_type"))),
       // double TRY_CAST mirrors Spark's null-on-anything semantics:
       // Spark's get_json_object returns NULL for BOTH malformed JSON
       // and a non-integer k, while DuckDB's ->> ERRORS on malformed

@@ -42,7 +42,8 @@ object FitsQueries {
           .agg(count(lit(1)).as("n"),
             sum("OrderKey").as("sum_key"),
             sum(floor(col("TotalPrice") * 100.0 + 0.5).cast("long")).as("cents"))
-          .orderBy("bucket")
+          // bounded result (4 buckets) — see QueryDef.sortSmall
+          .transform(QueryDef.sortSmall(_, col("bucket")))
       },
       """SELECT o_custkey % 4 AS bucket, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,

@@ -270,7 +270,8 @@ object Hdf5Queries {
           .agg(count(lit(1)).as("n"),
             sum("OrderKey").as("sum_key"),
             sum(floor(col("TotalPrice") * 100.0 + 0.5).cast("long")).as("cents"))
-          .orderBy("bucket")
+          // bounded result (8 buckets) — see QueryDef.sortSmall
+          .transform(QueryDef.sortSmall(_, col("bucket")))
       },
       """SELECT o_custkey % 8 AS bucket, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
@@ -306,7 +307,8 @@ object Hdf5Queries {
         val subAgg = ds.catalog("Subhalo").df
           .groupBy((col("SubhaloGrNr") % 8).as("bucket"))
           .agg(count(lit(1)).as("n_sub"), sum("SubhaloLen").as("sub_len"))
-        partAgg.join(subAgg, Seq("bucket")).orderBy("bucket")
+        partAgg.join(subAgg, Seq("bucket"))
+          .transform(QueryDef.sortSmall(_, col("bucket")))
       },
       """WITH g AS (
         |  SELECT o_custkey, count(*) AS glen,

@@ -110,4 +110,20 @@ object QueryDef {
     * own exchange is the reusable barrier. */
   def sortBarrier(df: DataFrame): DataFrame =
     graft.CacheScope.track(df)
+
+  /** Deterministic total order for a STATISTIC-BOUNDED result table
+    * (histogram bins, rollup cells, per-source stats, model weights —
+    * outputs whose cardinality is fixed by a parameter, not by the
+    * input size). `orderBy` on such a result plans a range exchange
+    * whose boundary-sampling job is a whole extra serial wave
+    * (measured: ~0.2 s per query at local[32] regardless of result
+    * size); a single-task local sort produces the identical total
+    * order without the exchange or the sampling pass, and stays the
+    * right shape at 100 TB because the RESULT stays small even when
+    * the input does not (the parallel work — scans, partial
+    * aggregates — is upstream and unaffected). Row-per-input outputs
+    * (catalogs, per-doc tables) must keep the global orderBy: their
+    * results scale with the data and need the range sort. */
+  def sortSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
 }

@@ -65,7 +65,8 @@ object RelationalQueries {
             round(avg("l_extendedprice"), 4).as("avg_price"),
             round(avg("l_discount"), 6).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")
+          // bounded result (flag x status cells) — see QueryDef.sortSmall
+          .transform(QueryDef.sortSmall(_, col("l_returnflag"), col("l_linestatus")))
       },
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -133,7 +134,7 @@ object RelationalQueries {
           .groupBy("n_name")
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
             count(lit(1)).as("n_rows"))
-          .orderBy(col("revenue").desc, col("n_name"))
+          .transform(QueryDef.sortSmall(_, col("revenue").desc, col("n_name")))
       },
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -158,7 +159,8 @@ object RelationalQueries {
         val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("n"))
           .withColumn("kind", lit("anti"))
-        semi.unionByName(anti).select("kind", "seg", "n").orderBy("kind", "seg")
+        semi.unionByName(anti).select("kind", "seg", "n")
+          .transform(QueryDef.sortSmall(_, col("kind"), col("seg")))
       },
       """SELECT * FROM (
         |  SELECT 'semi' AS kind, c_mktsegment AS seg, count(*) AS n
@@ -379,7 +381,7 @@ object RelationalQueries {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("day"),
+        .transform(QueryDef.sortSmall(_, col("day"))),
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
@@ -419,7 +421,7 @@ object RelationalQueries {
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("sum_qty"), col("n"))
-        .orderBy("flag", "status"),
+        .transform(QueryDef.sortSmall(_, col("flag"), col("status"))),
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
@@ -438,7 +440,7 @@ object RelationalQueries {
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("sum_qty"), col("n"))
-        .orderBy("flag", "status"),
+        .transform(QueryDef.sortSmall(_, col("flag"), col("status"))),
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
@@ -495,7 +497,7 @@ object RelationalQueries {
             min(when(col("cum") >= ceil(col("n") * 0.5), col("v"))).as("p50"),
             min(when(col("cum") >= ceil(col("n") * 0.9), col("v"))).as("p90"),
             max("n").as("n"))
-          .orderBy("l_returnflag")
+          .transform(QueryDef.sortSmall(_, col("l_returnflag")))
       },
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, count(*) AS c
@@ -623,7 +625,7 @@ object RelationalQueries {
             (col("est_cnt") >= col("true_cnt")).as("never_under"),
             (col("est_cnt") <= col("true_cnt")
               + ceil(col("__n") * lit(1e-4))).as("within_eps"))
-          .orderBy("l_partkey")
+          .transform(QueryDef.sortSmall(_, col("l_partkey")))
       },
       """SELECT r.k AS l_partkey, coalesce(c.cnt, 0) AS true_cnt,
         |  TRUE AS never_under, TRUE AS within_eps
@@ -772,7 +774,7 @@ object RelationalQueries {
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
               .as("revenue"),
             count(lit(1)).as("n"))
-          .orderBy("month")
+          .transform(QueryDef.sortSmall(_, col("month")))
       },
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -222,7 +222,8 @@ object ScidaQueries {
             Cosmology.ageGyrCol(lit(0.0), h, om) - Cosmology.ageGyrCol(z, h, om), 6))
           .withColumn("dcom_mpc", graft.functions.VectorOps.roundAt(
             Cosmology.comovingDistanceMpcCol(z, h, om), 6))
-          .orderBy("z")
+          // bounded result (z grid) — see QueryDef.sortSmall
+          .transform(QueryDef.sortSmall(_, col("z")))
       }, {
         val n = graft.model.Cosmology.QuadSteps
         val tH = "CAST('" + graft.model.Cosmology.HubbleTimeGyrTimesH + "' AS DOUBLE)"
@@ -294,7 +295,7 @@ object ScidaQueries {
               (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
               * 1000000 + 0.5) / 1000000).as("corr_qty_line"))
-          .orderBy("l_returnflag")
+          .transform(QueryDef.sortSmall(_, col("l_returnflag")))
       },
       """WITH m AS (
         |  SELECT l_returnflag,
@@ -327,7 +328,7 @@ object ScidaQueries {
         li.select(when(v <= bs(0), 0).when(v <= bs(1), 1)
             .when(v <= bs(2), 2).otherwise(3).as("bin"))
           .groupBy("bin").agg(count(lit(1)).as("n"))
-          .orderBy("bin")
+          .transform(QueryDef.sortSmall(_, col("bin")))
       },
       s"""WITH b AS (
         |  ${QueryDef.exactQuantileSql("lineitem", "l_extendedprice",
@@ -360,7 +361,7 @@ object ScidaQueries {
         col("l_extendedprice"), 5000.0, col("l_quantity"))
         .select(col("bin"), col("n"),
           floor(col("wsum") * 100 + 0.5) / 100 as "wsum")
-        .orderBy("bin"),
+        .transform(QueryDef.sortSmall(_, col("bin"))),
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
         |  count(*) AS n,
         |  floor(sum(l_quantity)*100 + 0.5)/100 AS wsum
@@ -375,7 +376,7 @@ object ScidaQueries {
         col("l_discount"))
         .select(col("bin_x"), col("bin_y"), col("n"),
           (floor(col("wsum") * 100 + 0.5) / 100).as("wsum"))
-        .orderBy("bin_x", "bin_y"),
+        .transform(QueryDef.sortSmall(_, col("bin_x"), col("bin_y"))),
       """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_x,
         |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_y,
         |  count(*) AS n,
@@ -406,7 +407,7 @@ object ScidaQueries {
         weight = Some(col("l_tax")))
         .select(col("bin_0"), col("bin_1"), col("bin_2"), col("n"),
           (floor(col("wsum") * 100 + 0.5) / 100).as("wsum"))
-        .orderBy("bin_0", "bin_1", "bin_2"),
+        .transform(QueryDef.sortSmall(_, col("bin_0"), col("bin_1"), col("bin_2"))),
       """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_0,
         |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_1,
         |  CAST(floor(l_discount / 0.05) AS BIGINT) AS bin_2,
@@ -441,7 +442,7 @@ object ScidaQueries {
         col("p_retailprice"), shellWidth = 0.05)
         .select(col("shell"), col("n"),
           (floor(col("qmean") * 1000000 + 0.5) / 1000000).as("qmean"))
-        .orderBy("shell"),
+        .transform(QueryDef.sortSmall(_, col("shell"))),
       """SELECT shell, count(*) AS n,
         |  floor((sum(p_retailprice) / count(*))*1000000 + 0.5)/1000000 AS qmean
         |FROM (
@@ -484,7 +485,7 @@ object ScidaQueries {
           .agg(count(lit(1)).as("n"),
             (floor(sum("cents").cast("double") / 100.0 / count(lit(1))
               * 1000000 + 0.5) / 1000000).as("qmean"))
-          .orderBy("grp", "shell")
+          .transform(QueryDef.sortSmall(_, col("grp"), col("shell")))
       },
       """WITH c AS (
         |  SELECT l_suppkey % 50 AS grp,
@@ -661,7 +662,7 @@ object ScidaQueries {
         .groupBy("l_returnflag")
         .agg(round(sum(col("l_discount") * col("l_quantity")) / sum(col("l_quantity")), 6)
           .as("wavg_disc"))
-        .orderBy("l_returnflag"),
+        .transform(QueryDef.sortSmall(_, col("l_returnflag"))),
       """SELECT l_returnflag,
         |  round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
@@ -687,7 +688,7 @@ object ScidaQueries {
             (col("pos") + 1).cast("long").as("rk"),
             col("col.ok").as("l_orderkey"), col("col.ln").as("l_linenumber"),
             round(-col("col.np"), 2).as("price"))
-          .orderBy("l_returnflag", "l_linestatus", "rk")
+          .transform(QueryDef.sortSmall(_, col("l_returnflag"), col("l_linestatus"), col("rk")))
       },
       """SELECT l_returnflag, l_linestatus, rk, l_orderkey, l_linenumber, price
         |FROM (
@@ -979,7 +980,7 @@ object ScidaQueries {
           .groupBy((length(bin(col("n_members"))) - 1).as("log2_bin"))
           .agg(count(lit(1)).as("n_halos"),
             sum("n_members").as("total_members"))
-          .orderBy("log2_bin")
+          .transform(QueryDef.sortSmall(_, col("log2_bin")))
       },
       """WITH RECURSIVE pts AS (
         |  SELECT p_partkey AS id,
@@ -1178,7 +1179,7 @@ object ScidaQueries {
           .groupBy("cell_x", "cell_y")
           .agg(sum("n_contrib").as("n_contrib"),
             sum("mass_micro").as("mass_micro"))
-          .orderBy("cell_x", "cell_y")
+          .transform(QueryDef.sortSmall(_, col("cell_x"), col("cell_y")))
       },
       """WITH pts AS (
         |  SELECT
@@ -1250,7 +1251,7 @@ object ScidaQueries {
             graft.functions.VectorOps.roundAt(
               (col("re_u") / 1e12) * (col("re_u") / 1e12)
                 + (col("im_u") / 1e12) * (col("im_u") / 1e12), 6).as("p_k"))
-          .orderBy("k_idx")
+          .transform(QueryDef.sortSmall(_, col("k_idx")))
       }, {
         val kvals = psProbes.map { case (i, kx, ky, kz) =>
           s"($i, $kx, $ky, $kz)" }.mkString(", ")
@@ -1442,7 +1443,7 @@ object ScidaQueries {
         e.join(broadcast(maxDay), col("day") === col("max_day"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-          .orderBy("event_type")
+          .transform(QueryDef.sortSmall(_, col("event_type")))
       },
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events

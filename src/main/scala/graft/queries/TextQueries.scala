@@ -159,7 +159,8 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         roundAt(sum(col("score_micro")).cast("double")
           / (count(lit(1)) * lit(1000000L)).cast("double"), 6).as("mean_logp"))
-      .orderBy("lang", "bucket")
+      // bounded result (lang x bucket cells) — see QueryDef.sortSmall
+      .transform(QueryDef.sortSmall(_, col("lang"), col("bucket")))
   }
 
   /** BM25 top-`k` for the fixed demo query terms — the lexical
@@ -800,7 +801,7 @@ object TextQueries {
           .select(col("source"), col("n_tokens"), col("n_covered"),
             roundAt(lit(1.0) - col("n_covered").cast("double")
               / col("n_tokens"), 6).as("oov_rate"))
-          .orderBy("source")
+          .transform(QueryDef.sortSmall(_, col("source")))
       },
       """WITH ws AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS word
@@ -925,7 +926,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           (floor((sum(col("bpe")) / sum(col("ws"))) * 1000000 + 0.5) / 1000000)
             .as("fertility"))
-        .orderBy("lang"),
+        .transform(QueryDef.sortSmall(_, col("lang"))),
       s"""SELECT lang, count(*) AS n_docs,
         |  floor((sum(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}'))::DOUBLE)
         |    / sum(len(string_split(text, ' '))::DOUBLE))*1000000 + 0.5)/1000000 AS fertility
@@ -1007,7 +1008,7 @@ object TextQueries {
               3, 'quality', n_quality,
               4, 'dedup', n_dedup,
               5, 'decontaminate', n_clean) AS (stage_id, stage, n_out)""")
-          .orderBy("stage_id")
+          .transform(QueryDef.sortSmall(_, col("stage_id")))
       },
       {
         val scores = TextOps.langDicts.map { case (lang, dict) =>
@@ -1558,7 +1559,7 @@ object TextQueries {
     "logreg_step" -> QueryDef.sql(
       (s, d) => logregWeights(s, d)._2
         .select(col("j"), col("nnz"), col("grad_micro"), col("new_w_micro"))
-        .orderBy("j"),
+        .transform(QueryDef.sortSmall(_, col("j"))),
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
         |), f AS (
