@@ -262,7 +262,9 @@ object Spatial {
       x: Column, y: Column, z: Column,
       boxSize: Double, gridN: Int): DataFrame =
     cicDepositUnsorted(points, x, y, z, boxSize, gridN)
-      .orderBy("cell_x", "cell_y", "cell_z")
+      // O(grid³ occupied cells) result — single-task local sort, no
+      // range exchange / sampling wave (QueryDef.sortSmall rationale)
+      .coalesce(1).sortWithinPartitions("cell_x", "cell_y", "cell_z")
 
   /** [[cicDeposit]] without the output ordering — for consumers that
     * immediately re-aggregate the grid (power spectra, profile
