@@ -123,14 +123,17 @@ object Bench {
     // queries to front truncation. queries-first ordering keeps the
     // surviving tail self-sufficient (total, probes, env, errors).
     val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"probe_sec":${fmt(probeSec)},"probes":$ps,"probe_seg":$probeSeg,"cpus":${cpus.toInt},"runs":$runs$errs"""
-    println(s"""{"queries":$qs,$summary}""")
-    // trailing compact line (fits the tail window whole): the 10
-    // slowest successful queries + the same summary — parseable on its
-    // own when the main line's head is gone
+    // the 10 slowest successful queries, folded into the SAME object:
+    // a second trailing {"slowest":...} JSON line (rounds 6-12) made
+    // the driver's last-JSON-line parse find no "queries" key, so
+    // PERF per-query/scaling comparisons ran blind (parsed:null every
+    // round). ONE stdout JSON line is the contract; ordering puts
+    // queries first and slowest+summary last so the stored ~2 KB tail
+    // window still ends with the self-sufficient compact fields.
     val slowest = ok.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"slowest":$slowest,$summary}""")
+    println(s"""{"queries":$qs,"slowest":$slowest,$summary}""")
     spark.stop()
   }
 }
