@@ -163,17 +163,25 @@ object Dedup {
     // map-side tree-merged pass and probed inside the scan stage.
     val cms = ex.stat.countMinSketch(col("s"), 1e-4, 0.99, 42)
     val cmB = sh.sparkSession.sparkContext.broadcast(cms)
-    val withDf = ex.withColumn("df",
-      graft.functions.expressions.SketchProbes.cmEstimate(col("s"), cmB))
     // prefix = rarest floor((1-t)*n)+1 tokens of each doc, under the
-    // global (df, s) total order. One hash aggregate per doc (collect
-    // + in-memory sort + slice) — the window/row_number formulation
-    // pays the same shuffle plus a full partition sort, and as a
-    // two-sided self-join input it evaluated this whole subtree twice.
+    // global (df, s) total order — computed MAP-SIDE over the cached
+    // per-doc shingle array (hash each element, attach its broadcast
+    // CM estimate, array_sort by (df, s), slice). The cached frame
+    // already holds the complete token set per doc, so re-deriving it
+    // by exploding and re-aggregating (groupBy(id, n) +
+    // collect_list + sort) paid a full O(docs × shingles) exchange
+    // for information that never left the row — this projection
+    // removes that exchange and its scheduling wave outright
+    // (guide §2.4); ordering and slice semantics are unchanged
+    // (array_sort on structs compares fields left-to-right, exactly
+    // the (df, s) order the aggregate form sorted by).
     val prefixLen = (col("n") - ceil(col("n") * lit(minJ)) + 1).cast("int")
-    val ranked = withDf
-      .groupBy(col(id), col("n"))
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("o"))
+    val hashes = transform(col("sh"), t => xxhash64(t))
+    val ordered = array_sort(transform(hashes,
+      h => struct(graft.functions.expressions.SketchProbes
+        .cmEstimate(h, cmB).as("df"), h.as("s"))))
+    val ranked = sh
+      .select(col(id), size(col("sh")).as("n"), ordered.as("o"))
       .select(col(id), col("n"), explode(slice(col("o"), lit(1), prefixLen)).as("p"))
       .select(col(id), col("n"), col("p.s").as("s"))
     // candidate pairs: group prefix postings by shingle and expand the

@@ -13,6 +13,31 @@ class DedupAnnSpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sfDir)
   private lazy val embs = Tables.embeddings(spark, sfDir)
 
+  test("ngram-jaccard prefix filter == naive all-shingles join (map-side prefix)") {
+    // pins the r13 map-side prefix rewrite (transform + array_sort +
+    // slice over the cached shingle array, replacing the exploded
+    // groupBy(id, n) + collect_list aggregate): the PPJoin candidate
+    // set must stay complete — every pair the definitional
+    // all-shingles join finds at the threshold must survive
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b", "j").as[(Long, Long, Double)].collect().toSet
+    val sh = Dedup.withShingles(docs, "doc_id", "text", 3)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val a = ex.toDF("doc_a", "na", "s")
+    val naive = a.join(ex.toDF("doc_b", "nb", "s"), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("inter") / (col("na") + col("nb") - col("inter"))
+          * 1000000 + 0.5) / 1000000).as("j"))
+      .filter(col("j") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == naive)
+    assert(naive.nonEmpty, "testdata should contain planted near-dups")
+  }
+
   test("minhash LSH pairs == exact ngram-jaccard pairs at 0.8") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
