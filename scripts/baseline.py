@@ -182,19 +182,22 @@ def main():
                   if k in bench.get("queries", {}) and k not in verdict_only]
         gtot = sum(bench["queries"][k] for k in common)
         btot = sum(times[k] for k in common)
-        # graph/FoF oracles can only be spelled as RECURSIVE CTEs in
-        # SQL — a structurally inefficient expression of the algorithm
-        # (DuckDB re-joins the frontier each level) — so their rows
-        # flatter graft's aggregate. Report the aggregate both ways;
-        # the ex-recursive number is the conservative one.
-        # dedup_substring_maximal joins the set: its oracle is an
-        # inherently inefficient SQL spelling of suffix-chain
-        # alignment (39-410 s at sf0.1 where graft pays ~1 s) — same
-        # flattering asymmetry as the recursive CTEs.
-        recursive_ctes = {"halo_massfunc", "fof_groups", "dedup_clusters",
-                          "dedup_clusters_incremental", "bfs_step",
-                          "dedup_substring_maximal"}
-        nr = [k for k in common if k not in recursive_ctes]
+        # Structurally ASYMMETRIC oracles flatter graft's aggregate:
+        # graph/FoF algorithms can only be spelled as recursive CTEs
+        # in SQL (DuckDB re-joins the frontier each level), and
+        # dedup_substring_maximal's oracle is an inherently
+        # inefficient SQL spelling of suffix-chain alignment
+        # (39-410 s at sf0.1 where graft pays ~1 s). Exclude them for
+        # the conservative number — reported under BOTH definitions so
+        # round-over-round headlines stay comparable: the pre-r12 set
+        # (5 recursive-CTE rows) and the current set (+ substring).
+        recursive_cte_rows = {"halo_massfunc", "fof_groups", "dedup_clusters",
+                              "dedup_clusters_incremental", "bfs_step"}
+        asymmetric_oracles = recursive_cte_rows | {"dedup_substring_maximal"}
+        nr_old = [k for k in common if k not in recursive_cte_rows]
+        nr = [k for k in common if k not in asymmetric_oracles]
+        gnr_old = sum(bench["queries"][k] for k in nr_old)
+        bnr_old = sum(times[k] for k in nr_old)
         gnr = sum(bench["queries"][k] for k in nr)
         bnr = sum(times[k] for k in nr)
         lines += [
@@ -202,12 +205,19 @@ def main():
             f"**graft total on the same {len(common)} queries: {gtot:.2f} s "
             f"(baseline {btot:.2f} s) → aggregate ratio {gtot / btot:.2f}x**",
             "",
-            f"Excluding the {len(common) - len(nr)} recursive-CTE-oracle rows"
-            f" ({', '.join(sorted(recursive_ctes & set(common)))} — their"
-            " DuckDB replays pay an inherently inefficient SQL expression of"
-            " the graph algorithm, flattering graft):"
+            f"Excluding the {len(common) - len(nr)} structurally-asymmetric"
+            f" oracle rows ({', '.join(sorted(asymmetric_oracles & set(common)))}"
+            " — recursive-CTE graph replays plus substring_maximal's"
+            " quadratic suffix-chain SQL, all inherently inefficient"
+            " spellings that flatter graft):"
             f" **{len(nr)} queries, graft {gnr:.2f} s vs baseline"
             f" {bnr:.2f} s → {gnr / bnr:.2f}x**",
+            "",
+            f"Same aggregate under the pre-r12 definition (recursive-CTE"
+            f" rows only excluded, {len(nr_old)} queries — kept so"
+            " round-over-round headlines stay comparable):"
+            f" **graft {gnr_old:.2f} s vs baseline {bnr_old:.2f} s →"
+            f" {gnr_old / bnr_old:.2f}x**",
             "",
             "Note: per-query ratios on this dataset carry a fixed overhead",
             "floor — Spark job scheduling + codegen is O(100 ms) per query",

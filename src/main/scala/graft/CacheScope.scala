@@ -45,7 +45,7 @@ object CacheScope {
   private val deferred = ThreadLocal.withInitial(
     () => new ConcurrentLinkedQueue[() => Unit]())
 
-  /** Eagerly localCheckpoint `df` — materializing it NOW and replacing
+  /** Eagerly checkpoint `df` — materializing it NOW and replacing
     * its logical plan with a LogicalRDD leaf — and register the
     * checkpoint blocks for release at scope end.
     *
@@ -57,16 +57,38 @@ object CacheScope {
     * re-analyzes the whole blown-up tree on every action
     * (dedup_clusters_incremental's merge plan was 32k nodes /
     * 3282 Exchange occurrences before checkpointing its O(batch) edge
-    * sliver — analysis alone dominated the query). The checkpoint
-    * truncates lineage at the cost of losing recompute-on-failure for
-    * those blocks, which is the right trade for bounded intermediates. */
+    * sliver — analysis alone dominated the query).
+    *
+    * Fault-tolerance trade (local default): `localCheckpoint` blocks
+    * are NON-REPLICATED executor memory/disk — on a cluster, losing
+    * an executor mid-query kills the job instead of recomputing.
+    * Acceptable for O(batch) intermediates a failed query simply
+    * re-runs; a cluster deployment that cannot accept that sets
+    * `spark.graft.checkpoint.reliable=true` (plus a
+    * `SparkContext.setCheckpointDir`) and gets a RELIABLE checkpoint
+    * through the same call: blocks ride the durable checkpoint dir,
+    * executor loss degrades to a file re-read, and cleanup is the
+    * cluster's (`spark.cleaner.referenceTracking.cleanCheckpoints`
+    * or the checkpoint dir's retention policy), not scope end.
+    *
+    * Scope contract (local path): the returned frame is DEAD after
+    * `releaseAll()` — lineage was truncated to the released blocks,
+    * so any later action on it fails unrecoverably instead of
+    * recomputing (unlike `track`, whose frames silently rebuild).
+    * Only hand the frame to consumers that finish inside the scope. */
   def trackCheckpoint(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
-    deferred.get().add(() => c.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    })
-    c
+    val ss = df.sparkSession
+    val reliable = ss.conf.get("spark.graft.checkpoint.reliable", "false")
+      .toBoolean && ss.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(true)
+    else {
+      val c = df.localCheckpoint(true)
+      deferred.get().add(() => c.queryExecution.analyzed.foreach {
+        case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      })
+      c
+    }
   }
 
   /** Release every cache registered on this thread since the last

@@ -812,7 +812,10 @@ object CorpusQueries {
           .select(col("n_tokens"), expr(s"start_tok div $budget").as("shard"))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
-          .transform(QueryDef.sortSmall(_, col("shard")))
+          // one row PER SHARD = total_tokens / budget — an output that
+          // scales with the corpus, not a parameter-bounded statistic,
+          // so sortSmall's contract says keep the global range sort
+          .orderBy("shard")
       },
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -713,7 +713,15 @@ object DedupQueries {
     // cell equi-join, distinct, vector join-back, cosine threshold —
     // is hash-gated. Cell recall vs brute force is pinned in
     // DedupAnnSpec (blocking quality is a property of (K, nProbe),
-    // not of this query's join machinery). ---
+    // not of this query's join machinery).
+    // BUILD-ROUND ITEM (recorded r12/r13): nCells = 8 is FIXED, so
+    // within-cell exact pair counts grow quadratically with corpus
+    // size (sf0.1→sf1 measured 1.25→24 s, ~19× for 10× data). The fix
+    // is √N-scaled cells at a constant probe fraction — exactly what
+    // ann_batch_ivf got in r9 — but the cell geometry is part of the
+    // DECLARED candidate set, so the change re-declares the query and
+    // its oracle: first item for the next build round, out of scope
+    // for an optimization round. ---
     "dedup_embcos" -> QueryDef.sqlBench(
       // sortBarrier: the candidate join broadcasts at test scale (no
       // shuffle files) — the ORDER BY's sampling would re-run every

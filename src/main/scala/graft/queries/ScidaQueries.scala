@@ -359,9 +359,10 @@ object ScidaQueries {
     "histogram_weighted" -> QueryDef.sql(
       (s, d) => Histograms.hist1dWeighted(Tables.lineitem(s, d),
         col("l_extendedprice"), 5000.0, col("l_quantity"))
+        // order comes from the builder's single-partition sort; the
+        // rounding projection preserves it (no second Coalesce+Sort)
         .select(col("bin"), col("n"),
-          floor(col("wsum") * 100 + 0.5) / 100 as "wsum")
-        .transform(QueryDef.sortSmall(_, col("bin"))),
+          floor(col("wsum") * 100 + 0.5) / 100 as "wsum"),
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
         |  count(*) AS n,
         |  floor(sum(l_quantity)*100 + 0.5)/100 AS wsum
@@ -374,9 +375,10 @@ object ScidaQueries {
       (s, d) => Histograms.hist2dWeighted(Tables.lineitem(s, d),
         col("l_quantity"), 10.0, col("l_extendedprice"), 10000.0,
         col("l_discount"))
+        // builder already finishes single-partition sorted; the
+        // rounding projection preserves that order
         .select(col("bin_x"), col("bin_y"), col("n"),
-          (floor(col("wsum") * 100 + 0.5) / 100).as("wsum"))
-        .transform(QueryDef.sortSmall(_, col("bin_x"), col("bin_y"))),
+          (floor(col("wsum") * 100 + 0.5) / 100).as("wsum")),
       """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_x,
         |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_y,
         |  count(*) AS n,
@@ -405,9 +407,10 @@ object ScidaQueries {
           (col("l_extendedprice"), 10000.0),
           (col("l_discount"), 0.05)),
         weight = Some(col("l_tax")))
+        // builder already finishes single-partition sorted; the
+        // rounding projection preserves that order
         .select(col("bin_0"), col("bin_1"), col("bin_2"), col("n"),
-          (floor(col("wsum") * 100 + 0.5) / 100).as("wsum"))
-        .transform(QueryDef.sortSmall(_, col("bin_0"), col("bin_1"), col("bin_2"))),
+          (floor(col("wsum") * 100 + 0.5) / 100).as("wsum")),
       """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_0,
         |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin_1,
         |  CAST(floor(l_discount / 0.05) AS BIGINT) AS bin_2,
@@ -440,9 +443,10 @@ object ScidaQueries {
         Seq((col("p_size").cast("double") / 25.0, 1.0),
           (col("p_retailprice") / 950.0, 1.0)),
         col("p_retailprice"), shellWidth = 0.05)
+        // builder already finishes single-partition sorted; the
+        // rounding projection preserves that order
         .select(col("shell"), col("n"),
-          (floor(col("qmean") * 1000000 + 0.5) / 1000000).as("qmean"))
-        .transform(QueryDef.sortSmall(_, col("shell"))),
+          (floor(col("qmean") * 1000000 + 0.5) / 1000000).as("qmean")),
       """SELECT shell, count(*) AS n,
         |  floor((sum(p_retailprice) / count(*))*1000000 + 0.5)/1000000 AS qmean
         |FROM (

@@ -84,6 +84,11 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** Corpus contract: `doc_id` is UNIQUE per row (a doc identity, not
+    * a page/revision key). Retrieval operators lean on it — bm25's df
+    * counts `count(1)` over (doc_id, dl, term) groups, which equals
+    * `count(DISTINCT doc_id)` only while doc_id never repeats with
+    * different text (TextHashingSpec pins the precondition). */
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

@@ -151,4 +151,17 @@ class TextHashingSpec extends SparkSpec {
       TextOps.bpeishTokenCount(col("text"))).as[(Int, Int)].head()
     assert(r == ((3, 5))) // [ab] [cd][12] [e][!]
   }
+
+  test("documents contract: doc_id unique (bm25 df = count over tf groups relies on it)") {
+    // bm25Top derives df as count(1) over (doc_id, dl, term) groups —
+    // equal to count(DISTINCT doc_id) ONLY while doc_id never repeats
+    // (dl is then functionally determined by doc_id). A regenerated
+    // fixture with duplicate doc_ids must fail HERE, loudly, not as a
+    // silent parity drift in the retrieval family.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val dups = docs.groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0L,
+      s"documents.doc_id must be unique; found $dups duplicated ids — " +
+        "bm25's count(1)-over-tf-groups df shortcut is unsound on this fixture")
+  }
 }
