@@ -393,7 +393,16 @@ object RelationalQueries {
     // --- UNPIVOT (melt): the inverse wide→long reshape — a map-side
     // row explosion (3× here), no shuffle beyond the deterministic
     // output sort; values pass through untouched so no rounding
-    // discipline is needed. ---
+    // discipline is needed.
+    // Trace-pinned MINIMAL (r13 JobPeek, warm): 3 jobs — range-
+    // boundary sampling (re-executes the scan+Expand), the range
+    // exchange map pass, the sorted reduce. The sampling re-execution
+    // is the known rangepartitioning cost on a map-only child;
+    // caching the 3×-row intermediate to share it (sortBarrier) would
+    // persist a row-per-input×3 frame — wrong trade at 100 TB for a
+    // cheap columnar scan + Expand recompute. Row-per-input output ⇒
+    // the global range sort itself is the declared, scale-correct
+    // finish. ---
     "unpivot_table" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),

@@ -567,6 +567,15 @@ object ScidaQueries {
         // 1-3-task partial agg made the query ~0.5 s SLOWER — the
         // extra 600k-row exchange exceeds what it parallelizes. The
         // hot spot is fixture-layout, not plan shape.
+        // Trace-pinned MINIMAL (r13 JobPeek, warm): 13 jobs = perOrder
+        // agg + sub cache + PrefixSum's declared waves (input cache,
+        // range-boundary sampling, ranged cache, totals collect) + the
+        // subhalo range exchange + window/join + output — each wave is
+        // the two-phase-scan algorithm, no second exchange stacks on
+        // the PrefixSum output (the window rides the repartitionByRange
+        // layout, the goff join is broadcast). Locally wave-bound
+        // (~0.1 s/wave at local[32]); at 1e8 groups the same waves are
+        // amortized over real data — the scale-correct shape.
         val perOrder = Tables.lineitem(s, d)
           .groupBy("l_orderkey").agg(count(lit(1)).as("slen"))
         val sub = graft.CacheScope.track(
