@@ -165,25 +165,23 @@ object Dedup {
     val cmB = sh.sparkSession.sparkContext.broadcast(cms)
     // prefix = rarest floor((1-t)*n)+1 tokens of each doc, under the
     // global (df, s) total order — computed MAP-SIDE over the cached
-    // per-doc shingle array (hash each element, attach its broadcast
-    // CM estimate, array_sort by (df, s), slice). The cached frame
-    // already holds the complete token set per doc, so re-deriving it
-    // by exploding and re-aggregating (groupBy(id, n) +
-    // collect_list + sort) paid a full O(docs × shingles) exchange
-    // for information that never left the row — this projection
-    // removes that exchange and its scheduling wave outright
-    // (guide §2.4); ordering and slice semantics are unchanged
-    // (array_sort on structs compares fields left-to-right, exactly
-    // the (df, s) order the aggregate form sorted by).
-    val prefixLen = (col("n") - ceil(col("n") * lit(minJ)) + 1).cast("int")
-    val hashes = transform(col("sh"), t => xxhash64(t))
-    val ordered = array_sort(transform(hashes,
-      h => struct(graft.functions.expressions.SketchProbes
-        .cmEstimate(h, cmB).as("df"), h.as("s"))))
+    // per-doc shingle array by ONE compiled expression
+    // (graft_prefix_tokens: hash, broadcast-CM df, primitive
+    // (df, hash) sort, slice). The cached frame already holds the
+    // complete token set per doc, so re-deriving it by exploding and
+    // re-aggregating (groupBy(id, n) + collect_list + sort) paid a
+    // full O(docs × shingles) exchange for information that never
+    // left the row — the expression removes that exchange and its
+    // scheduling wave outright (guide §2.4). A declarative HOF chain
+    // (transform + array_sort + slice) computed the same thing but
+    // ArrayTransform/ArraySort evaluate INTERPRETED per element —
+    // measured at sf1 that interpretation cost more than the removed
+    // exchange; the compiled loop keeps both wins (guide §1.2 order:
+    // algorithm first, then per-task work).
     val ranked = sh
-      .select(col(id), size(col("sh")).as("n"), ordered.as("o"))
-      .select(col(id), col("n"), explode(slice(col("o"), lit(1), prefixLen)).as("p"))
-      .select(col(id), col("n"), col("p.s").as("s"))
+      .select(col(id), size(col("sh")).as("n"),
+        explode(graft.functions.expressions.PrefixTokens
+          .of(col("sh"), cmB, minJ)).as("s"))
     // candidate pairs: group prefix postings by shingle and expand the
     // per-shingle doc list map-side — one shuffle where the a/b
     // self-join shuffled the (re-evaluated) prefix stream twice. The
