@@ -842,16 +842,22 @@ object TextQueries {
               (col("doc_id") % 2 === 1).as("is_cand"),
               explode(graft.functions.Hashing.shingles(col("text"), 2))
                 .as("bg")))
-        val sizes = sh.groupBy("pair", "is_cand").agg(count(lit(1)).as("n"))
-        val nref = sizes.filter(!col("is_cand"))
-          .select(col("pair"), col("n").as("n_ref"))
-        val ncand = sizes.filter(col("is_cand"))
-          .select(col("pair"), col("n").as("n_cand"))
+        // BOTH side sizes from ONE pair-keyed aggregate (guide §2.4:
+        // operations keyed the same way share one exchange): the
+        // former (pair, is_cand) aggregate had to re-join its own two
+        // halves by pair — an extra exchange + join for counts that
+        // fit one conditional agg. Incomplete trailing pairs (only a
+        // ref, no candidate) used to drop on that inner size join;
+        // the n > 0 filters reproduce exactly that.
+        val sizes = sh.groupBy("pair").agg(
+            count(when(!col("is_cand"), lit(1))).as("n_ref"),
+            count(when(col("is_cand"), lit(1))).as("n_cand"))
+          .filter(col("n_ref") > 0 && col("n_cand") > 0)
         val ov = sh.filter(!col("is_cand")).select(col("pair"), col("bg"))
           .join(sh.filter(col("is_cand")).select(col("pair"), col("bg")),
             Seq("pair", "bg"))
           .groupBy("pair").agg(count(lit(1)).as("n_overlap"))
-        nref.join(ncand, Seq("pair"))
+        sizes
           .join(ov, Seq("pair"), "left")
           .select(col("pair"), col("n_ref"), col("n_cand"),
             coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
